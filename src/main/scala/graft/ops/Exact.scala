@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic aggregation helpers.
+  *
+  * Rationale: the correctness gate hash-compares our results against a
+  * DuckDB oracle. Floating-point SUM/AVG over a distributed dataset is
+  * order-dependent in the last ulp, so `sum(double)` can differ between
+  * engines (and between runs!). Summing in DECIMAL is exact and
+  * order-independent; casting the exact decimal back to DOUBLE at the
+  * end yields a bit-identical double in any engine. Derived statistics
+  * (avg/stddev/corr/regression slope) are then computed with plain
+  * double arithmetic over these exact inputs — deterministic because
+  * IEEE 754 +,-,*,/,sqrt are exactly specified.
+  *
+  * This mirrors the reference's tolerance-based verification concern
+  * (`gpu_bdb/bdb_tools/utils.py:449-477` compares at 6 significant
+  * digits) but achieves exactness instead of tolerance.
+  *
+  * At 100 TB this stays cheap: decimal(14,2) sums use Spark's internal
+  * long-backed Decimal fast path and partial aggregation still applies.
+  */
+object Exact {
+  /** Exact sum of a money/quantity-like double column -> double. */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(14,2)")).cast("double")
+
+  /** Exact sum kept as decimal (for further exact arithmetic). */
+  def dsumDec(c: Column): Column = sum(c.cast("decimal(14,2)"))
+
+  /** Exact sum of a product of two money-like columns. Each factor is
+    * cast to decimal first so the multiply itself is exact.
+    */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast("decimal(14,2)") * b.cast("decimal(14,2)")).cast("double")
+
+  /** Exact average -> double (exact decimal sum / exact count). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Derived float statistics are rounded to 6 decimals: decimal sums
+    * above ~15 significant digits can round differently by 1 ulp when
+    * cast to double (DuckDB converts int128-backed decimals via a
+    * two-step int->double, /10^scale path; the JVM rounds correctly).
+    * Rounding the final statistic absorbs that last-ulp divergence —
+    * same discipline as the reference's 6-significant-digit compare
+    * (`bdb_tools/utils.py:449-477`).
+    */
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Sample standard deviation from exact components.
+    * sqrt((n*sxx - sx^2) / (n*(n-1))) with sx,sxx exact decimals cast
+    * to double. Deterministic across engines (IEEE sqrt is exact).
+    */
+  def dstddev(c: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(c)
+    val sxx = dsumProd(c, c)
+    r6(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+  }
+
+  /** Pearson correlation from exact components (same discipline as the
+    * reference's closed-form regression, SURVEY O23/O24).
+    */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(x); val sy = dsum(y)
+    val sxx = dsumProd(x, x); val syy = dsumProd(y, y)
+    val sxy = dsumProd(x, y)
+    r6((n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+  }
+
+  /** Closed-form least-squares slope of y over x from exact sums —
+    * the reference's q15/q18 pattern
+    * (`queries/q15/gpu_bdb_query_15_dask_sql.py:41-64`).
+    * x is expected integral (e.g. day number), y money-like.
+    */
+  def dslope(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x.cast("decimal(18,0)")).cast("double")
+    val sy = dsum(y)
+    val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
+    val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
+    r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+  }
+
+  /** Unrounded slope (internal, for intercept composition). */
+  private def dslopeRaw(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x.cast("decimal(18,0)")).cast("double")
+    val sy = dsum(y)
+    val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
+    val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
+    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+  }
+
+  /** Intercept companion to [[dslope]]. */
+  def dintercept(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x.cast("decimal(18,0)")).cast("double")
+    val sy = dsum(y)
+    r6((sy - dslopeRaw(x, y) * sx) / n)
+  }
+}
