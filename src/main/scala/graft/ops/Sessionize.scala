@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization as pure window expressions.
+  *
+  * The reference implements sessionization as hand-written
+  * per-partition kernels after a manual shuffle+sort
+  * (`gpu_bdb/bdb_tools/sessionization.py:54-97`: sort by (user, ts),
+  * flag a boundary on user-change or `ts.diff() > timeout`, then
+  * repeat-fill incrementing ids). In Spark the whole pattern is
+  * `Window.partitionBy(user).orderBy(ts)`: the required hash exchange
+  * + in-partition sort are planned automatically, whole-stage codegen
+  * applies, and AQE can split a skewed heavy-hitter user shuffle.
+  *
+  * Timestamps are integral (epoch nanos) so all arithmetic is exact.
+  *
+  * 100 TB note: one shuffle by `user`, then every derived column
+  * (session ids, boundary timestamps, lookbacks) reuses the same
+  * partitioning/sort — no second exchange. That matches the
+  * reference's single `DISTRIBUTE BY` discipline
+  * (`queries/q02/gpu_bdb_query_02_dask_sql.py:46`).
+  */
+object Sessionize {
+
+  /** Timeout sessionization (reference S2,
+    * `bdb_tools/sessionization.py:62-67`): a new session starts at the
+    * first event of a user or when the gap since the previous event
+    * exceeds `timeout` (same units as `ts`). Adds `session_seq`, a
+    * 1-based per-user session index.
+    */
+  def byTimeout(df: DataFrame, user: String, ts: String, tie: String,
+      timeout: Long): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, tie)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev_ts", lag(col(ts), 1).over(w))
+      .withColumn("_new_s",
+        when(col("_prev_ts").isNull ||
+          col(ts) - col("_prev_ts") > timeout, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("_new_s")).over(run))
+      .drop("_prev_ts", "_new_s")
+  }
+
+  /** Event-boundary sessionization (reference S5,
+    * `bdb_tools/q08_utils.py:92-160`): the session id is the timestamp
+    * of the most recent boundary event (e.g. a "review" page view).
+    * Adds `boundary_ts` (null until the user's first boundary event).
+    */
+  def byBoundaryEvent(df: DataFrame, user: String, ts: String, tie: String,
+      isBoundary: Column): DataFrame = {
+    val run = Window.partitionBy(user).orderBy(ts, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("boundary_ts",
+      max(when(isBoundary, col(ts))).over(run))
+  }
+
+  /** Session-scoped pair generation (reference S4,
+    * `bdb_tools/sessionization.py:112-128`): distinct values of `item`
+    * per (user, session), self-joined with `a.item < b.item`.
+    */
+  def sessionPairs(sessionized: DataFrame, user: String, session: String,
+      item: String): DataFrame = {
+    val s = sessionized.select(user, session, item).distinct()
+    s.alias("a")
+      .join(s.alias("b"),
+        col(s"a.$user") === col(s"b.$user") &&
+          col(s"a.$session") === col(s"b.$session") &&
+          col(s"a.$item") < col(s"b.$item"))
+      .select(col(s"a.$item").as("item_1"), col(s"b.$item").as("item_2"))
+  }
+}
