@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text / NLP operator library — SURVEY §2c (T1–T12) plus the
+  * text-analysis operators a large-scale training-data pipeline needs
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole pipeline stays inside whole-stage codegen. The
+  * reference implements these as cuDF string kernels + explode
+  * (`gpu_bdb/bdb_tools/text.py:28-69`).
+  */
+object Text {
+
+  /** Tokenize: split on single spaces, explode, drop empty tokens
+    * (ref: bdb_tools/text.py:46-69 — strip, split, explode, filter).
+    */
+  def words(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Tokenize keeping 1-based token positions (posexplode). */
+  def wordsWithPos(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos0", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+
+  /** 60-bit engine-portable hash: first 15 hex digits of md5, read as
+    * an integer. Identical in any engine with md5 (DuckDB:
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). Used as the
+    * deterministic base hash for minhash/simhash/fingerprints instead
+    * of Spark's murmur3 `hash()` (engine-specific).
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant — k independent hash functions for minhash. */
+  def saltedHash(c: Column, salt: Int): Column =
+    portableHash(concat(c, lit(s"|s$salt")))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (exact-dup detection key).
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), " +", " ")))
+
+  /** Count occurrences of a literal marker in padded text via the
+    * length-difference trick — portable to any SQL engine, no regex
+    * engine semantics involved.
+    */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val m = s" $marker "
+    ((length(padded) - length(regexp_replace(padded, m, ""))) /
+      lit(m.length)).cast("long")
+  }
+
+  /** Language-ID heuristic: count per-language stopword markers and
+    * take the argmax (ties → language order). On real multilingual
+    * corpora the marker lists are per-language stopwords; structure is
+    * what matters — one codegen'd pass, no UDF.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val scores = markers.map { case (lang, ws) =>
+      (lang, ws.map(markerCount(text, _)).reduce(_ + _))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

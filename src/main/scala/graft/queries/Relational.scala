@@ -199,8 +199,8 @@ object Relational extends Suite {
         .orderBy("o_orderpriority")
     },
       Some("""SELECT o_orderpriority,
-             |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
-             |      THEN 1 ELSE 0 END) AS shipped_30d,
+             |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS shipped_30d,
              |  COUNT(*) AS n_lines
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -248,7 +248,7 @@ object Relational extends Suite {
       Some("""SELECT l_linestatus,
              |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE) AS qty_returned,
              |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE) AS qty_kept,
-             |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+             |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
     // O17: COUNT(*) group sizes (ref: q01:113-118).

@@ -188,7 +188,7 @@ object Sessions extends Suite {
           |    ORDER BY tsn DESC, event_id DESC) AS rn
           |  FROM sess)
           |SELECT user_id, COUNT(*) AS n_sessions,
-          |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error_ended
+          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error_ended
           |FROM last WHERE rn = 1
           |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
