@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for training-data pipelines:
+  * exact (hash-groupBy), bag-of-words canonical key, MinHash+LSH
+  * (shingle → k-min signature → banded buckets → candidate pairs →
+  * exact-Jaccard verify), SimHash, n-gram Jaccard.
+  *
+  * All hashes are the engine-portable md5-based 60-bit hash
+  * ([[Text.portableHash]]) so a SQL oracle can reproduce every stage.
+  *
+  * 100 TB design: every stage is linear except candidate-pair
+  * generation, which is confined to LSH band buckets (shuffle by
+  * band hash, pairs only within a bucket). Signatures are one
+  * map-side-combinable aggregation over the shingle explode; no
+  * driver-side state anywhere.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: normalize → md5 fingerprint → groupBy. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), Text.fingerprint(col(text)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Canonical bag-of-words key: md5 of the sorted distinct token set.
+    * Catches docs that are permutations/repetitions of the same
+    * vocabulary — a cheap linear near-dup pass.
+    */
+  def bagOfWordsKey(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(split(text, " ")))))
+
+  /** Distinct word-level 1-shingles per document. */
+  def wordShingles(df: DataFrame, id: String, text: String): DataFrame =
+    Text.words(df, id, text).select(col(id), col("word").as("sh")).distinct()
+
+  /** Distinct word n-gram shingles per document (positional
+    * self-alignment via posexplode — no UDF).
+    */
+  def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val w = Text.wordsWithPos(df, id, text)
+    val joined = (1 until n).foldLeft(w.as("g0")) { (acc, i) =>
+      acc.join(w.as(s"g$i"),
+        col(s"g0.$id") === col(s"g$i.$id") &&
+          col(s"g$i.pos") === col("g0.pos") + i)
+    }
+    joined.select(col(s"g0.$id"),
+      concat_ws(" ", (0 until n).map(i => col(s"g$i.word")): _*).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k salted portable hashes, min per doc.
+    * One aggregation over the shingle set (map-side partial min).
+    */
+  def minhashSignatures(shingles: DataFrame, id: String, k: Int): DataFrame =
+    shingles.groupBy(col(id))
+      .agg(min(Text.saltedHash(col("sh"), 0)).as("sig_0"),
+        (1 until k).map(i =>
+          min(Text.saltedHash(col("sh"), i)).as(s"sig_$i")): _*)
+
+  /** LSH band keys: md5 over each band's r signature values.
+    * Returns (id, band_id, band_hash) — shuffle-by-band_hash then
+    * pair-within-bucket is the candidate generation.
+    */
+  def lshBands(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("#", cols: _*)).as("band_hash"))
+    }
+    sigs.select(col(id), explode(array(bands: _*)).as("b"))
+      .select(col(id), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (distinct over bands). */
+  def lshCandidates(bands: DataFrame, id: String): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets, restricted to candidate pairs.
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|), all-integer inputs so the
+    * double division is engine-deterministic.
+    */
+  def jaccardVerify(candidates: DataFrame, shingles: DataFrame,
+      id: String): DataFrame = {
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(shingles.as("sa"), col("id_1") === col(s"sa.$id"))
+      .join(shingles.as("sb"),
+        col("id_2") === col(s"sb.$id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
+      .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
+      .select(col("id_1"), col("id_2"),
+        (col("n_common").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
+  }
+
+  /** SimHash fingerprint (`bits`-wide) over token occurrences:
+    * per bit j, sum +1/-1 by hash bit; fingerprint sets bit j where
+    * the sum is positive.
+    */
+  def simhash(words: DataFrame, id: String, bits: Int): DataFrame = {
+    val h = Text.portableHash(col("word"))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b_$j")
+    }
+    words.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id),
+        (0 until bits).map(j =>
+          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}

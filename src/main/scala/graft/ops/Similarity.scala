@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns — built on
+  * higher-order array functions (zip_with / aggregate), fully
+  * codegen-compatible, no UDFs.
+  *
+  * Floats are cast to double per-element before multiply so both the
+  * engine and a SQL oracle accumulate identically; final cosines are
+  * rounded to 6 decimals (see [[Exact]] scaladoc for why).
+  *
+  * 100 TB design: brute-force top-k broadcasts the (small) query set
+  * against the corpus — one scan, no shuffle of the corpus; the IVF
+  * path assigns every vector to its nearest centroid (broadcast
+  * centroids) and restricts search to the query's bucket, trading
+  * recall for a c-fold cost cut (c = #centroids).
+  */
+object Similarity {
+
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = dotd(a, b)
+
+  def norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Cosine similarity, rounded to 6 decimals for cross-engine
+    * determinism. */
+  def cosine(a: Column, b: Column): Column =
+    round(dotd(a, b) / (norm(a) * norm(b)), 6)
+}

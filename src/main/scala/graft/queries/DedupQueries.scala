@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication + similarity-search suite — the training-data
+  * pipeline operators (exact / bag-of-words / MinHash-LSH / SimHash /
+  * n-gram-Jaccard dedup on `documents`; brute-force and IVF-bucketed
+  * cosine top-k on `embeddings`).
+  *
+  * Near-dup pair stages are capped to `doc_id < 1000` / `vec_id <
+  * 1000`: candidate generation is inherently quadratic within a
+  * bucket, and the cap keeps the benchmark's pair count bounded while
+  * leaving every pipeline stage (signature, banding, bucket join,
+  * verify) at full fidelity. At 100 TB the cap is replaced by the LSH
+  * band partitioning itself (pairs only form inside a bucket).
+  */
+object DedupQueries extends Suite {
+
+  private val K = 8          // minhash signature length
+  private val RowsPerBand = 2 // → 4 bands
+  private val SimBits = 32   // simhash width
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  // ---- shared oracle SQL fragments -------------------------------
+
+  /** Portable 60-bit hash of an expression (mirror of
+    * Text.portableHash / saltedHash). */
+  private def hSql(e: String, salt: Int): String =
+    s"CAST('0x' || substr(md5($e || '|s$salt'),1,15) AS BIGINT)"
+  private def hSqlPlain(e: String): String =
+    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** Distinct word shingles per doc (mirror of Dedup.wordShingles). */
+  private def wordShinglesSql(src: String): String =
+    s"""ws AS (
+       |  SELECT DISTINCT doc_id, w AS sh FROM (
+       |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM $src)
+       |  WHERE len(w) > 0)""".stripMargin
+  private val WordShinglesSql = wordShinglesSql("documents")
+
+  private def sigSelect(src: String): String = {
+    val cols = (0 until K)
+      .map(i => s"MIN(${hSql("sh", i)}) AS sig_$i").mkString(",\n    ")
+    s"sigs AS (\n  SELECT doc_id,\n    $cols\n  FROM $src GROUP BY doc_id)"
+  }
+
+  private val BandsSql: String = {
+    val bands = (0 until K / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig_${b * RowsPerBand + r}::VARCHAR")
+        .mkString(" || '#' || ")
+      s"SELECT doc_id, $b AS band_id, md5($parts) AS band_hash FROM sigs"
+    }
+    "bands AS (\n  " + bands.mkString("\n  UNION ALL\n  ") + ")"
+  }
+
+  /** Cosine between two embedding columns, double-accumulated and
+    * rounded to 6 (mirror of Similarity.cosine). */
+  private def cosSql(a: String, b: String): String = {
+    def n(t: String) =
+      s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""round(list_sum(list_transform(range(1, len($a.embedding)+1),
+       |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+       |  / (${n(a)} * ${n(b)}), 6)""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // D1: exact dedup — normalize, md5 fingerprint, hash-groupBy.
+    Q("d01_dedup_exact",
+      (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // D2: bag-of-words canonical-key dedup — catches permuted /
+    // repeated-vocabulary duplicates in one linear pass.
+    Q("d02_dedup_bow", (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), Dedup.bagOfWordsKey(col("text")).as("bow"))
+        .groupBy("bow")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+        .filter(col("n_dupes") >= 2)
+        .orderBy("keep_id"),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bow,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+             |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+             |ORDER BY keep_id""".stripMargin)),
+
+    // D3: minhash signatures (k salted portable hashes over the word
+    // shingle set) — verifies the whole signature pipeline per doc.
+    Q("d03_minhash_sigs", (s, d) =>
+      Dedup.minhashSignatures(
+          Dedup.wordShingles(docs(s, d), "doc_id", "text"), "doc_id", K)
+        .orderBy("doc_id"),
+      Some(s"WITH $WordShinglesSql,\n${sigSelect("ws")}\n" +
+        "SELECT * FROM sigs ORDER BY doc_id")),
+
+    // D4: full MinHash+LSH near-dup detection: signatures -> 4 bands
+    // of 2 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
+    Q("d04_minhash_lsh_neardup", (s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 1000)
+      val sh = Dedup.wordShingles(base, "doc_id", "text")
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
+      Dedup.jaccardVerify(cands, sh, "doc_id")
+        .filter(col("jaccard") >= 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_1", "id_2")
+    },
+      Some(s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
+              |${wordShinglesSql("docs_c")},
+              |${sigSelect("ws")},
+              |$BandsSql,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              |  FROM bands a JOIN bands b
+              |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              |   AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+              |common AS (
+              |  SELECT id_1, id_2, COUNT(*) AS n_common
+              |  FROM cand JOIN ws sa ON sa.doc_id = id_1
+              |            JOIN ws sb ON sb.doc_id = id_2 AND sa.sh = sb.sh
+              |  GROUP BY id_1, id_2)
+              |SELECT id_1, id_2,
+              |  round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+              |FROM common JOIN sizes za ON za.doc_id = id_1
+              |            JOIN sizes zb ON zb.doc_id = id_2
+              |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.9
+              |ORDER BY id_1, id_2""".stripMargin)),
+
+    // D5: n-gram (3-shingle) Jaccard near-dup — candidate pairs share
+    // at least one shingle; exact Jaccard >= 0.1 reported.
+    Q("d05_ngram_jaccard", (s, d) => {
+      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
+      val cands = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"))
+        .distinct()
+      Dedup.jaccardVerify(cands, sh, "doc_id")
+        .filter(col("jaccard") >= 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_1", "id_2")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+             |         unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |ws AS (
+             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+             |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+             |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+             |common AS (
+             |  SELECT id_1, id_2, COUNT(*) AS n_common
+             |  FROM cand JOIN ws sa ON sa.doc_id = id_1
+             |            JOIN ws sb ON sb.doc_id = id_2 AND sa.sh = sb.sh
+             |  GROUP BY id_1, id_2)
+             |SELECT id_1, id_2,
+             |  round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+             |FROM common JOIN sizes za ON za.doc_id = id_1
+             |            JOIN sizes zb ON zb.doc_id = id_2
+             |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.1
+             |ORDER BY id_1, id_2""".stripMargin)),
+
+    // D6: SimHash fingerprints (32-bit) over token occurrences.
+    Q("d06_simhash_fp", (s, d) =>
+      Dedup.simhash(Text.words(docs(s, d), "doc_id", "text"), "doc_id", SimBits)
+        .orderBy("doc_id"),
+      Some {
+        val h = hSqlPlain("word")
+        val bitSums = (0 until SimBits).map(j =>
+          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+          .mkString(",\n    ")
+        val fp = (0 until SimBits).map(j =>
+          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM w GROUP BY doc_id)
+           |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    // D7: SimHash near-dup pairs — hamming distance <= 6 of 32 bits.
+    Q("d07_simhash_neardup", (s, d) => {
+      val fp = Dedup.simhash(
+        Text.words(docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text"),
+        "doc_id", SimBits)
+      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+        .filter(col("hamming") <= 6)
+        .select(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"),
+          col("hamming"))
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val h = hSqlPlain("word")
+        val bitSums = (0 until SimBits).map(j =>
+          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+          .mkString(",\n    ")
+        val fp = (0 until SimBits).map(j =>
+          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |  FROM documents WHERE doc_id < 1000),
+           |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
+           |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
+    // D8: embedding cosine near-dup pairs (brute force within cap).
+    Q("d08_embed_neardup", (s, d) => {
+      val e = embs(s, d).filter(col("vec_id") < 1000)
+        .select("vec_id", "embedding")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.45)
+        .select(col("a.vec_id").as("id_1"), col("b.vec_id").as("id_2"),
+          col("cos"))
+        .orderBy("id_1", "id_2")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+              |SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+              |  ${cosSql("a", "b")} AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a", "b")} >= 0.45
+              |ORDER BY id_1, id_2""".stripMargin)),
+
+    // D9: brute-force cosine top-k — the ANN baseline. Query set is
+    // broadcast against the corpus; rank on the rounded cosine so
+    // ordering is engine-deterministic.
+    Q("d09_knn_bruteforce", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+              |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
+              |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 10
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // D10: IVF-bucketed ANN — assign every vector to its nearest seed
+    // centroid (broadcast), search only the query's bucket. The scale
+    // path: cost drops by the centroid count, recall is approximate.
+    Q("d10_knn_ivf", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id").isin(0, 101, 202, 303))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val wAsg = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAsg))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val q = asg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+          col("embedding").as("q_emb"))
+      val wK = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      asg.join(broadcast(q),
+          col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+              |          WHERE vec_id IN (0, 101, 202, 303)),
+              |scored_c AS (
+              |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS ccos
+              |  FROM e, cents c),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY ccos DESC, cid) AS arn FROM scored_c)
+              |  WHERE arn = 1),
+              |q AS (
+              |  SELECT a.vec_id AS q_id, a.cid AS q_cid, e.embedding
+              |  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+              |  FROM q JOIN asg a ON a.cid = q.q_cid AND a.vec_id <> q.q_id
+              |         JOIN e ON e.vec_id = a.vec_id),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
+              |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin))
+  )
+}
