@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical-after-normalization docs") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical shingle sets -> identical signatures") {
+    val df = Seq((1L, "a b c d e"), (2L, "e d c b a"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.wordShingles(df, "doc_id", "text"), "doc_id", 8)
+      .orderBy("doc_id").collect()
+    val s1 = sigs(0).toSeq.tail
+    val s2 = sigs(1).toSeq.tail
+    val s3 = sigs(2).toSeq.tail
+    assert(s1 === s2)       // same word set, any order
+    assert(s1 !== s3)       // disjoint vocab
+  }
+
+  test("LSH buckets identical docs together; jaccard verify = 1.0") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(df, "doc_id", "text")
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(
+        Dedup.minhashSignatures(sh, "doc_id", 8), "doc_id", 8, 2), "doc_id")
+    val verified = Dedup.jaccardVerify(cands, sh, "doc_id").collect()
+    assert(verified.length === 1)
+    assert(verified(0).getLong(0) === 1L && verified(0).getLong(1) === 2L)
+    assert(verified(0).getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(
+      graft.ops.Text.words(df, "doc_id", "text"), "doc_id", 32)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("cosine: self = 1, orthogonal = 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f), 0.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      Similarity.cosine(col("a"), col("b")).as("cos"), col("expected"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+}

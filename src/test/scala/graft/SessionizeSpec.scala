@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Sessionize
+import org.apache.spark.sql.functions._
+
+/** Sessionization invariants the reference lacks tests for
+  * (SURVEY §5): monotone session ids, timeout boundaries exact,
+  * pair counts = C(n,2).
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val timeout = 100L
+
+  test("timeout sessionization: crafted boundaries") {
+    // user 1: gaps 50, 150 (new session), 100 (boundary: > 100 only)
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 200L, 3L), (1L, 300L, 4L),
+      (2L, 10L, 5L)
+    ).toDF("user", "ts", "eid")
+    val out = Sessionize.byTimeout(df, "user", "ts", "eid", timeout)
+      .select("user", "ts", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 0L, 1L), (1L, 50L, 1L), (1L, 200L, 2L), (1L, 300L, 2L),
+      (2L, 10L, 1L)))
+  }
+
+  test("exactly-timeout gap does NOT split (strict >)") {
+    val df = Seq((1L, 0L, 1L), (1L, timeout, 2L)).toDF("user", "ts", "eid")
+    val sessions = Sessionize.byTimeout(df, "user", "ts", "eid", timeout)
+      .select("session_seq").distinct().count()
+    assert(sessions === 1L)
+  }
+
+  test("property: session ids monotone, no intra-session gap > timeout") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val evs = List.fill(40)((1L + rnd.nextInt(3), rnd.nextLong(2000L)))
+      val df = evs.zipWithIndex
+        .map { case ((u, ts), i) => (u, ts, i.toLong) }
+        .toDF("user", "ts", "eid")
+      val rows = Sessionize.byTimeout(df, "user", "ts", "eid", timeout)
+        .select("user", "ts", "session_seq")
+        .orderBy("user", "ts", "eid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      rows.groupBy(_._1).foreach { case (_, userRows) =>
+        val seqs = userRows.map(_._3)
+        assert(seqs.head === 1L)
+        seqs.sliding(2).foreach {
+          case Array(a, b) => assert(b === a || b === a + 1)
+          case _ =>
+        }
+        userRows.sliding(2).foreach {
+          case Array((_, t1, s1), (_, t2, s2)) =>
+            if (s1 == s2) assert(t2 - t1 <= timeout)
+            else assert(t2 - t1 > timeout)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("session pairs emit C(n,2) ordered pairs per basket") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 1L, "b"), (1L, 1L, "c"), (1L, 1L, "a"),
+      (2L, 1L, "x")
+    ).toDF("user", "session_seq", "item")
+    val pairs = Sessionize.sessionPairs(df, "user", "session_seq", "item")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+}
