@@ -1,0 +1,537 @@
+package graft.bdb
+
+import graft.ops.{Exact, Sessionize, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPCx-BB queries 16–30 (see [[BdbQueries1]] for conventions). */
+object BdbQueries2 {
+
+  /** Fit k-means with k clamped to the number of distinct feature
+    * points (Spark's block-mode KMeans fails when distinct points < k;
+    * the reference's k=8 assumes SF-scale cardinality).
+    */
+  private def kmeansSummary(data: org.apache.spark.sql.DataFrame,
+      inputCols: Seq[String], k: Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val nDistinct = data.select(inputCols.map(col): _*).distinct().count()
+    val kk = math.max(1, math.min(k, nDistinct.toInt))
+    new KMeans().setK(kk).setMaxIter(20).setSeed(42L).fit(data)
+  }
+
+  /** q16: web sales +/- returns in the week before/after a pivot date,
+    * by (warehouse state, item), top-100. Ref: q16_dask_sql.py:36-100.
+    */
+  def q16(s: SparkSession, pivotDate: String = "2001-03-16",
+      limit: Int = 100): DataFrame = {
+    val dd = s.table("date_dim")
+      .withColumn("dd", to_date(col("d_date")))
+      .filter(abs(datediff(col("dd"), lit(pivotDate))) <= 30)
+      .select("d_date_sk", "dd")
+    val j = s.table("web_sales")
+      .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(s.table("web_returns")
+          .select("wr_order_number", "wr_item_sk", "wr_refunded_cash"),
+        col("ws_order_number") === col("wr_order_number") &&
+          col("ws_item_sk") === col("wr_item_sk"), "left_outer")
+      .join(broadcast(s.table("warehouse").select("w_warehouse_sk", "w_state")),
+        col("ws_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(s.table("item").select("i_item_sk", "i_item_id")),
+        col("ws_item_sk") === col("i_item_sk"))
+      .withColumn("net",
+        col("ws_sales_price") - coalesce(col("wr_refunded_cash"),
+          lit(0).cast("decimal(7,2)")))
+    j.groupBy("w_state", "i_item_id")
+      .agg(
+        sum(when(col("dd") < lit(pivotDate), col("net"))).as("sales_before"),
+        sum(when(col("dd") >= lit(pivotDate), col("net"))).as("sales_after"))
+      .orderBy("w_state", "i_item_id")
+      .limit(limit)
+  }
+
+  /** q17: ratio of promoted (dmail/email/tv) store sales to total in
+    * one month/timezone band/category set. Ref: q17_dask_sql.py:39-82.
+    */
+  def q17(s: SparkSession, year: Int = 2001, moy: Int = 12,
+      gmtOffset: Double = -5.0): DataFrame = {
+    val dd = s.table("date_dim")
+      .filter(col("d_year") === year && col("d_moy") === moy)
+      .select("d_date_sk")
+    val promo = s.table("promotion")
+      .select(col("p_promo_sk"),
+        (col("p_channel_dmail") === "Y" || col("p_channel_email") === "Y" ||
+          col("p_channel_tv") === "Y").as("promoted"))
+    val stores = s.table("store")
+      .filter(col("s_gmt_offset") === gmtOffset).select("s_store_sk")
+    val j = s.table("store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(stores), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(promo), col("ss_promo_sk") === col("p_promo_sk"))
+    j.agg(
+      sum(when(col("promoted"), col("ss_ext_sales_price"))).as("promotional"),
+      sum(col("ss_ext_sales_price")).as("total"))
+      .select(col("promotional"), col("total"),
+        when(col("total").isNotNull && col("total") =!= 0,
+          coalesce(col("promotional"), lit(0).cast("decimal(7,2)"))
+            .cast("double") * 100.0 / col("total").cast("double"))
+          .as("promo_pct"))
+  }
+
+  /** q18: stores with declining monthly sales (slope <= 0) whose names
+    * appear in review text, with the sentence sentiment.
+    * Ref: q18_dask_sql.py:47-246.
+    */
+  def q18(s: SparkSession, startDate: String = "2001-05-02",
+      endDate: String = "2001-09-02"): DataFrame = {
+    val dd = s.table("date_dim")
+      .withColumn("dd", to_date(col("d_date")))
+      .filter(col("dd") >= lit(startDate) && col("dd") < lit(endDate))
+      .select("d_date_sk")
+    val declining = s.table("store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_store_sk"), col("ss_sold_date_sk"))
+      .agg(sum("ss_net_paid").as("daily"))
+      .groupBy("ss_store_sk")
+      .agg(Exact.dslope(col("ss_sold_date_sk"),
+        col("daily").cast("double")).as("slope"))
+      .filter(col("slope") <= 0)
+    val stores = declining
+      .join(s.table("store").select("s_store_sk", "s_store_name"),
+        col("ss_store_sk") === col("s_store_sk"))
+      .select(col("s_store_sk"), lower(col("s_store_name")).as("store_name"))
+    // reviews mentioning a declining store's name (multi-needle T7)
+    val reviews = s.table("product_reviews")
+      .filter(col("pr_review_content").isNotNull)
+      .select(col("pr_review_sk"), col("pr_review_date"),
+        lower(col("pr_review_content")).as("content"))
+    val sentences = reviews.select(col("pr_review_sk"), col("pr_review_date"),
+      explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
+        .as("sentence"))
+      .filter(length(trim(col("sentence"))) > 0)
+    val hits = sentences.crossJoin(broadcast(stores))
+      .filter(expr("instr(sentence, store_name) > 0"))
+    val neg = BdbQueries1.defaultNegative
+    val negHit = neg.map(wd => expr(s"instr(sentence, '$wd') > 0"))
+      .reduce(_ || _)
+    hits.withColumn("sentiment", when(negHit, "NEG").otherwise("POS"))
+      .select(col("s_store_sk").as("store_sk"), col("store_name"),
+        col("pr_review_date").as("review_date"), col("sentence"),
+        col("sentiment"))
+      .orderBy("store_sk", "review_date", "sentence")
+  }
+
+  /** q19: items with balanced store/web returns around given dates,
+    * then negative review sentences for them. Ref: q19_dask_sql.py:47-175.
+    */
+  def q19(s: SparkSession,
+      returnDates: Seq[String] =
+        Seq("2004-03-08", "2004-08-02", "2004-11-15", "2004-12-20")): DataFrame = {
+    val weeks = s.table("date_dim")
+      .filter(to_date(col("d_date")).isin(returnDates.map(java.sql.Date.valueOf): _*))
+      .select(col("d_week_seq")).distinct()
+    val dd = s.table("date_dim")
+      .join(broadcast(weeks), Seq("d_week_seq"))
+      .select("d_date_sk")
+    val sr = s.table("store_returns")
+      .join(broadcast(dd), col("sr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("sr_item_sk").as("item_sk"))
+      .agg(sum("sr_return_quantity").as("sr_qty"))
+    val wr = s.table("web_returns")
+      .join(broadcast(dd), col("wr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("wr_item_sk").as("item_sk"))
+      .agg(sum("wr_return_quantity").as("wr_qty"))
+    val balanced = sr.join(wr, "item_sk")
+      .filter(col("wr_qty") > 0 &&
+        col("sr_qty").cast("double") >= col("wr_qty") * 0.9 &&
+        col("sr_qty").cast("double") <= col("wr_qty") * 1.1)
+      .select("item_sk")
+    val reviews = s.table("product_reviews")
+      .filter(col("pr_review_content").isNotNull)
+      .join(balanced, col("pr_item_sk") === col("item_sk"), "left_semi")
+      .select(col("pr_item_sk"), col("pr_review_sk"),
+        lower(col("pr_review_content")).as("content"))
+    val sentences = reviews.select(col("pr_item_sk"), col("pr_review_sk"),
+      explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
+        .as("sentence"))
+      .filter(length(trim(col("sentence"))) > 0)
+    val negHit = BdbQueries1.defaultNegative
+      .map(wd => expr(s"instr(sentence, '$wd') > 0")).reduce(_ || _)
+    sentences.filter(negHit)
+      .select(col("pr_item_sk").as("item_sk"), col("pr_review_sk"),
+        col("sentence"))
+      .orderBy("item_sk", "pr_review_sk", "sentence")
+  }
+
+  /** q20: customer segmentation on return ratios -> k-means(8,20).
+    * Returns cluster sizes + WSSSE. Ref: q20_dask_sql.py:36-96.
+    */
+  def q20(s: SparkSession): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val sales = s.table("store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(countDistinct("ss_ticket_number").as("orders"),
+        sum("ss_quantity").as("items"),
+        sum("ss_net_paid").as("amount"))
+    val returns = s.table("store_returns")
+      .filter(col("sr_customer_sk").isNotNull)
+      .groupBy(col("sr_customer_sk").as("cust2"))
+      .agg(countDistinct("sr_ticket_number").as("r_orders"),
+        sum("sr_return_quantity").as("r_items"),
+        sum("sr_return_amt").as("r_amount"))
+    val feats = sales.join(returns, col("cust") === col("cust2"), "left_outer")
+      .select(col("cust"),
+        (coalesce(col("r_orders"), lit(0L)).cast("double") / col("orders"))
+          .as("order_ratio"),
+        (coalesce(col("r_items"), lit(0L)).cast("double") / col("items"))
+          .as("item_ratio"),
+        (coalesce(col("r_amount").cast("double"), lit(0.0)) /
+          col("amount").cast("double")).as("amount_ratio"))
+      .na.fill(0.0)
+    val data = new VectorAssembler()
+      .setInputCols(Array("order_ratio", "item_ratio", "amount_ratio"))
+      .setOutputCol("features").transform(feats)
+    val model = kmeansSummary(data, Array("order_ratio", "item_ratio", "amount_ratio").toSeq, 8)
+    model.summary.predictions
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wssse", round(lit(model.summary.trainingCost), 3))
+      .orderBy(desc("n"), col("cluster"))
+  }
+
+  /** q21: items returned within 6 months then re-bought on the web
+    * within 3 years, by item/store, top-100. Ref: q21_dask_sql.py:33-109.
+    */
+  def q21(s: SparkSession, year: Int = 2003, moy: Int = 1,
+      limit: Int = 100): DataFrame = {
+    val dd = s.table("date_dim").select("d_date_sk", "d_year", "d_moy")
+    val d1 = dd.filter(col("d_year") === year && col("d_moy") === moy)
+      .select(col("d_date_sk").as("d1_sk"))
+    val d2 = dd.filter(col("d_year") === year &&
+        col("d_moy").between(moy, moy + 6))
+      .select(col("d_date_sk").as("d2_sk"))
+    val d3 = dd.filter(col("d_year").between(year, year + 2))
+      .select(col("d_date_sk").as("d3_sk"))
+    val ss = s.table("store_sales")
+      .join(broadcast(d1), col("ss_sold_date_sk") === col("d1_sk"))
+      .select("ss_item_sk", "ss_customer_sk", "ss_ticket_number",
+        "ss_quantity", "ss_store_sk")
+    val sr = s.table("store_returns")
+      .join(broadcast(d2), col("sr_returned_date_sk") === col("d2_sk"))
+      .select("sr_item_sk", "sr_customer_sk", "sr_ticket_number",
+        "sr_return_quantity")
+    val ws = s.table("web_sales")
+      .join(broadcast(d3), col("ws_sold_date_sk") === col("d3_sk"))
+      .select("ws_item_sk", "ws_bill_customer_sk", "ws_quantity")
+    val j = ss
+      .join(sr,
+        col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk") &&
+          col("ss_ticket_number") === col("sr_ticket_number"))
+      .join(ws,
+        col("sr_item_sk") === col("ws_item_sk") &&
+          col("sr_customer_sk") === col("ws_bill_customer_sk"))
+      .join(broadcast(s.table("item").select("i_item_sk", "i_item_id", "i_item_desc")),
+        col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(s.table("store").select("s_store_sk", "s_store_id", "s_store_name")),
+        col("ss_store_sk") === col("s_store_sk"))
+    j.groupBy("i_item_id", "i_item_desc", "s_store_id", "s_store_name")
+      .agg(sum("ss_quantity").cast("bigint").as("store_sales_quantity"),
+        sum("sr_return_quantity").cast("bigint").as("store_returns_quantity"),
+        sum("ws_quantity").cast("bigint").as("web_sales_quantity"))
+      .orderBy(desc("store_sales_quantity"), col("i_item_id"), col("s_store_id"))
+      .limit(limit)
+  }
+
+  /** q22: inventory before/after a price-change date per warehouse /
+    * item (price band 0.98–1.5), ratio in [2/3, 3/2].
+    * Ref: q22_dask_sql.py:38-78.
+    */
+  def q22(s: SparkSession, date: String = "2001-05-08",
+      priceMin: Double = 0.98, priceMax: Double = 1.5): DataFrame = {
+    val dd = s.table("date_dim")
+      .withColumn("dd", to_date(col("d_date")))
+      .filter(abs(datediff(col("dd"), lit(date))) <= 30)
+      .select("d_date_sk", "dd")
+    val items = s.table("item")
+      .filter(col("i_current_price").between(priceMin, priceMax))
+      .select("i_item_sk", "i_item_id")
+    val j = s.table("inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .join(broadcast(items), col("inv_item_sk") === col("i_item_sk"))
+      .join(broadcast(s.table("warehouse")
+          .select("w_warehouse_sk", "w_warehouse_name")),
+        col("inv_warehouse_sk") === col("w_warehouse_sk"))
+    j.groupBy("w_warehouse_name", "i_item_id")
+      .agg(
+        sum(when(col("dd") < lit(date), col("inv_quantity_on_hand"))
+          .otherwise(0)).as("inv_before"),
+        sum(when(col("dd") >= lit(date), col("inv_quantity_on_hand"))
+          .otherwise(0)).as("inv_after"))
+      .filter(col("inv_before") > 0 &&
+        col("inv_after").cast("double") / col("inv_before") >= 2.0 / 3.0 &&
+        col("inv_after").cast("double") / col("inv_before") <= 3.0 / 2.0)
+      .orderBy("w_warehouse_name", "i_item_id")
+      .limit(100)
+  }
+
+  /** q23: inventory coefficient-of-variation (stddev/mean) >= 1.3 in
+    * two consecutive months. Ref: q23_dask_sql.py:38-92.
+    */
+  def q23(s: SparkSession, year: Int = 2001, moy: Int = 1,
+      coefficient: Double = 1.3): DataFrame = {
+    val dd = s.table("date_dim")
+      .filter(col("d_year") === year && col("d_moy").isin(moy, moy + 1))
+      .select("d_date_sk", "d_moy")
+    val cov = s.table("inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .groupBy(col("inv_warehouse_sk"), col("inv_item_sk"), col("d_moy"))
+      .agg(Exact.dstddev(col("inv_quantity_on_hand").cast("double")).as("sd"),
+        Exact.davg(col("inv_quantity_on_hand").cast("double")).as("mean"))
+      // multiply form: ANSI mode errors on sd/0, so never divide by a
+      // possibly-zero mean inside the predicate
+      .filter(col("mean") > 0 && col("sd") >= col("mean") * coefficient)
+      .select(col("inv_warehouse_sk"), col("inv_item_sk"), col("d_moy"),
+        round(col("sd") / col("mean"), 6).as("cov"))
+    val m1 = cov.filter(col("d_moy") === moy)
+      .select(col("inv_warehouse_sk").as("w1"), col("inv_item_sk").as("i1"),
+        col("cov").as("cov_m1"))
+    val m2 = cov.filter(col("d_moy") === moy + 1)
+      .select(col("inv_warehouse_sk").as("w2"), col("inv_item_sk").as("i2"),
+        col("cov").as("cov_m2"))
+    m1.join(m2, col("w1") === col("w2") && col("i1") === col("i2"))
+      .select(col("w1").as("inv_warehouse_sk"), col("i1").as("inv_item_sk"),
+        col("cov_m1"), col("cov_m2"))
+      .orderBy("inv_warehouse_sk", "inv_item_sk")
+  }
+
+  /** q24: cross-price elasticity of an item after competitor price
+    * changes. Ref: q24_dask_sql.py:32-75.
+    */
+  def q24(s: SparkSession, itemSk: Long = 10000L): DataFrame = {
+    val priceChanges = s.table("item_marketprices")
+      .join(s.table("item").select("i_item_sk", "i_current_price"),
+        col("imp_item_sk") === col("i_item_sk"))
+      .filter(col("i_item_sk") === itemSk)
+      .select(col("i_item_sk"), col("imp_sk"),
+        ((col("imp_competitor_price") - col("i_current_price"))
+          .cast("double") / col("i_current_price").cast("double"))
+          .as("price_change"),
+        col("imp_start_date"),
+        (col("imp_end_date") - col("imp_start_date")).as("no_days"))
+    def qtyIn(t: String, itemCol: String, dateCol: String, qtyCol: String,
+        after: Boolean) = {
+      val tdf = s.table(t).filter(col(itemCol) === itemSk)
+      val joined = tdf.join(broadcast(priceChanges),
+        col(itemCol) === col("i_item_sk"))
+      val cond = if (after)
+        col(dateCol) >= col("imp_start_date") &&
+          col(dateCol) < col("imp_start_date") + col("no_days")
+      else
+        col(dateCol) >= col("imp_start_date") - col("no_days") &&
+          col(dateCol) < col("imp_start_date")
+      joined.filter(cond)
+        .groupBy("imp_sk", "price_change")
+        .agg(sum(qtyCol).as(if (after) "curr" else "prev"))
+    }
+    val ssPrev = qtyIn("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_quantity", after = false)
+      .withColumnRenamed("prev", "ss_prev")
+    val ssCurr = qtyIn("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_quantity", after = true)
+      .withColumnRenamed("curr", "ss_curr")
+    val wsPrev = qtyIn("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_quantity", after = false)
+      .withColumnRenamed("prev", "ws_prev")
+    val wsCurr = qtyIn("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_quantity", after = true)
+      .withColumnRenamed("curr", "ws_curr")
+    val j = ssPrev.join(ssCurr, Seq("imp_sk", "price_change"))
+      .join(wsPrev, Seq("imp_sk", "price_change"))
+      .join(wsCurr, Seq("imp_sk", "price_change"))
+      .withColumn("delta",
+        (col("ss_curr") + col("ws_curr") - col("ss_prev") - col("ws_prev"))
+          .cast("double") /
+          ((col("ss_prev") + col("ws_prev")).cast("double") * col("price_change")))
+    j.agg((sum("delta") / count("delta")).as("cross_price_elasticity"))
+      .withColumn("ws_item_sk", lit(itemSk))
+  }
+
+  /** q25: RFM features per customer from both channels (cutoff date)
+    * -> k-means(8, 20). Ref: q25_dask_sql.py:55-147.
+    */
+  def q25(s: SparkSession, cutoff: String = "2002-01-02"): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val dd = s.table("date_dim")
+      .withColumn("dd", to_date(col("d_date"))).select("d_date_sk", "dd")
+    val store = s.table("store_sales").filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk").as("cid"),
+        col("ss_ticket_number").as("oid"), col("dd"),
+        col("ss_net_paid").as("amount"))
+    val web = s.table("web_sales").filter(col("ws_bill_customer_sk").isNotNull)
+      .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
+      .select(col("ws_bill_customer_sk").as("cid"),
+        col("ws_order_number").as("oid"), col("dd"),
+        col("ws_net_paid").as("amount"))
+    val all = store.unionByName(web)
+    val feats = all.groupBy("cid").agg(
+      max(when(col("dd") >= lit(cutoff), 1.0).otherwise(0.0)).as("recency"),
+      countDistinct("oid").cast("double").as("frequency"),
+      sum("amount").cast("double").as("totalspend"))
+    val data = new VectorAssembler()
+      .setInputCols(Array("recency", "frequency", "totalspend"))
+      .setOutputCol("features").transform(feats)
+    val model = kmeansSummary(data, Array("recency", "frequency", "totalspend").toSeq, 8)
+    model.summary.predictions
+      .groupBy(col("prediction").as("cluster")).agg(count(lit(1)).as("n"))
+      .withColumn("wssse", round(lit(model.summary.trainingCost), 3))
+      .orderBy(desc("n"), col("cluster"))
+  }
+
+  /** q26: per-customer counts across the 15 class ids of a category
+    * (>5 items) -> k-means(8, 20). Ref: q26_dask_sql.py:37-66.
+    */
+  def q26(s: SparkSession, category: String = "Books",
+      minItems: Long = 5): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val items = s.table("item")
+      .filter(col("i_category") === category)
+      .select("i_item_sk", "i_class_id")
+    val base = s.table("store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(items), col("ss_item_sk") === col("i_item_sk"))
+    val classCols = (1 to 15).map(i =>
+      sum(when(col("i_class_id") === i, 1).otherwise(0))
+        .cast("double").as(s"id$i"))
+    val feats = base.groupBy(col("ss_customer_sk").as("cid"))
+      .agg(classCols.head, classCols.tail: _*)
+      .withColumn("total", (1 to 15).map(i => col(s"id$i")).reduce(_ + _))
+      .filter(col("total") > minItems)
+    val data = new VectorAssembler()
+      .setInputCols((1 to 15).map(i => s"id$i").toArray)
+      .setOutputCol("features").transform(feats)
+    val model = kmeansSummary(data, (1 to 15).map(i => s"id$i").toArray.toSeq, 8)
+    model.summary.predictions
+      .groupBy(col("prediction").as("cluster")).agg(count(lit(1)).as("n"))
+      .withColumn("wssse", round(lit(model.summary.trainingCost), 3))
+      .orderBy(desc("n"), col("cluster"))
+  }
+
+  /** q27: "NER" — company names in reviews of one item plus the
+    * containing sentence. The reference's tagger is pluggable and
+    * explicitly unverified (q27_utils.py:42-54, utils.py:648-650);
+    * default extractor is a capitalized-token gazetteer-free heuristic
+    * running per partition (the one legitimately opaque UDF surface).
+    */
+  def q27(s: SparkSession, itemSk: Long = 10002L,
+      extractor: String => Seq[String] = Ner.capitalizedSpans): DataFrame = {
+    import s.implicits._
+    val sentences = s.table("product_reviews")
+      .filter(col("pr_item_sk") === itemSk &&
+        col("pr_review_content").isNotNull)
+      .select(col("pr_review_sk"), col("pr_item_sk"),
+        explode(split(regexp_replace(col("pr_review_content"), "[.?!]", "è"), "è"))
+          .as("sentence"))
+      .filter(length(trim(col("sentence"))) > 0)
+    val tagged = sentences
+      .select(col("pr_review_sk"), col("pr_item_sk"), col("sentence"))
+      .as[(Long, Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (rsk, isk, sent) =>
+          extractor(sent).map(company => (rsk, isk, company, sent))
+        }
+      }
+      .toDF("review_sk", "item_sk", "company_name", "review_sentence")
+    tagged.orderBy("review_sk", "company_name", "review_sentence")
+  }
+
+  /** q28: naive bayes sentiment classifier on reviews (90/10 modulo
+    * split, alpha=0.001, labels from rating: 1-2 NEG / 3 NEUT / 4-5
+    * POS). Ref: q28_dask_sql.py:33-66, q28_utils.py:73-82.
+    */
+  def q28(s: SparkSession): DataFrame = {
+    import org.apache.spark.ml.classification.NaiveBayes
+    import org.apache.spark.ml.feature.HashingTF
+    val labeled = s.table("product_reviews")
+      .filter(col("pr_review_content").isNotNull &&
+        col("pr_review_rating").isNotNull)
+      .withColumn("label",
+        when(col("pr_review_rating") <= 2, 0.0)
+          .when(col("pr_review_rating") === 3, 1.0).otherwise(2.0))
+      .withColumn("words", split(lower(col("pr_review_content")), "[^a-z']+"))
+    val feats = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 23).transform(labeled)
+    val train = feats.filter(pmod(col("pr_review_sk"), lit(10)) =!= 0)
+    val test = feats.filter(pmod(col("pr_review_sk"), lit(10)) === 0)
+    val model = new NaiveBayes().setSmoothing(0.001)
+      .setModelType("multinomial").fit(train)
+    val pred = model.transform(test)
+    pred.groupBy(col("label").as("true_label"),
+      col("prediction").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** q29: item categories co-purchased in one web order, pair counts,
+    * top-100. Ref: q29_dask_sql.py:33-68.
+    */
+  def q29(s: SparkSession, limit: Int = 100): DataFrame = {
+    val i = s.table("item").select("i_item_sk", "i_category_id", "i_category")
+    val baskets = s.table("web_sales")
+      .join(broadcast(i), col("ws_item_sk") === col("i_item_sk"))
+      .filter(col("i_category_id").isNotNull)
+      .select(col("ws_order_number"), col("i_category_id"), col("i_category"))
+      .distinct()
+    baskets.alias("a")
+      .join(baskets.alias("b"),
+        col("a.ws_order_number") === col("b.ws_order_number") &&
+          col("a.i_category_id") < col("b.i_category_id"))
+      .groupBy(col("a.i_category").as("category_1"),
+        col("b.i_category").as("category_2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("category_1"), col("category_2"))
+      .limit(limit)
+  }
+
+  /** q30: item categories co-viewed in one click session (timeout
+    * 3600 s), pair counts, top-40. Ref: q30_dask_sql.py:43-85.
+    */
+  def q30(s: SparkSession, timeoutSec: Long = 3600, limit: Int = 40): DataFrame = {
+    val i = s.table("item").select("i_item_sk", "i_category_id", "i_category")
+    val clicks = s.table("web_clickstreams")
+      .filter(col("wcs_user_sk").isNotNull && col("wcs_item_sk").isNotNull)
+      .join(broadcast(i), col("wcs_item_sk") === col("i_item_sk"))
+      .filter(col("i_category_id").isNotNull)
+      .select(col("wcs_user_sk"),
+        (col("wcs_click_date_sk") * 86400 + col("wcs_click_time_sk")).as("ts"),
+        col("i_category"))
+      .withColumn("eid", monotonically_increasing_id())
+    val sess = Sessionize.byTimeout(clicks, "wcs_user_sk", "ts", "eid", timeoutSec)
+    Sessionize.sessionPairs(sess, "wcs_user_sk", "session_seq", "i_category")
+      .groupBy(col("item_1").as("category_1"), col("item_2").as("category_2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("category_1"), col("category_2"))
+      .limit(limit)
+  }
+}
+
+/** Pluggable NER extractors (reference: spaCy/BERT per partition,
+  * `bdb_tools/q27_utils.py:42-54` / `q27_bert_utils.py` — model choice
+  * explicitly pluggable, output unverified).
+  */
+object Ner {
+  /** Heuristic default: maximal spans of capitalized tokens. */
+  def capitalizedSpans(sentence: String): Seq[String] = {
+    val tokens = sentence.split("\\s+").toSeq
+    val spans = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = scala.collection.mutable.ListBuffer.empty[String]
+    tokens.foreach { t =>
+      val w = t.filter(_.isLetter)
+      if (w.nonEmpty && w.head.isUpper) cur += w
+      else {
+        if (cur.size >= 1) spans += cur.mkString(" ")
+        cur.clear()
+      }
+    }
+    if (cur.nonEmpty) spans += cur.mkString(" ")
+    spans.distinct.toSeq
+  }
+}

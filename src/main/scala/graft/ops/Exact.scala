@@ -57,7 +57,9 @@ object Exact {
     val n = count(lit(1)).cast("double")
     val sx = dsum(c)
     val sxx = dsumProd(c, c)
-    r6(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+    // n <= 1 -> undefined (ANSI mode errors on x/0, so guard)
+    when(n > 1, r6(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Pearson correlation from exact components (same discipline as the
@@ -68,8 +70,9 @@ object Exact {
     val sx = dsum(x); val sy = dsum(y)
     val sxx = dsumProd(x, x); val syy = dsumProd(y, y)
     val sxy = dsumProd(x, y)
-    r6((n * sxy - sx * sy) /
-      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    when(den > 0, r6((n * sxy - sx * sy) / sqrt(den)))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Closed-form least-squares slope of y over x from exact sums —
@@ -83,7 +86,9 @@ object Exact {
     val sy = dsum(y)
     val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
     val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
-    r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val den = n * sxx - sx * sx
+    when(den =!= 0, r6((n * sxy - sx * sy) / den))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Unrounded slope (internal, for intercept composition). */
@@ -93,7 +98,9 @@ object Exact {
     val sy = dsum(y)
     val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
     val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
-    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val den = n * sxx - sx * sx
+    when(den =!= 0, (n * sxy - sx * sy) / den)
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Intercept companion to [[dslope]]. */
