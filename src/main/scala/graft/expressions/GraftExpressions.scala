@@ -1,0 +1,124 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where composed
+  * built-ins are interpreted per-element (higher-order array lambdas)
+  * or allocate intermediates (md5-hex-conv chains). Both expressions
+  * participate in whole-stage codegen via `doGenCode` that calls a
+  * static JVM kernel — one virtual call per row, primitive loops, no
+  * per-element lambda dispatch.
+  */
+object Kernels {
+
+  /** 60-bit portable hash: value of the first 15 hex digits of
+    * md5(utf8(s)) — identical to
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` (DuckDB) and
+    * `conv(substr(md5(s),1,15),16,10)` (Spark SQL).
+    */
+  def portableHash60(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    // first 15 hex digits = 7.5 bytes: take high 60 bits of the first
+    // 8 bytes (hex digit 16 is the low nibble of byte 8)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double
+    * left-to-right (identical to the zip_with/aggregate composition
+    * and the documented DuckDB oracle), rounded to 6 decimals.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    // round half-up to 6 decimals over the EXACT binary expansion —
+    // bit-identical to Spark's round(expr, 6) on doubles
+    new java.math.BigDecimal(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** portable_hash60(string) -> long. See [[Kernels.portableHash60]]. */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"portable_hash60 needs string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.portableHash60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.portableHash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): PortableHash60 =
+    copy(child = c)
+}
+
+/** cosine_f(array<float>, array<float>) -> double (rounded to 6).
+  * See [[Kernels.cosineF]].
+  */
+case class CosineF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("cosine_f needs two array<float> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.Kernels.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineF = copy(left = l, right = r)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
+
+  def portable_hash60(c: Column): Column = toCol(PortableHash60(toExpr(c)))
+  def cosine_f(a: Column, b: Column): Column =
+    toCol(CosineF(toExpr(a), toExpr(b)))
+
+  /** Register as SQL functions (`SELECT portable_hash60(x)`). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hash60", exprs => PortableHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_f", exprs => CosineF(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -32,9 +32,15 @@ object Text {
     * an integer. Identical in any engine with md5 (DuckDB:
     * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). Used as the
     * deterministic base hash for minhash/simhash/fingerprints instead
-    * of Spark's murmur3 `hash()` (engine-specific).
+    * of Spark's murmur3 `hash()` (engine-specific). Dispatches to the
+    * native codegen'd kernel ([[graft.expressions.PortableHash60]]),
+    * which skips the md5-hex-string/conv detour of [[portableHashSql]].
     */
   def portableHash(c: Column): Column =
+    graft.expressions.GraftFunctions.portable_hash60(c)
+
+  /** Composed-builtins form (kept for equivalence testing). */
+  def portableHashSql(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Salted variant — k independent hash functions for minhash. */

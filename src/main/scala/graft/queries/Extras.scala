@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import graft.streaming.StreamingSessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal + streaming surface queries.
+  *
+  * x01 verifies the multimodal binary pipeline end-to-end (the codec
+  * is a deterministic stub, so the oracle replays its arithmetic from
+  * md5 — see [[Multimodal.StubCodec]]). x02 runs the Structured-
+  * Streaming sessionizer to completion and verifies its windows
+  * against a window-function oracle (half-open gap semantics).
+  */
+object Extras extends Suite {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("x01_multimodal_decode", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents"), "doc_id", "text", "image")
+      val dims = Multimodal.decodeDims(media, "doc_id")
+      val planned = Multimodal.withFrameSamplePlan(
+        Multimodal.withResizePlan(dims, 256), 30)
+      planned
+        .join(media.select("doc_id", "n_bytes"), "doc_id")
+        .select("doc_id", "modality", "width", "height", "channels",
+          "n_frames", "out_width", "out_height", "n_sampled_frames",
+          "n_bytes")
+        .orderBy("doc_id")
+    },
+      Some("""WITH h AS (
+             |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+             |  FROM documents),
+             |dims AS (
+             |  SELECT doc_id, n_bytes,
+             |    CAST((hv % 1024) + 16 AS INT) AS width,
+             |    CAST(((hv // 1024) % 1024) + 16 AS INT) AS height,
+             |    CAST((hv % 3) + 1 AS INT) AS channels,
+             |    CAST((hv % 240) + 1 AS INT) AS n_frames
+             |  FROM h)
+             |SELECT doc_id, 'image' AS modality, width, height, channels,
+             |  n_frames,
+             |  CAST((width * (CASE WHEN greatest(width,height) > 256 THEN 256
+             |                 ELSE greatest(width,height) END))
+             |       // greatest(width,height) AS INT) AS out_width,
+             |  CAST((height * (CASE WHEN greatest(width,height) > 256 THEN 256
+             |                  ELSE greatest(width,height) END))
+             |       // greatest(width,height) AS INT) AS out_height,
+             |  CAST((n_frames + 29) // 30 AS INT) AS n_sampled_frames,
+             |  n_bytes
+             |FROM dims ORDER BY doc_id""".stripMargin)),
+
+    Q("x02_streaming_sessions",
+      (s, d) => StreamingSessionize.sessionCounts(s, d),
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events
+             |), flagged AS (
+             |  SELECT *, CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+             |                   OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) >= 3600000000
+             |            THEN 1 ELSE 0 END AS new_s
+             |  FROM e
+             |), sess AS (
+             |  SELECT user_id, tsn,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged)
+             |SELECT user_id, MIN(tsn) AS start_us,
+             |  COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, session_seq
+             |ORDER BY user_id, start_us""".stripMargin))
+  )
+}

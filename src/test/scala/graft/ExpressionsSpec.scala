@@ -1,0 +1,61 @@
+package graft
+
+import graft.expressions.GraftFunctions
+import graft.ops.{Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst kernels must be bit-identical to the composed
+  * built-in forms they replace (those forms are what the DuckDB
+  * oracles mirror).
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  test("portable_hash60 == conv(substr(md5)) form, corpus-wide") {
+    val words = Text.words(Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val mismatches = words
+      .select(Text.portableHash(col("word")).as("native"),
+        Text.portableHashSql(col("word")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("cosine_f == zip_with/aggregate form on embedding pairs") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 40).select("vec_id", "embedding")
+    val mismatches = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("SQL registration: portable_hash60 and cosine_f callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT portable_hash60('abc') AS h, " +
+        "cosine_f(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c")
+      .first()
+    assert(r.getLong(0) === 648541476951500027L)
+    assert(r.getDouble(1) === 1.0)
+  }
+
+  test("multimodal stub decode is deterministic and joins metadata") {
+    val media = graft.ops.Multimodal.asBinary(
+      Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
+    val dims = graft.ops.Multimodal.decodeDims(media, "doc_id")
+    val planned = graft.ops.Multimodal.withResizePlan(dims, 256)
+    val rows = planned.collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      val ow = r.getAs[Int]("out_width"); val oh = r.getAs[Int]("out_height")
+      assert(w >= 16 && h >= 16)
+      assert(math.max(ow, oh) <= 256)
+    }
+  }
+}
