@@ -185,7 +185,11 @@ object MlQueries extends Suite {
       val data = feats.transform(
         docs(s, d).withColumn("wordarr", split(col("text"), " ")))
       val nnz = udf((v: Vector) => v.numNonzeros)
-      val mass = udf((v: Vector) => v.toArray.sum)
+      // sum over ACTIVE entries only — v.toArray would densify the
+      // 2^18-dim vector per row (gigabytes of allocation at sf0.1)
+      val mass = udf { (v: Vector) =>
+        var s = 0.0; v.foreachActive((_, x) => s += x); s
+      }
       data.select(col("doc_id"), nnz(col("features")).as("nnz"),
         round(mass(col("features")), 2).as("term_mass"))
         .orderBy("doc_id")

@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan assertions — the 100 TB story is in the plan shape,
+  * not just the results: filters/projections must reach the parquet
+  * scan, small dims must broadcast, top-k must plan
+  * TakeOrderedAndProject (no global sort), and sessionization must
+  * shuffle exactly once on the user key.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("o01: predicate pushed + columns pruned at the parquet scan") {
+    val p = plan("o01_scan_prune")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity,45"), p.take(2000))
+    // only the 3 selected columns are read
+    assert(p.contains("ReadSchema"), p.take(2000))
+    assert(!p.contains("l_extendedprice"), "scan reads unneeded columns")
+  }
+
+  test("o04: dimension join is broadcast, not shuffled") {
+    val p = plan("o04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("o26: top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("o26_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("s02: sessionization shuffles exactly once (by user)") {
+    val p = plan("s02_sessions")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(4000)}")
+  }
+
+  test("o10: semi join stays semi in the physical plan") {
+    val p = plan("o10_semi_join")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("d09: ANN scan broadcasts the query set") {
+    val p = plan("d09_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+}
