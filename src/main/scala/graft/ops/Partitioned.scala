@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for repeated-join workloads at scale:
+  * bucketing (co-located, exchange-free joins) and salting (manual
+  * skew mitigation where AQE's runtime splitting isn't available,
+  * e.g. a pre-AQE cluster or a deterministic-layout requirement).
+  */
+object Partitioned {
+
+  /** Persist `df` as a bucketed+sorted table. Joining two tables
+    * bucketed by the same key into the same bucket count plans a
+    * sort-merge join with NO Exchange — the shuffle is paid once at
+    * write time and amortized over every subsequent join
+    * (the reference's analog is its 1-partition dims,
+    * `readers.py:129-134`; bucketing is the scalable generalization).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the in-memory catalog forgets tables across sessions but their
+    // managed location survives — clear it or saveAsTable refuses
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * deterministic salt derived from `tieBreak` (any column unique-ish
+    * per row); the small side is exploded `saltFactor` times. Results
+    * are identical to the unsalted join; the hot key's rows spread
+    * over `saltFactor` reducers.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      tieBreak: Column, saltFactor: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(tieBreak), lit(saltFactor)))
+    val exploded = small
+      .withColumn("_salt", explode(
+        array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -41,4 +41,19 @@ object Similarity {
     * equivalence testing against the native kernel). */
   def cosineHof(a: Column, b: Column): Column =
     round(dotd(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Deterministic random-hyperplane weights for RP-LSH bucketing:
+    * integer w(plane, dim) in [-1000, 1000] derived from the portable
+    * hash, so any engine regenerates the identical planes. Combined
+    * with 1e6-quantized vector components, plane-side dot products are
+    * exact integers — bucket assignment is order- and
+    * engine-independent (float dots could flip sign bits at the last
+    * ulp under different summation orders).
+    */
+  def rpPlanes(nPlanes: Int, dims: Int): Seq[(Int, Int, Long)] =
+    for { j <- 0 until nPlanes; d <- 1 to dims } yield {
+      val h = graft.expressions.Kernels.portableHash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp|$j|$d"))
+      (j, d, (h % 2001L) - 1000L)
+    }
 }

@@ -321,6 +321,71 @@ object DedupQueries extends Suite {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
               |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // D11: random-hyperplane LSH ANN — sign bits of 4 deterministic
+    // integer hyperplane dots bucket the corpus (16 buckets); search
+    // only the query's bucket. Planes broadcast; vector components
+    // quantized to exact integers so buckets are engine-identical.
+    Q("d11_knn_rplsh", (s, d) => {
+      import s.implicits._
+      val planes = Similarity.rpPlanes(4, 64).toDF("pid", "dim", "w")
+      val e = embs(s, d).select("vec_id", "embedding")
+      val buckets = e
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .withColumn("dim", col("pos0") + 1)
+        .withColumn("qv", round(col("v").cast("double") * 1000000, 0).cast("long"))
+        .join(broadcast(planes), "dim")
+        .groupBy("vec_id", "pid")
+        .agg(sum(col("qv") * col("w")).as("dot"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") >= 0, expr("shiftleft(1, pid)"))
+          .otherwise(0L)).as("bucket"))
+      val withB = e.join(buckets, "vec_id")
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      withB.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+      Some {
+        val planeValues = Similarity.rpPlanes(4, 64)
+          .map { case (j, dim, w) => s"($j,$dim,$w)" }.mkString(", ")
+        s"""WITH planes(pid, dim, w) AS (VALUES $planeValues),
+           |ev AS (
+           |  SELECT vec_id, generate_subscripts(embedding,1) AS dim,
+           |         unnest(embedding) AS v
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, dim,
+           |    CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM ev),
+           |dots AS (
+           |  SELECT vec_id, pid, CAST(SUM(qv * w) AS BIGINT) AS dot
+           |  FROM qv JOIN planes USING (dim) GROUP BY vec_id, pid),
+           |buckets AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN dot >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id),
+           |e AS (SELECT b.vec_id, bucket, embedding
+           |      FROM buckets b JOIN embeddings em ON em.vec_id = b.vec_id),
+           |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, embedding
+           |      FROM e WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+           |  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+           |ranked AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
+           |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      })
   )
 }

@@ -71,6 +71,33 @@ object Extras extends Suite {
              |SELECT user_id, MIN(tsn) AS start_us,
              |  COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, session_seq
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Custom stateful streaming sessionizer (flatMapGroupsWithState):
+    // emits closed sessions + the final open one per user. Strict-gt
+    // timeout (batch semantics), so the oracle is the s02 CTE plus a
+    // closed flag (the user's last session is the open one).
+    Q("x03_stateful_stream_sessions",
+      (s, d) => graft.streaming.StatefulSessionize.sessions(s, d),
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events
+             |), flagged AS (
+             |  SELECT *, CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+             |                   OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 3600000000
+             |            THEN 1 ELSE 0 END AS new_s
+             |  FROM e
+             |), sess AS (
+             |  SELECT user_id, tsn,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged
+             |), agg AS (
+             |  SELECT user_id, session_seq, MIN(tsn) AS start_us,
+             |    MAX(tsn) AS end_us, COUNT(*) AS n_events
+             |  FROM sess GROUP BY user_id, session_seq)
+             |SELECT user_id, start_us, end_us, n_events,
+             |  session_seq < MAX(session_seq) OVER (PARTITION BY user_id) AS closed
+             |FROM agg
              |ORDER BY user_id, start_us""".stripMargin))
   )
 }

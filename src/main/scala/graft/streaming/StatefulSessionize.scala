@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful sessionization via `flatMapGroupsWithState` — the
+  * KeyValueGroupedDataset state-machine form of
+  * [[graft.ops.Sessionize.byTimeout]] (for session logic
+  * `session_window` can't express: custom eviction, per-session
+  * payloads, side outputs).
+  *
+  * State per user = the open session (start, last ts, event count).
+  * Each micro-batch folds its (sorted) events into the state, emits
+  * every session it closes, and carries the still-open session
+  * forward. Uses event-time order within the batch; across batches
+  * relies on source ordering or a watermark-driven re-sort upstream.
+  */
+object StatefulSessionize {
+
+  case class Ev(user_id: Long, tsu: Long)
+  case class Open(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, closed: Boolean)
+
+  def fold(timeoutUs: Long)(
+      user: Long, events: Iterator[Ev],
+      state: GroupState[Open]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.tsu)
+    var open = state.getOption
+    val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+    sorted.foreach { e =>
+      open match {
+        case Some(o) if e.tsu - o.last <= timeoutUs =>
+          open = Some(o.copy(last = e.tsu, n = o.n + 1))
+        case Some(o) =>
+          out += SessionOut(user, o.start, o.last, o.n, closed = true)
+          open = Some(Open(e.tsu, e.tsu, 1))
+        case None =>
+          open = Some(Open(e.tsu, e.tsu, 1))
+      }
+    }
+    open match {
+      case Some(o) =>
+        state.update(o)
+        // emit the still-open session too (marked) so a finite input
+        // yields the complete session set
+        out += SessionOut(user, o.start, o.last, o.n, closed = false)
+      case None => state.remove()
+    }
+    out.iterator
+  }
+
+  /** Run over the (static) events parquet as a one-batch stream and
+    * return all sessions (closed + final open ones).
+    */
+  def sessions(spark: SparkSession, sfDir: String,
+      timeoutSec: Long = 3600): DataFrame = {
+    import spark.implicits._
+    val static = graft.Tables.load(spark, sfDir, "events")
+    val stream = spark.readStream
+      .schema(static.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val evs: Dataset[Ev] = stream
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+      .as[Ev]
+    val out = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        fold(timeoutSec * 1000000L))
+    val q = out.writeStream
+      .format("memory").queryName("graft_stateful_sessions")
+      .outputMode("append")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table("graft_stateful_sessions")
+      .orderBy("user_id", "start_us")
+  }
+}
