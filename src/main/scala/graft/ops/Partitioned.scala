@@ -35,6 +35,15 @@ object Partitioned {
       .saveAsTable(table)
   }
 
+  /** Write `df` as a hive-style partitioned parquet layout
+    * (`path/col=value/...`). Reads filtered on the partition column
+    * scan only matching directories (PartitionFilters — the primary
+    * data-skipping primitive for 100 TB fact tables; the reference's
+    * per-query date_dim semi-joins play this role).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * deterministic salt derived from `tieBreak` (any column unique-ish
     * per row); the small side is exploded `saltFactor` times. Results

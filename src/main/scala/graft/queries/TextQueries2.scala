@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Exact, Text}
+import graft.expressions.SentenceWords.sentence_words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second text batch: the custom one-pass sentence+word Generator and
+  * a q18-style composite (regression -> gazetteer -> corpus mention
+  * counting) on the testdata mapping.
+  */
+object TextQueries2 extends Suite {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  val qs: Seq[Q] = Seq(
+
+    // Custom Generator: single-pass sentence+word tokenization with
+    // positions (SURVEY §2e). Sentence breaks are synthesized by
+    // turning ' slow ' into '. ' (the corpus has no punctuation).
+    Q("t14_sentence_words", (s, d) =>
+      docs(s, d).filter(col("doc_id") < 50)
+        .withColumn("t", call_function("replace",
+          col("text"), lit(" slow "), lit(". ")))
+        .select(col("doc_id"), sentence_words(col("t"))
+          .as(Seq("sentence_idx", "word_idx", "sentence", "word")))
+        .orderBy("doc_id", "sentence_idx", "word_idx"),
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, replace(text, ' slow ', '. ') AS t
+             |  FROM documents WHERE doc_id < 50),
+             |s AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(t,'.'),1) AS si,
+             |    unnest(string_split(t,'.')) AS sent
+             |  FROM d2),
+             |st AS (
+             |  SELECT doc_id, si, trim(sent) AS sentence FROM s
+             |  WHERE len(trim(sent)) > 0),
+             |w AS (
+             |  SELECT doc_id, si AS sentence_idx,
+             |    generate_subscripts(string_split(sentence,' '),1) AS word_idx,
+             |    sentence,
+             |    unnest(string_split(sentence,' ')) AS word
+             |  FROM st)
+             |SELECT doc_id, sentence_idx, word_idx, sentence, word
+             |FROM w WHERE len(word) > 0
+             |ORDER BY doc_id, sentence_idx, word_idx""".stripMargin)),
+
+    // q18 composite on the testdata mapping: brands with declining
+    // monthly revenue (closed-form slope < 0), counted by how many
+    // documents mention any word of their part names
+    // (ref: queries/q18/..._dask_sql.py:47-246).
+    Q("b18_declining_mentions", (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val p = Tables.load(s, d, "part")
+      val monthly = li
+        .join(broadcast(p.select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("m",
+          (year(to_date(col("l_shipdate"))) - 1995) * 12 +
+            month(to_date(col("l_shipdate"))))
+        .groupBy("p_brand", "m")
+        .agg(Exact.dsumDec(col("l_extendedprice")).as("rev"))
+      val declining = monthly.groupBy("p_brand")
+        .agg(Exact.dslope(col("m"), col("rev").cast("double")).as("slope"))
+        .filter(col("slope") < 0)
+      val gaz = p.join(broadcast(declining.select("p_brand")), "p_brand")
+        .select(col("p_brand"), explode(split(col("p_name"), " ")).as("word"))
+        .distinct()
+      Text.words(docs(s, d), "doc_id", "text")
+        .join(broadcast(gaz), "word")
+        .groupBy("p_brand")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("p_brand")
+    },
+      Some("""WITH monthly AS (
+             |  SELECT p_brand,
+             |    (year(CAST(l_shipdate AS DATE)) - 1995) * 12
+             |      + month(CAST(l_shipdate AS DATE)) AS m,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |sums AS (
+             |  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(m AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(m AS DECIMAL(18,0)) * CAST(m AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(m AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+             |  FROM monthly GROUP BY p_brand),
+             |declining AS (
+             |  SELECT p_brand FROM sums
+             |  WHERE n * sxx - sx * sx <> 0
+             |    AND round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) < 0),
+             |gaz AS (
+             |  SELECT DISTINCT p_brand, unnest(string_split(p_name,' ')) AS word
+             |  FROM part JOIN declining USING (p_brand)),
+             |w AS (
+             |  SELECT doc_id, w2 AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text,' ')) AS w2 FROM documents)
+             |  WHERE len(w2) > 0)
+             |SELECT p_brand, COUNT(DISTINCT doc_id) AS n_docs
+             |FROM gaz JOIN w USING (word)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+  )
+}

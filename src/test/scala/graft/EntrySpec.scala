@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
 
   test("query names are unique across suites") {
     import graft.queries._
-    val all = Seq(Relational, Sessions, TextQueries, DedupQueries, MlQueries, BdbShapes, Extras, Relational2)
+    val all = Seq(Relational, Sessions, TextQueries, DedupQueries, MlQueries, BdbShapes, Extras, Relational2, TextQueries2)
       .flatMap(_.qs.map(_.name))
     assert(all.size === all.distinct.size)
   }

@@ -48,4 +48,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/repo/target/graft-tmp/orders_by_year"
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("yr", year(to_date(col("o_orderdate"))))
+    graft.ops.Partitioned.writePartitioned(o, path, "yr")
+    val filtered = spark.read.parquet(path).filter(col("yr") === 1996)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("(yr"),
+      p.take(3000))
+    val expected = o.filter(col("yr") === 1996).count()
+    assert(filtered.count() === expected)
+  }
 }
