@@ -386,6 +386,68 @@ object DedupQueries extends Suite {
            |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
            |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin
+      }),
+
+    // D12: duplicate-GROUP clustering — connected components of the
+    // n-gram near-dup graph via K rounds of min-label propagation
+    // (pure joins, engine-portable; exact CC iff graph diameter <= K,
+    // identical intermediate labels on both engines regardless).
+    Q("d12_dup_groups", (s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 1000)
+      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+      val edges = Dedup.jaccardFromSelfJoin(sh, "doc_id")
+        .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
+      val sym = edges.union(
+        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
+      var labels = base.select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 5) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("nb"), col("label").as("nb_label")),
+            col("id_2") === col("nb"))
+          .groupBy(col("id_1")).agg(min("nb_label").as("nl"))
+        labels = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("id_1"), "left_outer")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      }
+      labels.select(col("doc_id"), col("label").as("group_id"))
+        .orderBy("doc_id")
+    },
+      Some {
+        val propagate = (1 to 5).map { k =>
+          s"""l$k AS (
+             |  SELECT l.doc_id,
+             |    CASE WHEN m.nl IS NULL OR l.label <= m.nl
+             |         THEN l.label ELSE m.nl END AS label
+             |  FROM l${k - 1} l LEFT JOIN (
+             |    SELECT e.id_1 AS doc_id, MIN(l2.label) AS nl
+             |    FROM sym e JOIN l${k - 1} l2 ON e.id_2 = l2.doc_id
+             |    GROUP BY e.id_1) m USING (doc_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
+           |w AS (
+           |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+           |         unnest(string_split(text,' ')) AS word
+           |  FROM docs_c),
+           |ws AS (
+           |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+           |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+           |common AS (
+           |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+           |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |edges AS (
+           |  SELECT id_1, id_2 FROM common
+           |  JOIN sizes za ON za.doc_id = id_1
+           |  JOIN sizes zb ON zb.doc_id = id_2
+           |  WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.1),
+           |sym AS (SELECT id_1, id_2 FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |l0 AS (SELECT doc_id, doc_id AS label FROM docs_c),
+           |$propagate
+           |SELECT doc_id, label AS group_id FROM l5 ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -98,6 +98,30 @@ object Extras extends Suite {
              |SELECT user_id, start_us, end_us, n_events,
              |  session_seq < MAX(session_seq) OVER (PARTITION BY user_id) AS closed
              |FROM agg
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Streaming tumbling-window aggregation (the windowed-agg half of
+    // the Structured Streaming surface; session windows are x02).
+    Q("x04_tumbling_window", (s, d) => {
+      val spark = s
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val agg = stream
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory")
+        .queryName("graft_tumbling").outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      spark.table("graft_tumbling")
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type"), col("n"))
+        .orderBy("start_us", "event_type")
+    },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+             |  event_type, COUNT(*) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY start_us, event_type""".stripMargin))
   )
 }

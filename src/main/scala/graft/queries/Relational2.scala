@@ -112,6 +112,40 @@ object Relational2 extends Suite {
              |  MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // JSON sink + source roundtrip (schema-on-read back in).
+    Q("o38_json_roundtrip", (s, d) => {
+      val tmp = "/root/repo/target/graft-tmp/json_roundtrip"
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("o_orderkey bigint, o_orderpriority string, o_totalprice double")
+        .json(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ORC sink + source roundtrip.
+    Q("o39_orc_roundtrip", (s, d) => {
+      val tmp = "/root/repo/target/graft-tmp/orc_roundtrip"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Approximate distinct (HLL) next to the exact count — the 100 TB
     // path for O20-class queries (sketches differ per engine, so the
     // oracle checks only the exact column; the test suite bounds the
