@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.expressions.Kernels
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signatures as a typed `Aggregator[IN, BUF, OUT]` — the
+  * custom-aggregate surface SURVEY §2e reserves for sketch types. One
+  * mutable k-long buffer per group replaces k separate `min()`
+  * aggregate columns ([[Dedup.minhashSignatures]]); both forms are
+  * bit-identical (same salted portable hashes) and the column form's
+  * SQL oracle verifies this one too.
+  */
+class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val h = Kernels.portableHash60(
+        UTF8String.fromString(s"$shingle|s$i"))
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

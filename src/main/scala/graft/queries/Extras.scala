@@ -122,6 +122,50 @@ object Extras extends Suite {
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
              |  event_type, COUNT(*) AS n
              |FROM events GROUP BY 1, 2
-             |ORDER BY start_us, event_type""".stripMargin))
+             |ORDER BY start_us, event_type""".stripMargin)),
+
+    // As-of join: each purchase gets the user's latest prior-or-equal
+    // signup (value + timestamp). Composed union+window (one shuffle);
+    // oracle = DuckDB's native ASOF LEFT JOIN.
+    Q("x05_asof_join", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("tsu"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tsu")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id", "tsu")  // unique per (key, ts)
+        .agg(max("value").as("signup_value"))
+      graft.ops.AsOf.joinAsOf(purchases, signups, "user_id", "tsu",
+          Seq("signup_value"))
+        .select(col("event_id"), col("user_id"),
+          col("_asof_ts").as("signup_ts"), col("signup_value"))
+        .orderBy("event_id")
+    },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+             |  WHERE event_type = 'purchase'),
+             |s AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, MAX(value) AS signup_value
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, s.tsu AS signup_ts, s.signup_value
+             |FROM p ASOF LEFT JOIN s
+             |  ON p.user_id = s.user_id AND p.tsu >= s.tsu
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // MinHash via the typed Aggregator (one k-long buffer per group) —
+    // same oracle as the k-min-columns form d03.
+    Q("d13_minhash_aggregator", (s, d) => {
+      import s.implicits._
+      val agg = udaf(new graft.ops.MinHashAgg(8))
+      val sh = graft.ops.Dedup.wordShingles(
+        Tables.load(s, d, "documents"), "doc_id", "text")
+      val withSigs = sh.groupBy("doc_id")
+        .agg(agg(col("sh")).as("sigs"))
+      (0 until 8).foldLeft(withSigs) { (df, i) =>
+        df.withColumn(s"sig_$i", element_at(col("sigs"), i + 1))
+      }.drop("sigs").orderBy("doc_id")
+    },
+      DedupQueries.oracles.get("d03_minhash_sigs"))
   )
 }
