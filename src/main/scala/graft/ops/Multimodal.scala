@@ -40,6 +40,12 @@ object Multimodal {
       (((h % 1024) + 16).toInt, (((h / 1024) % 1024) + 16).toInt,
         ((h % 3) + 1).toInt, ((h % 240) + 1).toInt)
     }
+    /** (sampleRateHz, durationMs, nChannels) of the fake audio. */
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Int) = {
+      val h = hash60(bytes)
+      ((8000 * ((h % 6) + 1)).toInt, ((h % 60000) + 1000).toInt,
+        ((h % 2) + 1).toInt)
+    }
   }
 
   /** Wrap a text column as a fake media payload: (id, modality,
@@ -70,6 +76,26 @@ object Multimodal {
       }
       .toDF(id, "modality", "width", "height", "channels", "n_frames")
   }
+
+  /** Audio decode + windowed-feature plan per partition. */
+  def decodeAudio(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val (sr, dur, ch) = StubCodec.decodeAudio(bytes)
+          (i, sr, dur, ch)
+        }
+      }
+      .toDF(id, "sample_rate", "duration_ms", "n_channels")
+  }
+
+  /** Feature-window plan: count of `windowMs` analysis windows. */
+  def withAudioWindowPlan(dims: DataFrame, windowMs: Int): DataFrame =
+    dims.withColumn("n_windows",
+      floor((col("duration_ms") + windowMs - 1) / windowMs).cast("int"))
 
   /** Resize plan: clamp the longer side to `maxSide`, preserving
     * aspect ratio (integer arithmetic — oracle-friendly).

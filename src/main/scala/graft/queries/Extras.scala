@@ -54,6 +54,26 @@ object Extras extends Suite {
              |  n_bytes
              |FROM dims ORDER BY doc_id""".stripMargin)),
 
+    Q("x06_audio_pipeline", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents"), "doc_id", "text", "audio")
+      Multimodal.withAudioWindowPlan(
+          Multimodal.decodeAudio(media, "doc_id"), 1000)
+        .select("doc_id", "sample_rate", "duration_ms", "n_channels",
+          "n_windows")
+        .orderBy("doc_id")
+    },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(8000 * ((hv % 6) + 1) AS INT) AS sample_rate,
+             |  CAST((hv % 60000) + 1000 AS INT) AS duration_ms,
+             |  CAST((hv % 2) + 1 AS INT) AS n_channels,
+             |  CAST(((hv % 60000) + 1000 + 999) // 1000 AS INT) AS n_windows
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("x02_streaming_sessions",
       (s, d) => StreamingSessionize.sessionCounts(s, d),
       Some("""WITH e AS (
