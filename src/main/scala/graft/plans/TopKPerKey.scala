@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension demo (SURVEY §2e path (c)): top-k rows
+  * per key as a first-class operator — logical node + planner
+  * Strategy + physical exec with a bounded per-group buffer.
+  *
+  * Why it beats the built-in formulation: `row_number().over(...)
+  * .filter(rn <= k)` must SORT every partition's full group before
+  * discarding all but k rows; this exec keeps only k rows per group
+  * at any moment (O(n log k), no full sort, no rank column
+  * materialized). Same single hash exchange on the key.
+  *
+  * Registered via `spark.experimental.extraStrategies` (see
+  * [[TopK.install]]) — the stable public hook for planner strategies.
+  */
+case class TopKPerKeyNode(k: Int, partitionExprs: Seq[Expression],
+    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
+    order: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(partitionExprs, schema)
+      val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(order, schema)
+      // per-key bounded sorted buffers (k is small by contract)
+      val groups = new java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[InternalRow](k + 1)
+          groups.put(key.copy(), buf)
+        }
+        if (buf.length < k || ordering.compare(row, buf.last) < 0) {
+          val copied = row.copy()
+          // insertion sort into the bounded buffer
+          var i = buf.length
+          buf += copied
+          while (i > 0 && ordering.compare(copied, buf(i - 1)) < 0) {
+            buf(i) = buf(i - 1); i -= 1
+          }
+          buf(i) = copied
+          if (buf.length > k) buf.remove(k)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, parts, order, child) =>
+      TopKPerKeyExec(k, parts, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Top-k rows per key, ordered by `order` (use Column.desc/asc —
+    * include a unique tiebreak for determinism).
+    */
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val plan = df.queryExecution.analyzed
+    val keyExprs = keys.map(n =>
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n")))
+    val sortOrders = order.map { c =>
+      ColumnBridge.expr(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    // resolve sort expressions against the child plan
+    val resolved = sortOrders.map { so =>
+      so.transform {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          plan.output.find(_.name == u.name).getOrElse(
+            throw new IllegalArgumentException(s"no column ${u.name}"))
+      }.asInstanceOf[SortOrder]
+    }
+    PlanBridge.ofRows(spark, TopKPerKeyNode(k, keyExprs, resolved, plan))
+  }
+}
