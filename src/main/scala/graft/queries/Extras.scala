@@ -173,6 +173,24 @@ object Extras extends Suite {
              |  ON p.user_id = s.user_id AND p.tsu >= s.tsu
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Top-3 orders per customer through the CUSTOM physical operator
+    // (graft.plans.TopKPerKey — bounded per-group buffers, no window
+    // sort); oracle = the window formulation.
+    Q("x07_topk_operator", (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.TopK.perKey(o, Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // MinHash via the typed Aggregator (one k-long buffer per group) —
     // same oracle as the k-min-columns form d03.
     Q("d13_minhash_aggregator", (s, d) => {
