@@ -28,7 +28,10 @@ object Bench {
     // alphabetically-first query
     try SparkEntry.queries("o15_multi_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -18,6 +18,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * at any moment (O(n log k), no full sort, no rank column
   * materialized). Same single hash exchange on the key.
   *
+  * Memory contract: the exec holds k rows per DISTINCT key of a
+  * partition on heap (no spill) — total k x nKeys. Right-sized for
+  * selective keys (customers, queries); for near-unique keys prefer
+  * the window form, whose sort spills to disk.
+  *
   * Registered via `spark.experimental.extraStrategies` (see
   * [[TopK.install]]) — the stable public hook for planner strategies.
   */
@@ -94,24 +99,33 @@ object TopK {
     */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     install(spark)
     val plan = df.queryExecution.analyzed
-    val keyExprs = keys.map(n =>
-      plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n")))
+    // session-conf-aware resolution (case sensitivity) + ambiguity check
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = {
+      val matches = plan.output.filter(a => resolver(a.name, n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column $n in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.mkString(", ")}")
+      }
+    }
+    val keyExprs = keys.map(attr)
     val sortOrders = order.map { c =>
       ColumnBridge.expr(c) match {
         case so: SortOrder => so
         case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
       }
     }
-    // resolve sort expressions against the child plan
     val resolved = sortOrders.map { so =>
       so.transform {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          plan.output.find(_.name == u.name).getOrElse(
-            throw new IllegalArgumentException(s"no column ${u.name}"))
+          attr(u.name)
       }.asInstanceOf[SortOrder]
     }
     PlanBridge.ofRows(spark, TopKPerKeyNode(k, keyExprs, resolved, plan))

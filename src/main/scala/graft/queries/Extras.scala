@@ -204,6 +204,6 @@ object Extras extends Suite {
         df.withColumn(s"sig_$i", element_at(col("sigs"), i + 1))
       }.drop("sigs").orderBy("doc_id")
     },
-      DedupQueries.oracles.get("d03_minhash_sigs"))
+      Some(DedupQueries.oracles("d03_minhash_sigs")))
   )
 }
