@@ -146,6 +146,101 @@ object Relational2 extends Suite {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Spark 4 VariantType path for semi-structured data: parse once
+    // into a variant, extract typed fields (vs o36's per-path string
+    // extraction).
+    Q("o40_variant_extract", (s, d) =>
+      t(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  MIN(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Deterministic collected aggregation: sorted distinct set joined
+    // to a string (collect_list alone is order-nondeterministic).
+    Q("o41_collect_sorted", (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+          array_join(array_sort(collect_set(pmod(col("l_partkey"), lit(7)))), ",")
+            .as("mod7_set"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+             |  array_to_string(list_sort(list(DISTINCT l_partkey % 7)), ',') AS mod7_set
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles (sort-based, deterministic).
+    Q("o42_percentiles", (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics).
+    Q("o43_set_ops", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select("l_partkey").distinct()
+      val kept = li.filter(col("l_returnflag") === "N")
+        .select("l_partkey").distinct()
+      val both = returned.intersect(kept)
+        .withColumn("set_op", lit("both"))
+      val onlyReturned = returned.except(kept)
+        .withColumn("set_op", lit("only_returned"))
+      both.unionByName(onlyReturned)
+        .orderBy("set_op", "l_partkey")
+    },
+      Some("""SELECT l_partkey, 'both' AS set_op FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+             |  INTERSECT
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='N')
+             |UNION ALL
+             |SELECT l_partkey, 'only_returned' AS set_op FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+             |  EXCEPT
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='N')
+             |ORDER BY set_op, l_partkey""".stripMargin)),
+
+    // Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM)
+    // over a derived nullable column.
+    Q("o44_null_safe_eq", (s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("clerkish",
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      o.groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("clerkish") <=> lit(null), 1).otherwise(0)).as("n_null"),
+          sum(when(col("clerkish") <=> lit("F"), 1).otherwise(0)).as("n_f"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority,
+             |    CASE WHEN o_orderstatus = 'P' THEN NULL
+             |         ELSE o_orderstatus END AS clerkish
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN clerkish IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(SUM(CASE WHEN clerkish IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+             |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Approximate distinct (HLL) next to the exact count — the 100 TB
     // path for O20-class queries (sketches differ per engine, so the
     // oracle checks only the exact column; the test suite bounds the
