@@ -64,6 +64,53 @@ class BdbCorrectnessSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("q01 basket pair counts match a Scala reimplementation") {
+    val catItems = frames("item")
+      .filter(r => Set(1, 2, 3)(r.getInt(11))).map(_.getLong(0)).toSet
+    val baskets = frames("store_sales")
+      .filter(r => (1L to 5L).contains(r.getLong(7)) && catItems(r.getLong(2)))
+      .map(r => (r.getLong(9), r.getLong(2))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val expected = baskets.flatMap { items =>
+      for (i <- items.indices; j <- i + 1 until items.length
+           if items(i) < items(j)) yield (items(i), items(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = BdbQueries1
+      .q01(spark, stores = Seq(1, 2, 3, 4, 5), minCount = 0, limit = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("q22 inventory before/after ratios match a Scala reimplementation") {
+    import java.time.LocalDate
+    val pivot = LocalDate.parse("2001-05-08")
+    val dates = frames("date_dim").map { r =>
+      r.getLong(0) -> LocalDate.parse(r.getString(2))
+    }.toMap
+    val okItems = frames("item").filter { r =>
+      val p = d(r, 5); p >= 0.98 && p <= 1.5
+    }.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val names = frames("warehouse").map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rows = frames("inventory").flatMap { r =>
+      val day = dates(r.getLong(0))
+      val diff = java.time.temporal.ChronoUnit.DAYS.between(pivot, day)
+      if (math.abs(diff) <= 30 && okItems.contains(r.getLong(1)))
+        Some(((names(r.getLong(2)), okItems(r.getLong(1))),
+          if (diff < 0) (r.getInt(3).toLong, 0L) else (0L, r.getInt(3).toLong)))
+      else None
+    }
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+    }.filter { case (_, (b, a)) =>
+      b > 0 && a.toDouble / b >= 2.0 / 3.0 && a.toDouble / b <= 1.5
+    }
+    val got = BdbQueries2.q22(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+  }
+
   test("q14 am/pm counts match a Scala reimplementation") {
     val hd = frames("household_demographics")
       .filter(_.getInt(3) == 5).map(_.getLong(0)).toSet
