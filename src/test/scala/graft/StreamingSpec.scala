@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StatefulSessionize
+import graft.streaming.StatefulSessionize.Ev
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Multi-batch state carry: the stateful sessionizer must merge an
+  * open session across micro-batches (the single-batch case is
+  * oracle-verified by x03; this drives the incremental path the
+  * oracle can't).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState carries open sessions across batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "stream-batches").toString
+    // the file source lists plain files (not nested write dirs): write
+    // each batch, then move its part file up with a controlled mtime
+    // so batch order is deterministic
+    def placeBatch(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/_$name"
+      rows.toDF("user_id", "tsu").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    // batch 1: user 1 events at t=0,100; user 2 at t=50
+    placeBatch(Seq((1L, 0L), (1L, 100L), (2L, 50L)), "b1", 1000000L)
+    // batch 2: user 1 continues within timeout (t=150) then a gap
+    // (t=10000 > timeout 1000) -> closes first session
+    placeBatch(Seq((1L, 150L), (1L, 10000L)), "b2", 2000000L)
+
+    val schema = "user_id long, tsu long"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = stream.as[Ev].groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StatefulSessionize.fold(1000L))
+    val q = out.writeStream.format("memory")
+      .queryName("stream_carry_test").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val rows = spark.table("stream_carry_test")
+      .select("user_id", "start_us", "end_us", "n_events", "closed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+
+    // the CLOSED session for user 1 must span batches: t=0..150, 3 events
+    assert(rows.contains((1L, 0L, 150L, 3L, true)),
+      s"missing merged closed session; got ${rows.mkString(", ")}")
+    // final open sessions: user 1 at t=10000, user 2 at t=50
+    assert(rows.contains((1L, 10000L, 10000L, 1L, false)))
+    assert(rows.contains((2L, 50L, 50L, 1L, false)))
+  }
+}
