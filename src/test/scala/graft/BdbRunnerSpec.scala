@@ -1,0 +1,29 @@
+package graft
+
+import graft.bdb.BdbBenchmarkRunner
+
+/** End-to-end drive of the E3 benchmark runner: fixture tables written
+  * to the reference parquet layout (basePath/table dir), catalog
+  * re-registered from disk, all 30 queries timed, CSV emitted.
+  *
+  * Queries run with REFERENCE default parameters here (item 10001
+  * etc.), so many return 0 rows on the small fixture — the runner's
+  * contract is that they all execute and the results table is
+  * complete.
+  */
+class BdbRunnerSpec extends SparkSpec {
+
+  test("BdbBenchmarkRunner times all 30 queries from a parquet layout") {
+    val base = "/root/repo/target/graft-tmp/bdb-parquet"
+    BdbFixture.frames(spark).foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$base/$t")
+    }
+    val outCsv = s"$base/results.csv"
+    BdbBenchmarkRunner.run(spark, base, outCsv, repeats = 1)
+    val lines = scala.io.Source.fromFile(outCsv).getLines().toSeq
+    assert(lines.head === "query,run,seconds,status")
+    assert(lines.length === 31) // header + 30 queries x 1 repeat
+    val failed = lines.tail.filterNot(_.endsWith(",ok"))
+    assert(failed.isEmpty, s"queries errored: $failed")
+  }
+}
