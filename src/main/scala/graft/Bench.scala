@@ -32,19 +32,40 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // The driver keeps only the last ~2000 chars of output and parses
+    // the JSON line from that tail — a per-query map over the full
+    // suite (~2.6k chars) gets truncated and the round records no
+    // bench number. Emit the total + a fixed headline subset (one per
+    // operator family, plus the heaviest stages) and the failure list;
+    // full per-query timings go to stderr for local profiling.
+    val headline = Seq(
+      "a01_lang_id", "b25_rfm", "b29_brand_pairs",
+      "d01_dedup_exact", "d04_minhash_lsh_neardup", "d07_simhash_neardup",
+      "d09_knn_bruteforce", "d12_dup_groups", "m01_kmeans_lloyd",
+      "o08_join_agg", "o13_basket_pairs", "o26_topk", "o28_window_rank",
+      "s02_sessions", "s04_session_pairs", "t03_word_counts",
+      "x02_streaming_sessions", "x04_tumbling_window", "x05_asof_join")
+    val byName = results.toMap
+    results.foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-28s $v%.3f s") }
+    val qs = headline.flatMap(h => byName.get(h).map(v =>
+        "\"" + h + f"""\":$v%.2f"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sfName = new java.io.File(sfDir).getName
+    val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"failed":$failedJs,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -22,8 +22,16 @@ object Kernels {
     * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` (DuckDB) and
     * `conv(substr(md5(s),1,15),16,10)` (Spark SQL).
     */
+  // MessageDigest is stateful and not thread-safe — one per thread,
+  // reset per call, so the kernel does no per-row allocation.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def portableHash60(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     // first 15 hex digits = 7.5 bytes: take high 60 bits of the first
     // 8 bytes (hex digit 16 is the low nibble of byte 8)
@@ -49,8 +57,10 @@ object Kernels {
     }
     val c = dot / (math.sqrt(na) * math.sqrt(nb))
     // round half-up to 6 decimals over the EXACT binary expansion —
-    // bit-identical to Spark's round(expr, 6) on doubles
-    new java.math.BigDecimal(c)
+    // bit-identical to Spark's round(expr, 6) on doubles, which passes
+    // NaN/Infinity through (a zero-norm vector divides 0/0 here)
+    if (c.isNaN || c.isInfinite) c
+    else new java.math.BigDecimal(c)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 }

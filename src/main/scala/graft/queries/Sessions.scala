@@ -42,8 +42,8 @@ object Sessions extends Suite {
       |  FROM e
       |), sess AS (
       |  SELECT event_id, user_id, event_type, value, tsn,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged
       |)
       |""".stripMargin

@@ -15,6 +15,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * every session it closes, and carries the still-open session
   * forward. Uses event-time order within the batch; across batches
   * relies on source ordering or a watermark-driven re-sort upstream.
+  *
+  * The still-open session is ALSO emitted (closed=false) at the end
+  * of every micro-batch so a finite input yields the complete session
+  * set — which means a multi-batch run appends superseded open-session
+  * snapshots. A session's identity is (user_id, start_us) and its
+  * (end_us, n_events, closed) columns only ever grow, so consumers
+  * collapse snapshots with a groupBy+max — see [[latestSessions]],
+  * which [[sessions]] applies before returning.
   */
 object StatefulSessionize {
 
@@ -74,7 +82,18 @@ object StatefulSessionize {
       .outputMode("append")
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table("graft_stateful_sessions")
+    latestSessions(spark.table("graft_stateful_sessions"))
       .orderBy("user_id", "start_us")
   }
+
+  /** Collapse the append-mode snapshot stream to one row per session:
+    * group on the session identity (user_id, start_us) and take the
+    * max of each monotone column. A later snapshot of the same session
+    * dominates in all three simultaneously, so max == latest state.
+    */
+  def latestSessions(snapshots: DataFrame): DataFrame =
+    snapshots.groupBy("user_id", "start_us")
+      .agg(max("end_us").as("end_us"),
+        max("n_events").as("n_events"),
+        max("closed").as("closed"))
 }

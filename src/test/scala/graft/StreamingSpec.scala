@@ -58,5 +58,21 @@ class StreamingSpec extends SparkSpec {
     // final open sessions: user 1 at t=10000, user 2 at t=50
     assert(rows.contains((1L, 10000L, 10000L, 1L, false)))
     assert(rows.contains((2L, 50L, 50L, 1L, false)))
+
+    // the raw append stream carries a superseded batch-1 snapshot of
+    // user 1's first session; latestSessions must collapse it so each
+    // (user, start) surfaces exactly its final state
+    val collapsed = StatefulSessionize
+      .latestSessions(spark.table("stream_carry_test"))
+      .select("user_id", "start_us", "end_us", "n_events", "closed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSet
+    assert(collapsed == Set(
+      (1L, 0L, 150L, 3L, true),
+      (1L, 10000L, 10000L, 1L, false),
+      (2L, 50L, 50L, 1L, false)),
+      s"collapse wrong: $collapsed")
   }
 }

@@ -17,8 +17,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(con, rel_sql):
     df = con.execute(rel_sql).fetchdf()
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # Sort on a key with float columns rounded to 6 decimals: tolerated
+    # last-ulp float jitter must not be able to flip row order between
+    # the two sides (it would misalign the positional compare).
+    key = df.copy()
+    for c in key.columns:
+        if key[c].dtype.kind == "f":
+            key[c] = key[c].round(6)
+    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def cell_eq(a, b):
@@ -62,6 +69,21 @@ def main():
             continue
         if len(got) != len(exp):
             failures.append((name, f"rowcount {len(got)} vs {len(exp)}"))
+            continue
+        # The driver hashes raw values, so an int column on one side vs
+        # a float on the other (e.g. DuckDB HUGEINT from SUM(int) → 1.0
+        # vs 1) hash-mismatches even though == passes. Flag dtype-kind
+        # drift. (Nullable ints surface as float64 on BOTH sides via
+        # fetchdf, so symmetric nulls don't trip this.)
+        kind_bad = [
+            c for c in got.columns
+            if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}
+        ]
+        if kind_bad:
+            failures.append(
+                (name, "int-vs-float dtype (driver hash-mismatch): "
+                 + ", ".join(f"{c}({got[c].dtype}/{exp[c].dtype})"
+                             for c in kind_bad)))
             continue
         bad = None
         n_inexact = 0
