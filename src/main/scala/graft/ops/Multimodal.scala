@@ -46,6 +46,12 @@ object Multimodal {
       ((8000 * ((h % 6) + 1)).toInt, ((h % 60000) + 1000).toInt,
         ((h % 2) + 1).toInt)
     }
+    /** (fps, durationMs, width, height) of the fake video stream. */
+    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val h = hash60(bytes)
+      ((((h % 4) + 1) * 15).toInt, ((h % 120000) + 2000).toInt,
+        ((h % 1024) + 16).toInt, (((h / 1024) % 1024) + 16).toInt)
+    }
   }
 
   /** Wrap a text column as a fake media payload: (id, modality,
@@ -117,4 +123,37 @@ object Multimodal {
   def withFrameSamplePlan(dims: DataFrame, stride: Int): DataFrame =
     dims.withColumn("n_sampled_frames",
       floor((col("n_frames") + stride - 1) / stride).cast("int"))
+
+  /** Video decode per partition: (id, fps, duration_ms, width,
+    * height) + derived total frame count (all integer arithmetic).
+    */
+  def decodeVideo(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val (fps, dur, w, h) = StubCodec.decodeVideo(bytes)
+          (i, fps, dur, w, h)
+        }
+      }
+      .toDF(id, "fps", "duration_ms", "width", "height")
+      .withColumn("n_total_frames",
+        expr("fps * duration_ms div 1000").cast("int"))
+  }
+
+  /** Materialize the sampled-frame WORK LIST: one row per kept frame
+    * (every `stride`-th), with its integer-ms timestamp — the fan-out
+    * a real pipeline feeds to the frame decoder. Built narrow with
+    * sequence+explode (no join, no shuffle before the downstream op).
+    */
+  def sampledFrames(video: DataFrame, id: String, stride: Int): DataFrame =
+    video
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_total_frames") - 1,
+          lit(stride))))
+      .withColumn("ts_ms", expr("frame_idx * 1000 div fps").cast("int"))
+      .select(col(id), col("frame_idx").cast("int").as("frame_idx"),
+        col("ts_ms"))
 }

@@ -397,8 +397,12 @@ object DedupQueries extends Suite {
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
       val edges = Dedup.jaccardFromSelfJoin(sh, "doc_id")
         .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
+      // the edge list feeds every propagation step — without a persist
+      // the shingle self-join (the expensive stage) re-executes once
+      // per iteration (measured 5x the query time at sf0.1); at scale,
+      // iterative graph algorithms also need the lineage cut
       val sym = edges.union(
-        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
+        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2"))).cache()
       var labels = base.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 5) {
         val nbrMin = sym

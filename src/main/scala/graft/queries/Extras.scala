@@ -191,6 +191,117 @@ object Extras extends Suite {
              |WHERE rn <= 3
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // The same operator reached DECLARATIVELY: the query is the plain
+    // row_number window idiom, and the TopKRewrite optimizer rule
+    // (Rule[LogicalPlan], SURVEY §2e) substitutes TopKPerKeyExec —
+    // plan shape asserted in TopKSpec.
+    Q("x08_topk_rewrite", (s, d) => {
+      graft.plans.TopKRewrite.install(s)
+      val c = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy("c_nationkey", "c_custkey")
+    },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM (
+             |  SELECT c_custkey, c_nationkey, c_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn <= 3
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
+    // Video modality: decode (stub) → total-frame plan → sampled-frame
+    // WORK LIST fan-out (one row per kept frame with its timestamp) —
+    // the explode a real pipeline feeds to a frame decoder, all
+    // integer arithmetic so the oracle replays it from md5.
+    Q("x11_video_frames", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "video")
+      val video = Multimodal.decodeVideo(media, "doc_id")
+      Multimodal.sampledFrames(video, "doc_id", 100)
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+             |  FROM documents WHERE doc_id < 200),
+             |v AS (
+             |  SELECT doc_id,
+             |    CAST(((hv % 4) + 1) * 15 AS INT) AS fps,
+             |    CAST((hv % 120000) + 2000 AS INT) AS duration_ms
+             |  FROM h),
+             |vt AS (
+             |  SELECT doc_id, fps,
+             |    CAST(fps * duration_ms // 1000 AS INT) AS ntf
+             |  FROM v)
+             |SELECT doc_id,
+             |  CAST(f.i AS INT) AS frame_idx,
+             |  CAST(f.i * 1000 // fps AS INT) AS ts_ms
+             |FROM vt, unnest(generate_series(0, ntf - 1, 100)) AS f(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Streaming exactly-once dedup: dropDuplicates over a stream keeps
+    // state per fingerprint and emits each exactly once (Append). The
+    // kept doc_id per fingerprint is arrival-order-dependent, so the
+    // verified output is the fingerprint set itself — deterministic
+    // under any batching. At scale the state is bounded with
+    // dropDuplicatesWithinWatermark.
+    Q("x09_streaming_dedup", (s, d) => {
+      val static = Tables.load(s, d, "documents")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val q = stream.select(md5(col("text")).as("fp"))
+        .dropDuplicates("fp")
+        .writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_dedup").orderBy("fp")
+    },
+      Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
+
+    // Stream-stream inner join with watermarks + an event-time range
+    // condition (purchases joined to the same user's signups within
+    // the preceding hour) — the state-bounded join form; the emitted
+    // set equals the batch join once all input is processed.
+    Q("x10_stream_stream_join", (s, d) => {
+      val static = Tables.load(s, d, "events")
+      def src = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      val signups = src.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+          col("ets").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ets").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val q = purchases.join(signups,
+          col("p_user") === col("s_user") &&
+            col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select("purchase_id", "signup_id")
+        .writeStream.format("memory").queryName("graft_ss_join")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_ss_join").orderBy("purchase_id", "signup_id")
+    },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+             |  FROM events)
+             |SELECT p.event_id AS purchase_id, sg.event_id AS signup_id
+             |FROM e p JOIN e sg
+             |  ON p.user_id = sg.user_id
+             | AND p.event_type = 'purchase' AND sg.event_type = 'signup'
+             | AND sg.tsu <= p.tsu AND sg.tsu >= p.tsu - 3600000000
+             |ORDER BY purchase_id, signup_id""".stripMargin)),
+
     // MinHash via the typed Aggregator (one k-long buffer per group) —
     // same oracle as the k-min-columns form d03.
     Q("d13_minhash_aggregator", (s, d) => {
@@ -204,6 +315,32 @@ object Extras extends Suite {
         df.withColumn(s"sig_$i", element_at(col("sigs"), i + 1))
       }.drop("sigs").orderBy("doc_id")
     },
-      Some(DedupQueries.oracles("d03_minhash_sigs")))
+      Some(DedupQueries.oracles("d03_minhash_sigs"))),
+
+    // HLL sketch via the typed Aggregator — the estimate itself is
+    // oracle-verified bit-exactly (integer harmonic sum + a fixed
+    // IEEE multiply/divide chain; see HllAgg scaladoc), next to the
+    // exact distinct for the accuracy read.
+    Q("d14_hll_sketch", (s, d) => {
+      val hll = udaf(new graft.ops.HllAgg())
+      Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_partkey"),
+          graft.ops.Text.portableHash(col("l_partkey").cast("string"))
+            .as("hv"))
+        .groupBy("grp")
+        .agg(hll(col("hv")).as("hll_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .orderBy("grp")
+    },
+      Some(s"""WITH hashed AS (
+              |  SELECT l_returnflag AS grp, l_partkey,
+              |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS hv
+              |  FROM lineitem),
+              |hll AS (
+              |${graft.ops.HllAgg.oracleSql()}),
+              |ex AS (SELECT grp, COUNT(DISTINCT l_partkey) AS exact_nd
+              |       FROM hashed GROUP BY grp)
+              |SELECT grp, hll_nd, exact_nd FROM hll JOIN ex USING (grp)
+              |ORDER BY grp""".stripMargin))
   )
 }

@@ -252,6 +252,58 @@ object Relational2 extends Suite {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // CUBE with grouping_id: all four grouping sets in one Expand +
+    // aggregation pass. gid leads the sort so every null in a group
+    // column is a subtotal row inside its own gid block — null
+    // ordering can't differ between engines within a block (a column
+    // is either all-null or never-null there).
+    Q("o45_cube_grouping", (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("spend"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "spend")
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST,
+             |  o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Ranking/distribution window breadth (ntile, percent_rank,
+    // cume_dist, lead, first_value) in ONE window pass — all five
+    // derive from the same (partition, order) spec, so Catalyst plans
+    // a single exchange + sort. Order is totally determined by the
+    // unique (price, orderkey, linenumber) tiebreak; the float ranks
+    // are exact int ratios rounded to 6 on both sides.
+    Q("o46_window_breadth", (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          first(col("l_orderkey")).over(w).as("first_ok"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  NTILE(4) OVER w AS quartile,
+             |  round(PERCENT_RANK() OVER w, 6) AS pr,
+             |  round(CUME_DIST() OVER w, 6) AS cd,
+             |  LEAD(l_quantity, 1) OVER w AS next_qty,
+             |  FIRST_VALUE(l_orderkey) OVER w AS first_ok
+             |FROM lineitem WHERE l_orderkey < 500
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }

@@ -102,6 +102,37 @@ object TextQueries2 extends Suite {
              |  WHERE len(w2) > 0)
              |SELECT p_brand, COUNT(DISTINCT doc_id) AS n_docs
              |FROM gaz JOIN w USING (word)
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Array higher-order functions over the token array — size /
+    // array_distinct / aggregate (fold) / slice / array_contains, all
+    // computed NARROW (no explode, no shuffle): the token array stays
+    // inside one projection, which is the 100 TB-friendly shape for
+    // per-document features.
+    Q("t16_array_hofs", (s, d) =>
+      docs(s, d)
+        .withColumn("tokens",
+          filter(split(col("text"), " "), w => length(w) > 0))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          size(array_distinct(col("tokens"))).as("n_distinct"),
+          aggregate(col("tokens"), lit(0),
+            (acc, x) => acc + length(x)).as("total_chars"),
+          concat_ws("_", slice(col("tokens"), 1, 3)).as("first3"),
+          array_contains(col("tokens"), "the").as("has_the"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |      AS tokens
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(tokens) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(tokens)) AS INT) AS n_distinct,
+             |  CAST(coalesce(list_sum(list_transform(tokens, x -> len(x))), 0)
+             |    AS INT) AS total_chars,
+             |  array_to_string(tokens[1:3], '_') AS first3,
+             |  list_contains(tokens, 'the') AS has_the
+             |FROM t ORDER BY doc_id""".stripMargin))
   )
 }

@@ -21,6 +21,50 @@ class TopKSpec extends SparkSpec {
     assert(viaOp.nonEmpty)
   }
 
+  test("rewrite rule: declarative row_number<=k form plans TopKPerKeyExec") {
+    graft.plans.TopKRewrite.install(spark)
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val declarative = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(declarative.queryExecution.executedPlan.toString
+      .contains("TopKPerKey"),
+      declarative.queryExecution.executedPlan.toString.take(2000))
+    // control: keeping the rank in the output must NOT rewrite
+    val kept = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(!kept.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // equivalence against the (unrewritten) rank-kept window form
+    val got = declarative.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = kept.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("rewrite rule: residual conjuncts survive as a Filter on the operator") {
+    graft.plans.TopKRewrite.install(spark)
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val declarative = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 50000.0).drop("rn")
+    assert(declarative.queryExecution.executedPlan.toString
+      .contains("TopKPerKey"))
+    val kept = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 50000.0)
+    val got = declarative.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = kept.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("TopKPerKey plans the custom exec with a single exchange") {
     val o = Tables.load(spark, sf, "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice")
