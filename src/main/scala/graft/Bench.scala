@@ -32,8 +32,13 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run for local profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -397,12 +397,13 @@ object DedupQueries extends Suite {
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
       val edges = Dedup.jaccardFromSelfJoin(sh, "doc_id")
         .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
-      // the edge list feeds every propagation step — without a persist
-      // the shingle self-join (the expensive stage) re-executes once
-      // per iteration (measured 5x the query time at sf0.1); at scale,
-      // iterative graph algorithms also need the lineage cut
+      // the edge list feeds every propagation step; Spark's
+      // ReusedExchange already dedups its shuffle across iterations
+      // (an explicit .cache() measured SLOWER at sf0.1 — columnar
+      // encode cost without saving work). On a real cluster, add
+      // localCheckpoint every few iterations to cut lineage growth.
       val sym = edges.union(
-        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2"))).cache()
+        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
       var labels = base.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 5) {
         val nbrMin = sym

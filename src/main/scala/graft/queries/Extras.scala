@@ -131,9 +131,11 @@ object Extras extends Suite {
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.format("memory")
-        .queryName("graft_tumbling").outputMode("complete").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_tumbling").outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       spark.table("graft_tumbling")
         .select(unix_micros(col("window.start")).as("start_us"),
           col("event_type"), col("n"))
@@ -245,6 +247,36 @@ object Extras extends Suite {
              |FROM vt, unnest(generate_series(0, ntf - 1, 100)) AS f(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Binned range join: ship-dates joined to 90-day order windows as
+    // an EQUI-join on day bins + residual containment filter (plan
+    // asserted BNLJ-free in RangeJoinSpec) — the hash-join-shaped
+    // interval join that survives 100 TB where the nested-loop form
+    // doesn't.
+    Q("x12_binned_range_join", (s, d) => {
+      val day0 = lit("1992-01-01").cast("date")
+      val iv = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), day0).as("lo_d"))
+        .withColumn("hi_d", col("lo_d") + 90)
+      val pts = Tables.load(s, d, "lineitem")
+        .select(datediff(col("l_shipdate").cast("date"), day0).as("pd"))
+      graft.ops.RangeJoin.binned(pts, iv,
+          col("pd"), col("lo_d"), col("hi_d"), binWidth = 32)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey,
+             |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS INT) AS lo_d
+             |  FROM orders WHERE o_orderkey < 100),
+             |p AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS INT) AS pd
+             |  FROM lineitem)
+             |SELECT o_orderkey, COUNT(*) AS n_shipped
+             |FROM iv JOIN p ON pd BETWEEN lo_d AND lo_d + 90
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
     // Streaming exactly-once dedup: dropDuplicates over a stream keeps
     // state per fingerprint and emits each exactly once (Append). The
     // kept doc_id per fingerprint is arrival-order-dependent, so the
@@ -255,11 +287,13 @@ object Extras extends Suite {
       val static = Tables.load(s, d, "documents")
       val stream = s.readStream.schema(static.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val q = stream.select(md5(col("text")).as("fp"))
-        .dropDuplicates("fp")
-        .writeStream.format("memory").queryName("graft_stream_dedup")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = stream.select(md5(col("text")).as("fp"))
+          .dropDuplicates("fp")
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_stream_dedup").orderBy("fp")
     },
       Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
@@ -282,14 +316,16 @@ object Extras extends Suite {
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
           col("ets").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val q = purchases.join(signups,
-          col("p_user") === col("s_user") &&
-            col("s_ts") <= col("p_ts") &&
-            col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-        .select("purchase_id", "signup_id")
-        .writeStream.format("memory").queryName("graft_ss_join")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = purchases.join(signups,
+            col("p_user") === col("s_user") &&
+              col("s_ts") <= col("p_ts") &&
+              col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          .select("purchase_id", "signup_id")
+          .writeStream.format("memory").queryName("graft_ss_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_ss_join").orderBy("purchase_id", "signup_id")
     },
       Some("""WITH e AS (

@@ -77,11 +77,13 @@ object StatefulSessionize {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         fold(timeoutSec * 1000000L))
-    val q = out.writeStream
-      .format("memory").queryName("graft_stateful_sessions")
-      .outputMode("append")
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    StreamConf.withStatePartitions(spark) {
+      val q = out.writeStream
+        .format("memory").queryName("graft_stateful_sessions")
+        .outputMode("append")
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     latestSessions(spark.table("graft_stateful_sessions"))
       .orderBy("user_id", "start_us")
   }

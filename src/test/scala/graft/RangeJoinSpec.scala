@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def day0 = lit("1992-01-01").cast("date")
+
+  private def pts = Tables.load(spark, sf, "lineitem")
+    .select(col("l_orderkey"),
+      datediff(col("l_shipdate").cast("date"), day0).as("pd"))
+
+  private def iv = Tables.load(spark, sf, "orders")
+    .filter(col("o_orderkey") < 200)
+    .select(col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), day0).as("lo_d"))
+    .withColumn("hi_d", col("lo_d") + 45)
+
+  test("binned range join == naive range-predicate join") {
+    val got = RangeJoin.binned(pts, iv,
+        col("pd"), col("lo_d"), col("hi_d"), binWidth = 16)
+      .select("l_orderkey", "o_orderkey", "pd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = pts.join(iv,
+        col("pd") >= col("lo_d") && col("pd") <= col("hi_d"))
+      .select("l_orderkey", "o_orderkey", "pd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("binned range join plans as an equi-join (no nested loop)") {
+    val plan = RangeJoin.binned(pts, iv,
+        col("pd"), col("lo_d"), col("hi_d"), binWidth = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
+  test("bin width 1 and huge width agree (duplication-selectivity trade)") {
+    def run(w: Long) = RangeJoin.binned(pts, iv,
+        col("pd"), col("lo_d"), col("hi_d"), binWidth = w)
+      .select("l_orderkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1L) === run(100000L))
+  }
+}
