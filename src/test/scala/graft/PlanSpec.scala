@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("d14: HLL aggregator applies partial (map-side) aggregation") {
+    val p = plan("d14_hll_sketch")
+    // the sketch must shrink BEFORE the exchange: a partial_ aggregate
+    // of the udaf below the shuffle, the final above it
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.toLowerCase.contains("hllagg"), p.take(3000))
+  }
+
+  test("x12: binned range join shuffles, no nested-loop join") {
+    val p = plan("x12_binned_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
