@@ -377,6 +377,40 @@ object Extras extends Suite {
               |ex AS (SELECT grp, COUNT(DISTINCT l_partkey) AS exact_nd
               |       FROM hashed GROUP BY grp)
               |SELECT grp, hll_nd, exact_nd FROM hll JOIN ex USING (grp)
-              |ORDER BY grp""".stripMargin))
+              |ORDER BY grp""".stripMargin)),
+
+    // Histogram quantile sketch: price p50/p95 per return flag from a
+    // fixed-bin count vector — the mergeable approximate-quantile
+    // whose answer is integer-exact on both engines (unlike
+    // approx_percentile's engine-private t-digest). Prices quantized
+    // to cents, $100 bins.
+    Q("d15_histogram_quantiles", (s, d) => {
+      val W = 10000L; val NB = 1100
+      val p50 = udaf(new graft.ops.HistQuantileAgg(W, NB, 1, 2))
+      val p95 = udaf(new graft.ops.HistQuantileAgg(W, NB, 19, 20))
+      Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("grp")
+        .agg(p50(col("cents")).as("p50_cents"),
+          p95(col("cents")).as("p95_cents"))
+        .orderBy("grp")
+    },
+      Some(s"""WITH v AS (
+              |  SELECT l_returnflag AS grp,
+              |    LEAST(GREATEST(
+              |      CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 10000,
+              |      0), 1099) AS b
+              |  FROM lineitem),
+              |bc AS (SELECT grp, b, COUNT(*) AS c FROM v GROUP BY grp, b),
+              |cum AS (
+              |  SELECT grp, b,
+              |    SUM(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
+              |    SUM(c) OVER (PARTITION BY grp) AS tot
+              |  FROM bc)
+              |SELECT grp,
+              |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 1, 2, "p50_cents")},
+              |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 19, 20, "p95_cents")}
+              |FROM cum GROUP BY grp ORDER BY grp""".stripMargin))
   )
 }

@@ -34,6 +34,21 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(e1 - n.toDouble) / n < 0.10, s"hll $e1 vs exact $n")
   }
 
+  test("HistQuantileAgg: within half a bin of exact, partitioning-invariant") {
+    val W = 10000L
+    val p50 = udaf(new graft.ops.HistQuantileAgg(W, 1100, 1, 2))
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    def run(parts: Int): Long =
+      li.repartition(parts).agg(p50(col("cents"))).first().getLong(0)
+    val e1 = run(1)
+    val e8 = run(8)
+    assert(e1 === e8, s"partitioning changed the quantile: $e1 vs $e8")
+    val exact = li.stat.approxQuantile("cents", Array(0.5), 0.0).head
+    assert(math.abs(e1 - exact) <= W,
+      s"sketch p50 $e1 too far from exact $exact")
+  }
+
   test("extensions class injects both functions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.expressions.GraftSparkExtensions().apply(exts)

@@ -75,4 +75,52 @@ class StreamingSpec extends SparkSpec {
       (2L, 50L, 50L, 1L, false)),
       s"collapse wrong: $collapsed")
   }
+
+  test("watermark drops late data from windowed aggregation") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "late-data").toString
+    def placeBatch(epochSecs: Seq[Long], name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/_$name"
+      epochSecs.toDF("sec").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    val H = 3600L
+    // batch 0: events at 10:00 and 12:00 -> watermark (30 min delay)
+    // advances to 11:30 after this batch
+    placeBatch(Seq(10 * H, 12 * H), "w1", 1000000L)
+    // batch 1: on-time event; the 11:30 watermark EVICTS window
+    // [10:00, 11:00) (emitted n=1) at this batch's end
+    placeBatch(Seq(13 * H), "w2", 2000000L)
+    // batch 2: a LATE event at 10:30 — its window is long evicted and
+    // the row is behind the late-events watermark -> dropped (Spark
+    // drops with the PREVIOUS batch's watermark, which is why the
+    // late row must arrive two batches after the one that passed it)
+    placeBatch(Seq(10 * H + 1800), "w3", 3000000L)
+
+    val stream = spark.readStream.schema("sec long")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(window(col("ets"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory")
+      .queryName("late_data_test").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val rows = spark.table("late_data_test")
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly ONE row for the 10:00 window, with n=1: the late row
+    // neither merged in (no n=2) nor re-opened the window (no
+    // duplicate emission)
+    assert(rows.count(_._1 == 10 * H) === 1, s"got $rows")
+    assert(rows.contains((10 * H, 1L)), s"got $rows")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1L, "late row was not dropped by the watermark")
+  }
 }
