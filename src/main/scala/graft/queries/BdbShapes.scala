@@ -366,6 +366,53 @@ object BdbShapes extends Suite {
              |FROM b x JOIN b y
              |  ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
              |GROUP BY x.p_brand, y.p_brand
-             |ORDER BY cnt DESC, brand_1, brand_2 LIMIT 100""".stripMargin))
+             |ORDER BY cnt DESC, brand_1, brand_2 LIMIT 100""".stripMargin)),
+
+    // q23 shape: coefficient of variation (stddev/mean of daily
+    // quantity sums) above a threshold in TWO CONSECUTIVE months for
+    // the same supplier (ref: queries/q23/gpu_bdb_query_23_dask_sql
+    // .py:38-92 — inventory CoV >= 1.3 in consecutive months). Exact-
+    // component stddev per the engine's determinism discipline.
+    Q("b23_cov_months", (s, d) => {
+      val dt = col("l_shipdate").cast("date")
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"),
+          ((year(dt) - 1992) * 12 + month(dt) - 1).as("m"),
+          col("l_shipdate"))
+        .agg(dsum(col("l_quantity")).as("dq"))
+      val stats = daily.groupBy("l_suppkey", "m")
+        .agg(dstddev(col("dq")).as("sd"), davg(col("dq")).as("mean"))
+        .filter(col("sd").isNotNull)
+        .withColumn("cov", round(col("sd") / col("mean"), 6))
+      stats.as("a").join(stats.as("b"),
+          col("a.l_suppkey") === col("b.l_suppkey") &&
+            col("a.m") + 1 === col("b.m"))
+        .filter(col("a.cov") >= 0.5 && col("b.cov") >= 0.5)
+        .select(col("a.l_suppkey").as("suppkey"), col("a.m").as("m"),
+          col("a.cov").as("cov_m"), col("b.cov").as("cov_m1"))
+        .orderBy("suppkey", "m")
+    },
+      Some("""WITH daily AS (
+             |  SELECT l_suppkey,
+             |    (year(CAST(l_shipdate AS DATE)) - 1992) * 12
+             |      + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+             |    l_shipdate,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS dq
+             |  FROM lineitem GROUP BY 1, 2, 3),
+             |stats AS (
+             |  SELECT l_suppkey, m,
+             |    round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2)) * CAST(dq AS DECIMAL(14,2))) AS DOUBLE)
+             |      - CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE))
+             |      / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6) AS sd,
+             |    CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean
+             |  FROM daily GROUP BY 1, 2
+             |  HAVING COUNT(*) > 1),
+             |cov AS (SELECT l_suppkey, m, round(sd / mean, 6) AS cov FROM stats)
+             |SELECT a.l_suppkey AS suppkey, a.m AS m,
+             |  a.cov AS cov_m, b.cov AS cov_m1
+             |FROM cov a JOIN cov b
+             |  ON a.l_suppkey = b.l_suppkey AND a.m + 1 = b.m
+             |WHERE a.cov >= 0.5 AND b.cov >= 0.5
+             |ORDER BY suppkey, m""".stripMargin))
   )
 }
