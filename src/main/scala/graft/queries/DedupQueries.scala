@@ -323,6 +323,58 @@ object DedupQueries extends Suite {
               |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)),
 
+    // D16: IVF with nprobe=2 — each query searches its TWO nearest
+    // centroid buckets (the standard recall knob: cost scales with
+    // nprobe/#centroids; buckets are disjoint so the union needs no
+    // dedup). Same plan shape as d10, one extra probe row per query.
+    Q("d16_knn_ivf_nprobe", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id").isin(0, 101, 202, 303))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val wAsg = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      val scoredC = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAsg))
+      val asg = scoredC.filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val probes = scoredC.filter(col("vec_id") < 10 && col("arn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+          col("embedding").as("q_emb"))
+      val wK = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      asg.join(broadcast(probes),
+          col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+              |          WHERE vec_id IN (0, 101, 202, 303)),
+              |scored_c AS (
+              |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS ccos
+              |  FROM e, cents c),
+              |ranked_c AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY ccos DESC, cid) AS arn FROM scored_c),
+              |asg AS (SELECT vec_id, cid FROM ranked_c WHERE arn = 1),
+              |probes AS (
+              |  SELECT vec_id AS q_id, cid AS q_cid FROM ranked_c
+              |  WHERE arn <= 2 AND vec_id < 10),
+              |q AS (
+              |  SELECT p.q_id, p.q_cid, e.embedding
+              |  FROM probes p JOIN e ON e.vec_id = p.q_id),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+              |  FROM q JOIN asg a ON a.cid = q.q_cid AND a.vec_id <> q.q_id
+              |         JOIN e ON e.vec_id = a.vec_id),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, n_id) AS rnk FROM scored)
+              |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // D11: random-hyperplane LSH ANN — sign bits of 4 deterministic
     // integer hyperplane dots bucket the corpus (16 buckets); search
     // only the query's bucket. Planes broadcast; vector components

@@ -304,6 +304,27 @@ object Relational2 extends Suite {
              |FROM lineitem WHERE l_orderkey < 500
              |WINDOW w AS (PARTITION BY l_returnflag
              |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Salted skew join behind the oracle gate: the salt spreads a hot
+    // key over saltFactor reducers but the RESULT is identical to the
+    // plain join — which is exactly what the oracle checks (the salt
+    // hash never reaches the output).
+    Q("o47_salted_join", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Partitioned.saltedJoin(li, sup, "l_suppkey",
+          col("l_orderkey") * 8 + col("l_linenumber"), saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

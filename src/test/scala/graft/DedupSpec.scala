@@ -61,4 +61,24 @@ class DedupSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
+
+  test("IVF recall: nprobe=2 >= nprobe=1, both measured against brute force") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("rnk") <= 5)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topk("d09_knn_bruteforce")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    val r1 = recall(topk("d10_knn_ivf"))
+    val r2 = recall(topk("d16_knn_ivf_nprobe"))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0.0, "nprobe=2 found nothing")
+  }
 }
