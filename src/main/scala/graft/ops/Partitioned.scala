@@ -44,6 +44,29 @@ object Partitioned {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Compact a small-file parquet directory into ~`targetBytes` output
+    * files — the maintenance pass every long-lived 100 TB table needs
+    * (streaming sinks and fine-grained partitions accrete kilobyte
+    * files; scan cost is per-file, so compaction is what keeps read
+    * amplification flat). File count = ceil(inputBytes / targetBytes),
+    * resized with a round-robin repartition (no key skew).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1,
+      ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * deterministic salt derived from `tieBreak` (any column unique-ish
     * per row); the small side is exploded `saltFactor` times. Results

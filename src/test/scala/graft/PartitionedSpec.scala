@@ -37,4 +37,24 @@ class PartitionedSpec extends SparkSpec {
     assert(salted === plain)
     assert(plain.size === 901)
   }
+
+  test("compact collapses a small-file directory preserving rows") {
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // 32 tiny files
+    Tables.load(spark, sf, "orders").repartition(32).write.parquet(in)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(in) === 32)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target half the input -> exactly 2 output files
+    val n = Partitioned.compact(spark, in, out, (inBytes + 1) / 2)
+    assert(n === 2, s"expected 2 files, planner said $n")
+    assert(parts(out) === 2)
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(in).count())
+  }
 }
