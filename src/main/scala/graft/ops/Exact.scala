@@ -49,6 +49,24 @@ object Exact {
     */
   private def r6(c: Column): Column = round(c, 6)
 
+  /** UNROUNDED sample standard deviation from exact components —
+    * bit-identical across engines as long as the decimal sums stay
+    * under ~15 significant digits (no rounding step means no
+    * round-boundary hazard: round(x, 6) can disagree between Spark's
+    * exact-binary-expansion rounding and DuckDB's multiply-based
+    * rounding when x sits exactly on a 1e-6 boundary — observed once
+    * in ~44k values at sf0.1). Prefer this when the stddev feeds
+    * further arithmetic or comparisons; use [[dstddev]] only when the
+    * inputs are large enough for the decimal→double cast to diverge.
+    */
+  def dstddevRaw(c: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(c)
+    val sxx = dsumProd(c, c)
+    when(n > 1, sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** Sample standard deviation from exact components.
     * sqrt((n*sxx - sx^2) / (n*(n-1))) with sx,sxx exact decimals cast
     * to double. Deterministic across engines (IEEE sqrt is exact).

@@ -380,10 +380,14 @@ object BdbShapes extends Suite {
           ((year(dt) - 1992) * 12 + month(dt) - 1).as("m"),
           col("l_shipdate"))
         .agg(dsum(col("l_quantity")).as("dq"))
+      // raw (unrounded) stddev + cov: components stay under 15
+      // significant digits, so the doubles are bit-identical across
+      // engines — rounding would ADD a boundary hazard here (see
+      // Exact.dstddevRaw)
       val stats = daily.groupBy("l_suppkey", "m")
-        .agg(dstddev(col("dq")).as("sd"), davg(col("dq")).as("mean"))
+        .agg(dstddevRaw(col("dq")).as("sd"), davg(col("dq")).as("mean"))
         .filter(col("sd").isNotNull)
-        .withColumn("cov", round(col("sd") / col("mean"), 6))
+        .withColumn("cov", col("sd") / col("mean"))
       stats.as("a").join(stats.as("b"),
           col("a.l_suppkey") === col("b.l_suppkey") &&
             col("a.m") + 1 === col("b.m"))
@@ -401,13 +405,13 @@ object BdbShapes extends Suite {
              |  FROM lineitem GROUP BY 1, 2, 3),
              |stats AS (
              |  SELECT l_suppkey, m,
-             |    round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2)) * CAST(dq AS DECIMAL(14,2))) AS DOUBLE)
+             |    sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2)) * CAST(dq AS DECIMAL(14,2))) AS DOUBLE)
              |      - CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE))
-             |      / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6) AS sd,
+             |      / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))) AS sd,
              |    CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean
              |  FROM daily GROUP BY 1, 2
              |  HAVING COUNT(*) > 1),
-             |cov AS (SELECT l_suppkey, m, round(sd / mean, 6) AS cov FROM stats)
+             |cov AS (SELECT l_suppkey, m, sd / mean AS cov FROM stats)
              |SELECT a.l_suppkey AS suppkey, a.m AS m,
              |  a.cov AS cov_m, b.cov AS cov_m1
              |FROM cov a JOIN cov b
