@@ -113,9 +113,11 @@ object DedupQueries extends Suite {
       val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
       val cands = Dedup.lshCandidates(
         Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
+      // raw jaccard, not round-6: the ratio of exact ints is
+      // bit-identical across engines, while rounding can flip when a
+      // rational lands exactly on a 1e-6 boundary (e.g. k/640)
       Dedup.jaccardVerify(cands, sh, "doc_id")
         .filter(col("jaccard") >= 0.9)
-        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_1", "id_2")
     },
       Some(s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
@@ -134,7 +136,7 @@ object DedupQueries extends Suite {
               |            JOIN ws sb ON sb.doc_id = id_2 AND sa.sh = sb.sh
               |  GROUP BY id_1, id_2)
               |SELECT id_1, id_2,
-              |  round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+              |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
               |FROM common JOIN sizes za ON za.doc_id = id_1
               |            JOIN sizes zb ON zb.doc_id = id_2
               |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.9
@@ -148,8 +150,7 @@ object DedupQueries extends Suite {
       // candidates-then-reverify form re-joins the shingle table twice
       // more — measured 5x slower at sf0.1)
       Dedup.jaccardFromSelfJoin(sh, "doc_id")
-        .filter(col("jaccard") >= 0.1)
-        .withColumn("jaccard", round(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
         .orderBy("id_1", "id_2")
     },
       Some("""WITH w AS (
@@ -170,7 +171,7 @@ object DedupQueries extends Suite {
              |            JOIN ws sb ON sb.doc_id = id_2 AND sa.sh = sb.sh
              |  GROUP BY id_1, id_2)
              |SELECT id_1, id_2,
-             |  round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6) AS jaccard
+             |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
              |FROM common JOIN sizes za ON za.doc_id = id_1
              |            JOIN sizes zb ON zb.doc_id = id_2
              |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.1
