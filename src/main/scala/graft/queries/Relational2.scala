@@ -289,16 +289,19 @@ object Relational2 extends Suite {
       t(s, d, "lineitem").filter(col("l_orderkey") < 500)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
+          // raw rank ratios — (rank-1)/(n-1) and rank/n are divisions
+          // of exact ints, bit-identical across engines; round-6 would
+          // reintroduce the 1e-6-boundary hazard (see b23/d04 notes)
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
           lead(col("l_quantity"), 1).over(w).as("next_qty"),
           first(col("l_orderkey")).over(w).as("first_ok"))
         .orderBy("l_orderkey", "l_linenumber")
     },
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
              |  NTILE(4) OVER w AS quartile,
-             |  round(PERCENT_RANK() OVER w, 6) AS pr,
-             |  round(CUME_DIST() OVER w, 6) AS cd,
+             |  PERCENT_RANK() OVER w AS pr,
+             |  CUME_DIST() OVER w AS cd,
              |  LEAD(l_quantity, 1) OVER w AS next_qty,
              |  FIRST_VALUE(l_orderkey) OVER w AS first_ok
              |FROM lineitem WHERE l_orderkey < 500
