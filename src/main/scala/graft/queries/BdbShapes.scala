@@ -46,8 +46,11 @@ object BdbShapes extends Suite {
         spend("F", 1995).as("f1"), spend("F", 1996).as("f2"),
         spend("O", 1995).as("o1"), spend("O", 1996).as("o2"))
       agg.filter(col("f1") > 0 && col("o1") > 0)
-        .withColumn("web_ratio", round(col("o2") / col("o1"), 6))
-        .withColumn("store_ratio", round(col("f2") / col("f1"), 6))
+        // raw ratios: per-customer sums stay far under 15 significant
+        // digits, so the divisions are bit-identical across engines —
+        // round-6 could flip membership on a 1e-6 boundary
+        .withColumn("web_ratio", col("o2") / col("o1"))
+        .withColumn("store_ratio", col("f2") / col("f1"))
         .filter(col("web_ratio") > col("store_ratio"))
         .select("o_custkey", "web_ratio", "store_ratio")
         .orderBy(desc("web_ratio"), col("o_custkey"))
@@ -66,8 +69,8 @@ object BdbShapes extends Suite {
              |  FROM orders
              |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
              |  GROUP BY o_custkey)
-             |SELECT o_custkey, round(o2/o1, 6) AS web_ratio, round(f2/f1, 6) AS store_ratio
-             |FROM y WHERE f1 > 0 AND o1 > 0 AND round(o2/o1,6) > round(f2/f1,6)
+             |SELECT o_custkey, o2/o1 AS web_ratio, f2/f1 AS store_ratio
+             |FROM y WHERE f1 > 0 AND o1 > 0 AND o2/o1 > f2/f1
              |ORDER BY web_ratio DESC, o_custkey LIMIT 100""".stripMargin)),
 
     // q07: nations with >= 10 sales of parts priced > 1.2x their
@@ -113,13 +116,13 @@ object BdbShapes extends Suite {
           sum(when(col("hr") < 12, 1).otherwise(0)).as("n_am"),
           sum(when(col("hr") >= 12, 1).otherwise(0)).as("n_pm"))
         .withColumn("am_pm_ratio",
-          round(col("n_am").cast("double") / col("n_pm"), 6))
+          col("n_am").cast("double") / col("n_pm"))
     },
       Some("""SELECT
              |  CAST(SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_am,
              |  CAST(SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_pm,
-             |  round(CAST(SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12 THEN 1 ELSE 0 END) AS DOUBLE)
-             |    / SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+             |  CAST(SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 >= 12 THEN 1 ELSE 0 END) AS am_pm_ratio
              |FROM events WHERE event_type = 'purchase'""".stripMargin)),
 
     // q16: sales +/- returns before/after a pivot date per brand
@@ -168,14 +171,13 @@ object BdbShapes extends Suite {
             col("l_extendedprice").cast("decimal(14,2)")).otherwise(lit(0)))
             .cast("double").as("promo_rev"),
           dsum(col("l_extendedprice")).as("total_rev"))
-        .withColumn("promo_ratio",
-          round(col("promo_rev") / col("total_rev"), 6))
+        .withColumn("promo_ratio", col("promo_rev") / col("total_rev"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand,
              |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE) AS promo_rev,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS total_rev,
-             |  round(CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 6) AS promo_ratio
+             |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS promo_ratio
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
@@ -234,7 +236,7 @@ object BdbShapes extends Suite {
             col("l_quantity").cast("decimal(14,2)")).otherwise(lit(0)))
             .cast("double").as("qty_after"))
         .filter(col("qty_before") > 0 && col("qty_after") > 0)
-        .withColumn("ratio", round(col("qty_after") / col("qty_before"), 6))
+        .withColumn("ratio", col("qty_after") / col("qty_before"))
         .filter(col("ratio") >= 2.0 / 3.0 && col("ratio") <= 1.5)
         .select("l_partkey", "qty_before", "qty_after", "ratio")
         .orderBy("l_partkey")
@@ -251,11 +253,11 @@ object BdbShapes extends Suite {
              |        THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE) AS qty_after
              |  FROM w GROUP BY l_partkey)
              |SELECT l_partkey, qty_before, qty_after,
-             |  round(qty_after / qty_before, 6) AS ratio
+             |  qty_after / qty_before AS ratio
              |FROM agg
              |WHERE qty_before > 0 AND qty_after > 0
-             |  AND round(qty_after / qty_before, 6) >= 2.0/3.0
-             |  AND round(qty_after / qty_before, 6) <= 1.5
+             |  AND qty_after / qty_before >= 2.0/3.0
+             |  AND qty_after / qty_before <= 1.5
              |ORDER BY l_partkey""".stripMargin)),
 
     // q24: cross-price elasticity per brand around the pivot date —
@@ -280,8 +282,8 @@ object BdbShapes extends Suite {
         .withColumn("pa", col("ra") / col("qa"))
         .filter(col("pa") =!= col("pb"))
         .withColumn("elasticity",
-          round(((col("qa") - col("qb")) / col("qb")) /
-            ((col("pa") - col("pb")) / col("pb")), 6))
+          ((col("qa") - col("qb")) / col("qb")) /
+            ((col("pa") - col("pb")) / col("pb")))
         .select("p_brand", "elasticity")
         .orderBy("p_brand")
     },
@@ -298,7 +300,7 @@ object BdbShapes extends Suite {
              |  FROM lineitem JOIN part ON l_partkey = p_partkey
              |  GROUP BY p_brand)
              |SELECT p_brand,
-             |  round(((qa - qb) / qb) / ((ra/qa - rb/qb) / (rb/qb)), 6) AS elasticity
+             |  ((qa - qb) / qb) / ((ra/qa - rb/qb) / (rb/qb)) AS elasticity
              |FROM agg
              |WHERE qb > 0 AND qa > 0 AND rb > 0 AND ra > 0 AND ra/qa <> rb/qb
              |ORDER BY p_brand""".stripMargin)),
