@@ -247,6 +247,40 @@ object Extras extends Suite {
              |FROM vt, unnest(generate_series(0, ntf - 1, 100)) AS f(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Streaming SLIDING window (2h width, 1h slide): every event lands
+    // in exactly two overlapping windows; the oracle materializes both
+    // window starts per event and re-aggregates.
+    Q("x13_sliding_window", (s, d) => {
+      val spark = s
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val agg = stream
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_sliding").outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      spark.table("graft_sliding")
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type"), col("n"))
+        .orderBy("start_us", "event_type")
+    },
+      Some("""WITH e AS (
+             |  SELECT epoch_us(ts) AS tsu, event_type FROM events),
+             |w AS (
+             |  SELECT event_type, unnest([
+             |    (tsu // 3600000000) * 3600000000,
+             |    (tsu // 3600000000) * 3600000000 - 3600000000
+             |  ]) AS start_us
+             |  FROM e)
+             |SELECT start_us, event_type, COUNT(*) AS n
+             |FROM w GROUP BY start_us, event_type
+             |ORDER BY start_us, event_type""".stripMargin)),
+
     // Binned range join: ship-dates joined to 90-day order windows as
     // an EQUI-join on day bins + residual containment filter (plan
     // asserted BNLJ-free in RangeJoinSpec) — the hash-join-shaped

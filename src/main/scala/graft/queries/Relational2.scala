@@ -328,6 +328,32 @@ object Relational2 extends Suite {
       Some("""SELECT s_nationkey, COUNT(*) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Multiplicity-preserving set ops (EXCEPT ALL / INTERSECT ALL) —
+    // bag semantics: a part returned 3x and kept 1x survives exceptAll
+    // twice. Aggregated to (key, multiplicity) for a stable compare.
+    Q("o48_set_ops_all", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+      val n = li.filter(col("l_returnflag") === "N").select("l_partkey")
+      val exc = r.exceptAll(n).groupBy("l_partkey")
+        .agg(count(lit(1)).as("mult")).withColumn("set_op", lit("except_all"))
+      val inter = r.intersectAll(n).groupBy("l_partkey")
+        .agg(count(lit(1)).as("mult")).withColumn("set_op", lit("intersect_all"))
+      exc.unionByName(inter).orderBy("set_op", "l_partkey")
+    },
+      Some("""SELECT l_partkey, COUNT(*) AS mult, 'except_all' AS set_op FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+             |  EXCEPT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='N')
+             |GROUP BY l_partkey
+             |UNION ALL
+             |SELECT l_partkey, COUNT(*) AS mult, 'intersect_all' AS set_op FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+             |  INTERSECT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag='N')
+             |GROUP BY l_partkey
+             |ORDER BY set_op, l_partkey""".stripMargin))
   )
 }
