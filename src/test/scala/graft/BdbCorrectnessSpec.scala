@@ -128,4 +128,67 @@ class BdbCorrectnessSpec extends SparkSpec {
     assert(got.getLong(1) === amc.toLong)
     assert(got.getLong(2) === pmc.toLong)
   }
+
+  test("q30 co-viewed category pairs match a Scala reimplementation") {
+    BdbFixture.register(spark)
+    // the stock fixture gives every user ONE category (click stride 40
+    // is 0 mod the 5 categories), which smoke-passes the pair stage
+    // vacuously — augment with an item-shifted copy of the clicks so
+    // sessions really contain category pairs, for BOTH recomputations
+    val aug = spark.table("web_clickstreams").unionByName(
+      spark.table("web_clickstreams")
+        .withColumn("wcs_item_sk",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("wcs_item_sk"), 
+            org.apache.spark.sql.functions.lit(60L)) + 1))
+    aug.createOrReplaceTempView("web_clickstreams")
+    try {
+    val itemCat = spark.table("item")
+      .select("i_item_sk", "i_category_id", "i_category").collect()
+      .filter(r => !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clicks = spark.table("web_clickstreams")
+      .select("wcs_user_sk", "wcs_click_date_sk", "wcs_click_time_sk",
+        "wcs_item_sk").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(3))
+      .flatMap { r =>
+        itemCat.get(r.getLong(3))
+          .map(c => (r.getLong(0), r.getLong(1) * 86400 + r.getLong(2), c))
+      }
+    // sessionize in plain Scala: boundaries depend only on the sorted
+    // ts multiset per user (ties share a session either way). The
+    // fixture's clicks are sparse, so a 1h timeout yields no
+    // multi-category session — widen it (both sides) to exercise the
+    // pair stage.
+    val timeout = 10000000L
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    clicks.groupBy(_._1).foreach { case (_, evs) =>
+      val sorted = evs.sortBy(_._2)
+      var sid = 0L
+      var last = Long.MinValue
+      val sessions = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[String]]
+      sorted.foreach { case (_, ts, c) =>
+        if (last == Long.MinValue || ts - last > timeout) sid += 1
+        last = ts
+        sessions.getOrElseUpdate(sid, scala.collection.mutable.Set()) += c
+      }
+      sessions.values.foreach { cats =>
+        val cs = cats.toSeq.sorted
+        for (i <- cs.indices; j <- (i + 1) until cs.size)
+          pairCounts((cs(i), cs(j))) =
+            pairCounts.getOrElse((cs(i), cs(j)), 0L) + 1
+      }
+    }
+    val expected = pairCounts.toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }
+      .take(40)
+    val got = BdbQueries2.q30(spark, timeoutSec = timeout).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected,
+      s"q30 mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    assert(got.nonEmpty)
+    } finally BdbFixture.register(spark)   // restore the stock fixture
+  }
 }
