@@ -191,4 +191,40 @@ class BdbCorrectnessSpec extends SparkSpec {
     assert(got.nonEmpty)
     } finally BdbFixture.register(spark)   // restore the stock fixture
   }
+
+  test("q02 co-viewed items match a Scala reimplementation") {
+    BdbFixture.register(spark)
+    // target an item that exists in the fixture (item 5) and a timeout
+    // wide enough for sessions to hold several clicks
+    val target = 5L
+    val timeout = 10000000L
+    val clicks = spark.table("web_clickstreams")
+      .select("wcs_user_sk", "wcs_click_date_sk", "wcs_click_time_sk",
+        "wcs_item_sk").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1) * 86400 + r.getLong(2),
+        r.getLong(3)))
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    clicks.groupBy(_._1).foreach { case (_, evs) =>
+      val sorted = evs.sortBy(_._2)
+      var sid = 0L; var last = Long.MinValue
+      val sessions = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      sorted.foreach { case (_, ts, item) =>
+        if (last == Long.MinValue || ts - last > timeout) sid += 1
+        last = ts
+        sessions.getOrElseUpdate(sid, scala.collection.mutable.Set()) += item
+      }
+      sessions.values.filter(_.contains(target)).foreach { items =>
+        (items - target).foreach(i => counts(i) = counts.getOrElse(i, 0L) + 1)
+      }
+    }
+    val expected = counts.toSeq.map { case (i, n) => (i, n) }
+      .sortBy { case (i, n) => (-n, i) }.take(30)
+    val got = BdbQueries1.q02(spark, itemSk = target, timeoutSec = timeout)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected,
+      s"q02 mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    assert(got.nonEmpty, "q02 check is vacuous — no co-viewed items")
+  }
 }
