@@ -247,6 +247,33 @@ object Extras extends Suite {
              |FROM vt, unnest(generate_series(0, ntf - 1, 100)) AS f(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Stream-static join: the event stream enriched against a static
+    // dimension (broadcast per micro-batch, no state store) — the
+    // bread-and-butter streaming enrichment shape.
+    Q("x14_stream_static_join", (s, d) => {
+      val spark = s
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val agg = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_nationkey", "event_type")
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_stream_static").outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      spark.table("graft_stream_static")
+        .orderBy("c_nationkey", "event_type")
+    },
+      Some("""SELECT c_nationkey, event_type, COUNT(*) AS n
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_nationkey, event_type
+             |ORDER BY c_nationkey, event_type""".stripMargin)),
+
     // Streaming SLIDING window (2h width, 1h slide): every event lands
     // in exactly two overlapping windows; the oracle materializes both
     // window starts per event and re-aggregates.
