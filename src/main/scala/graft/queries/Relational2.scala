@@ -354,6 +354,30 @@ object Relational2 extends Suite {
              |  INTERSECT ALL
              |  SELECT l_partkey FROM lineitem WHERE l_returnflag='N')
              |GROUP BY l_partkey
-             |ORDER BY set_op, l_partkey""".stripMargin))
+             |ORDER BY set_op, l_partkey""".stripMargin)),
+
+    // Calendar arithmetic breadth: month truncation, month-end,
+    // add_months, day arithmetic — all on DATE (integer-exact).
+    Q("o49_date_funcs", (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .withColumn("dt", col("o_orderdate").cast("date"))
+        .select(col("o_orderkey"),
+          col("dt").cast("string").as("order_date"),
+          trunc(col("dt"), "month").cast("string").as("month_start"),
+          last_day(col("dt")).cast("string").as("month_end"),
+          add_months(col("dt"), 3).cast("string").as("plus_3m"),
+          date_add(col("dt"), 45).cast("string").as("plus_45d"),
+          dayofweek(col("dt")).as("dow"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+             |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_start,
+             |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+             |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+             |  CAST(CAST(o_orderdate AS DATE) + 45 AS VARCHAR) AS plus_45d,
+             |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+             |FROM orders WHERE o_orderkey < 200
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -133,6 +133,32 @@ object TextQueries2 extends Suite {
              |    AS INT) AS total_chars,
              |  array_to_string(tokens[1:3], '_') AS first3,
              |  list_contains(tokens, 'the') AS has_the
-             |FROM t ORDER BY doc_id""".stripMargin))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy matching: edit-distance near-duplicate part names — the
+    // string-similarity member of the dedup family (exact integer
+    // distances, engine-identical). Candidate pairs capped by key and
+    // prefiltered on length difference (a cheap upper-bound prune that
+    // any edit-distance join needs at scale: |len(a)-len(b)| <= k).
+    Q("t17_fuzzy_levenshtein", (s, d) => {
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey").as("pk"), col("p_name").as("name"))
+      p.as("a").join(p.as("b"), col("a.pk") < col("b.pk"))
+        .filter(abs(length(col("a.name")) - length(col("b.name"))) <= 4)
+        .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+        .filter(col("dist") <= 4)
+        .select(col("a.pk").as("pk_1"), col("b.pk").as("pk_2"), col("dist"))
+        .orderBy("pk_1", "pk_2")
+    },
+      Some("""WITH p AS (
+             |  SELECT p_partkey AS pk, p_name AS name FROM part
+             |  WHERE p_partkey < 300)
+             |SELECT a.pk AS pk_1, b.pk AS pk_2,
+             |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+             |FROM p a JOIN p b ON a.pk < b.pk
+             |WHERE abs(len(a.name) - len(b.name)) <= 4
+             |  AND levenshtein(a.name, b.name) <= 4
+             |ORDER BY pk_1, pk_2""".stripMargin))
   )
 }
