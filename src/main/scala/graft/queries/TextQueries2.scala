@@ -159,6 +159,68 @@ object TextQueries2 extends Suite {
              |FROM p a JOIN p b ON a.pk < b.pk
              |WHERE abs(len(a.name) - len(b.name)) <= 4
              |  AND levenshtein(a.name, b.name) <= 4
-             |ORDER BY pk_1, pk_2""".stripMargin))
+             |ORDER BY pk_1, pk_2""".stripMargin)),
+
+    // The END-TO-END corpus-curation composition — what the dedup /
+    // lang-ID / quality operators exist FOR: keep documents that are
+    // (a) the exact-dedup keeper of their fingerprint group,
+    // (b) predicted English, (c) inside the quality envelope. One
+    // declarative plan: Catalyst fuses the feature projections into a
+    // single scan, and the dedup keeper check is one aggregation +
+    // self-equi-join.
+    Q("d17_corpus_curation", (s, d) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a"), "de" -> Seq("der", "und"),
+        "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+      val scored = docs(s, d).select(col("doc_id"),
+        Text.langId(col("text"), markers).as("pred_lang"),
+        size(split(col("text"), " ")).as("n_words"),
+        Text.markerCount(col("text"), "the").as("n_stop"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_words"))
+      val keepers = docs(s, d)
+        .select(Text.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+      scored.join(keepers, col("doc_id") === col("keep_id"))
+        .filter(col("pred_lang") === "en" &&
+          col("n_words").between(30, 1000) && col("stop_ratio") < 0.2)
+        .select("doc_id", "n_words", "stop_ratio")
+        .orderBy("doc_id")
+    },
+      Some("""WITH c AS (
+             |  SELECT doc_id, ' ' || text || ' ' AS p, text FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    (len(p) - len(replace(p, ' the ', ''))) // 5 AS n_the,
+             |    (len(p) - len(replace(p, ' a ', ''))) // 3 AS n_a,
+             |    (len(p) - len(replace(p, ' der ', ''))) // 5
+             |      + (len(p) - len(replace(p, ' und ', ''))) // 5 AS s_de,
+             |    (len(p) - len(replace(p, ' el ', ''))) // 4
+             |      + (len(p) - len(replace(p, ' y ', ''))) // 3 AS s_es,
+             |    (len(p) - len(replace(p, ' le ', ''))) // 4
+             |      + (len(p) - len(replace(p, ' et ', ''))) // 4 AS s_fr,
+             |    len(string_split(text,' ')) AS n_words,
+             |    (len(p) - len(replace(p, ' the ', ''))) // 5 AS n_stop
+             |  FROM c),
+             |f AS (
+             |  SELECT doc_id, n_words,
+             |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+             |    CASE
+             |      WHEN n_the + n_a >= greatest(n_the + n_a, s_de, s_es, s_fr)
+             |           AND n_the + n_a > 0 THEN 'en'
+             |      WHEN s_de >= greatest(s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+             |      WHEN s_es >= greatest(s_es, s_fr) AND s_es > 0 THEN 'es'
+             |      WHEN s_fr > 0 THEN 'fr'
+             |      ELSE 'unknown' END AS pred_lang
+             |  FROM m),
+             |k AS (
+             |  SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             |    MIN(doc_id) AS keep_id
+             |  FROM documents GROUP BY 1)
+             |SELECT doc_id, n_words, stop_ratio
+             |FROM f JOIN k ON doc_id = keep_id
+             |WHERE pred_lang = 'en' AND n_words BETWEEN 30 AND 1000
+             |  AND stop_ratio < 0.2
+             |ORDER BY doc_id""".stripMargin))
   )
 }
