@@ -77,8 +77,9 @@ object Bench {
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val avg = if (results.nonEmpty) total / results.size else 0.0
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"failed":$failedJs,"queries":$qs,"sf":"$sfName"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
