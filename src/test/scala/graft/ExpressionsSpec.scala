@@ -58,4 +58,31 @@ class ExpressionsSpec extends SparkSpec {
       assert(math.max(ow, oh) <= 256)
     }
   }
+
+  test("cosine_f passes NaN through for zero-norm vectors (no crash)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),   // zero left norm -> 0/0
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f)),   // both zero
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f))    // well-defined = 1.0
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.expressions.GraftFunctions.cosine_f(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got(0).isNaN, s"expected NaN, got ${got(0)}")
+    assert(got(1).isNaN, s"expected NaN, got ${got(1)}")
+    assert(got(2) === 1.0)
+    // the composed HOF form DIVERGES here under ANSI mode: Spark
+    // errors on double divide-by-zero, so zero-norm vectors crash it —
+    // the kernel's NaN matches the DuckDB oracle (non-ANSI float
+    // division), which is the behavior the correctness gate needs
+    val wellDefined = df.filter(element_at(col("a"), 1) =!= 0f)
+      .select(graft.ops.Similarity.cosineHof(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(wellDefined.toSeq === Seq(1.0))
+    intercept[ArithmeticException] {
+      df.select(graft.ops.Similarity.cosineHof(col("a"), col("b"))).collect()
+    }
+  }
 }
