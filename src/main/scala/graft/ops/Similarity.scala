@@ -38,7 +38,10 @@ object Similarity {
     graft.expressions.GraftFunctions.cosine_f(a, b)
 
   /** Reference implementation via zip_with/aggregate (kept for
-    * equivalence testing against the native kernel). */
+    * equivalence testing against the native kernel). NOT equivalent on
+    * zero-norm vectors: under ANSI mode this division ERRORS on a zero
+    * divisor, while the kernel returns NaN (matching the oracle's
+    * float division) — see ExpressionsSpec's zero-norm test. */
   def cosineHof(a: Column, b: Column): Column =
     round(dotd(a, b) / (norm(a) * norm(b)), 6)
 
