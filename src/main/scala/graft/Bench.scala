@@ -41,26 +41,34 @@ object Bench {
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS")
       .map(_.toInt).getOrElse(1).max(1)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    var errors = List.empty[String]
+    val attempted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+    val results = attempted.flatMap { case (name, fn) =>
+      // A failed attempt's elapsed time is meaningless (fast-fail
+      // would make a broken round look fast) — only successful runs
+      // contribute; a query with zero successes is reported solely in
+      // `failed` and excluded from min/total/sec_per_query.
+      val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors ::= s"$name: ${e.getMessage}"
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      times.reduceOption(_ min _).map(name -> _)
     }
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line from that tail — a per-query map over the full
     // suite (~2.6k chars) gets truncated and the round records no
-    // bench number. Emit the total + a fixed headline subset (one per
-    // operator family, plus the heaviest stages) and the failure list;
-    // full per-query timings go to stderr for local profiling.
+    // bench number, and even stderr diagnostics are hazardous: stream
+    // buffering can flush them AFTER the stdout JSON (this truncated
+    // round 2's result). So ALL per-query detail goes to a file, and
+    // the single short JSON line is the very last thing printed.
     val headline = Seq(
       "a01_lang_id", "b25_rfm", "b29_brand_pairs",
       "d01_dedup_exact", "d04_minhash_lsh_neardup", "d07_simhash_neardup",
@@ -69,17 +77,24 @@ object Bench {
       "s02_sessions", "s04_session_pairs", "t03_word_counts",
       "x02_streaming_sessions", "x04_tumbling_window", "x05_asof_join")
     val byName = results.toMap
-    results.foreach { case (k, v) =>
-      System.err.println(f"[bench] $k%-28s $v%.3f s") }
+    val sfName = new java.io.File(sfDir).getName
+    val detail = new java.io.PrintWriter(s"bench_detail_$sfName.txt")
+    try {
+      results.foreach { case (k, v) => detail.println(f"$k%-28s $v%.3f s") }
+      errors.reverse.foreach(e => detail.println(s"FAILED $e"))
+    } finally detail.close()
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         "\"" + h + f"""\":$v%.2f"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val sfName = new java.io.File(sfDir).getName
     val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val avg = if (results.nonEmpty) total / results.size else 0.0
+    // quiet shutdown: nothing may print after the JSON line or the
+    // driver's tail window can lose it
+    spark.sparkContext.setLogLevel("ERROR")
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"queries":$qs,"sf":"$sfName"}""")
+    System.out.flush()
     spark.stop()
   }
 }

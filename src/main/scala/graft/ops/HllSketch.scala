@@ -58,11 +58,12 @@ class HllAgg(m: Int = HllAgg.DefaultM)
     var i = 0
     while (i < m) { intsum += 1L << (restBits - regs(i)); i += 1 }
     val md = m.toDouble
-    val est = 0.7213 / (1.0 + 1.079 / md) * md * md *
+    // no rounding: the harmonic sum is an exact integer and the
+    // multiply/divide chain is a fixed left-to-right IEEE sequence,
+    // identical in DuckDB — rounding would only reintroduce the
+    // 1e-6-boundary hazard the rest of the engine was purged of
+    0.7213 / (1.0 + 1.079 / md) * md * md *
       (1L << restBits).toDouble / intsum.toDouble
-    // identical to Spark/DuckDB round(x, 6) on doubles
-    new java.math.BigDecimal(est)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -78,11 +79,11 @@ object HllAgg {
     */
   def oracleSql(m: Int = DefaultM): String =
     s"""SELECT grp,
-       |  round(0.7213/(1.0 + 1.079/$m.0)*$m.0*$m.0
-       |        *(CAST(1 AS BIGINT) << 51)
-       |        /CAST(CAST(SUM(CAST(1 AS BIGINT) << (51 - mj)) AS BIGINT)
-       |              + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 51) AS DOUBLE),
-       |        6) AS hll_nd
+       |  0.7213/(1.0 + 1.079/$m.0)*$m.0*$m.0
+       |    *(CAST(1 AS BIGINT) << 51)
+       |    /CAST(CAST(SUM(CAST(1 AS BIGINT) << (51 - mj)) AS BIGINT)
+       |          + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 51) AS DOUBLE)
+       |    AS hll_nd
        |FROM (
        |  SELECT grp, hv % $m AS bucket,
        |    MAX(CASE WHEN hv // $m = 0 THEN 51

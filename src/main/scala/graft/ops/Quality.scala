@@ -28,12 +28,17 @@ object Quality {
 
   /** Count violations of arbitrary boolean invariants in-pass.
     * `checks` maps metric name -> predicate that GOOD rows satisfy.
+    * A predicate that evaluates to NULL (the usual face of a data
+    * defect — `col("qty") > 0` on a null qty) counts as a VIOLATION:
+    * only rows where the predicate is definitely true are good.
     */
   def observeInvariants(df: DataFrame, checks: Map[String, Column])
       : (DataFrame, Observation) = {
+    require(checks.nonEmpty, "observeInvariants needs at least one check")
     val obs = Observation()
     val metrics = checks.toSeq.sortBy(_._1).map { case (name, pred) =>
-      sum(when(!pred, 1L).otherwise(0L)).as(s"bad_$name")
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"bad_$name")
     }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

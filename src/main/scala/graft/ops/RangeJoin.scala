@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor-division bin key. Keys must be non-negative and
-    * below 2^53 (exact in double) — epoch micros, cents, and ids all
-    * are; enforce upstream if a source can exceed it.
+  /** Exact floor-division bin key over the FULL long domain: `div` is
+    * 64-bit integral division (no double rounding anywhere), and the
+    * pmod correction turns its truncate-toward-zero into floor for
+    * negative keys — an out-of-range key can mis-bin silently and the
+    * residual filter only removes false positives, so the key math
+    * must be exact rather than "exact below 2^53".
     */
-  private def bin(c: Column, w: Long): Column =
-    floor(c.cast("long") / lit(w)).cast("long")
+  private def bin(c: Column, w: Long): Column = {
+    val k = c.cast("long")
+    val q = call_function("div", k, lit(w))
+    when(pmod(k, lit(w)) === 0 || k >= 0, q).otherwise(q - 1L)
+  }
 
   def binned(points: DataFrame, intervals: DataFrame,
       point: Column, lo: Column, hi: Column,

@@ -39,6 +39,19 @@ class QualitySpec extends SparkSpec {
     assert(total > 0)
   }
 
+  test("observeInvariants counts NULL-valued predicates as violations") {
+    // three-valued logic: col > 0 on a null col is NULL, not false —
+    // the most common defect shape must still register as bad
+    val df = Seq(Some(5L), None, Some(-1L), Some(2L)).toDF("qty")
+    val (observed, obs) = Quality.observeInvariants(df, Map(
+      "qty_positive" -> (col("qty") > 0)))
+    observed.write.format("noop").mode("overwrite").save()
+    assert(obs.get("bad_qty_positive") === 2L) // the null AND the -1
+    intercept[IllegalArgumentException] {
+      Quality.observeInvariants(df, Map.empty)
+    }
+  }
+
   test("malformed JSON surfaces via _corrupt_record, not job failure") {
     // ingest robustness: bad records must quarantine, not kill the job
     val rows = Seq("""{"k": 1}""", """{"k": """, """not json""")

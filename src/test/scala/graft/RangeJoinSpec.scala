@@ -39,6 +39,25 @@ class RangeJoinSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("negative keys bin exactly (floor semantics, no double rounding)") {
+    import spark.implicits._
+    // points straddling zero; intervals crossing the origin — a
+    // truncate-toward-zero bin would put -1 and +1 in the same bin 0
+    // but a FLOOR bin must separate them; matches must equal naive.
+    val p = Seq(-100L, -17L, -1L, 0L, 1L, 16L, 99L).toDF("p")
+    val ivs = Seq((-50L, -10L), (-5L, 5L), (10L, 20L), (90L, 120L))
+      .toDF("lo", "hi").withColumn("iv_id", monotonically_increasing_id())
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("p", "lo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = keyset(RangeJoin.binned(p, ivs,
+      col("p"), col("lo"), col("hi"), binWidth = 16))
+    val naive = keyset(p.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi")))
+    assert(got === naive)
+    assert(got.contains((-17L, -50L)) && got.contains((-1L, -5L)))
+  }
+
   test("bin width 1 and huge width agree (duplication-selectivity trade)") {
     def run(w: Long) = RangeJoin.binned(pts, iv,
         col("pd"), col("lo_d"), col("hi_d"), binWidth = w)
