@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting + sampling for training-data
+  * pipelines. Spark's own `randomSplit`/`sample` draw from a seeded
+  * RNG *per partition*, so results change with partitioning, input
+  * order, or cluster size — useless for a reproducible 100 TB corpus
+  * split. These operators derive membership from the portable 60-bit
+  * content hash of a stable id ([[Text.portableHash]]): the split of
+  * a row is a pure function of the row, identical on any engine (the
+  * DuckDB oracles replay it), any partitioning, any scale.
+  *
+  * The hash is salted with the operation name, so the split bucket,
+  * fold id, and any sample draws are mutually independent.
+  */
+object Split {
+
+  val Buckets = 10000L // membership granularity: 0.01%
+
+  /** Uniform bucket in [0, 10000) from the salted id hash. */
+  def bucket(id: Column, salt: String): Column =
+    Text.portableHash(concat(id.cast("string"), lit("|" + salt))) % Buckets
+
+  /** Label each row train/val/test (or any named fractions) —
+    * fractions in units of 1/10000, must sum to <= 10000; the last
+    * named split absorbs the remainder when `rest` is passed.
+    */
+  def assign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], saltName: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= Buckets,
+      s"split fractions exceed $Buckets: $splits")
+    val b = bucket(col(idCol), saltName)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val ladder = splits.zip(cuts).foldRight(lit(null: String)) {
+      case (((name, _), cut), acc) => when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, ladder)
+  }
+
+  /** Deterministic k-fold id in [0, k). Independent of the split
+    * bucket (different salt).
+    */
+  def fold(id: Column, k: Int, saltName: String = "fold"): Column =
+    (Text.portableHash(concat(id.cast("string"), lit("|" + saltName)))
+      % k).cast("int")
+
+  /** Stratified sample: per-stratum fraction (in 1/10000 units),
+    * deterministic per id. Strata not in the map get `defaultFrac`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fracs: Map[String, Int], defaultFrac: Int = 0,
+      saltName: String = "sample"): DataFrame = {
+    val fracLadder = fracs.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultFrac)) { case ((v, f), acc) =>
+        when(col(strataCol) === v, lit(f)).otherwise(acc)
+      }
+    df.filter(bucket(col(idCol), saltName) < fracLadder)
+  }
+}

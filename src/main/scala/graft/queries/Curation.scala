@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Bloom, Cms, CmsAgg, Split, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation / pipeline-infrastructure suite: deterministic
+  * train-val-test splitting, stratified sampling, TF-IDF term
+  * weighting, count–min heavy hitters, and bloom-filter join pruning.
+  * All membership and counting is integer-exact (portable-hash
+  * buckets, exact counters), so every query oracles bit-exactly; the
+  * only doubles are single exact divisions of small integers.
+  */
+object CurationQueries extends Suite {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Portable salted 60-bit hash in DuckDB (mirror of
+    * Text.saltedHash / Split.bucket's salting). */
+  private def hSql(e: String, salt: String): String =
+    s"CAST('0x' || substr(md5($e || '$salt'),1,15) AS BIGINT)"
+
+  val qs: Seq[Q] = Seq(
+
+    // Deterministic 80/10/10 split + 5-fold id: membership is a pure
+    // function of doc_id (salted portable hash), invariant to
+    // partitioning/order/scale — Spark's randomSplit is none of those.
+    Q("a05_hash_split", (s, d) => {
+      val assigned = Split.assign(docs(s, d), "doc_id",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      assigned
+        .withColumn("fold", Split.fold(col("doc_id"), 5))
+        .select("doc_id", "split", "fold")
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN b < 8000 THEN 'train'
+              |       WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+              |  CAST(${hSql("CAST(doc_id AS VARCHAR)", "|fold")} % 5 AS INT) AS fold
+              |FROM (
+              |  SELECT doc_id,
+              |    ${hSql("CAST(doc_id AS VARCHAR)", "|split")} % 10000 AS b
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified sampling: per-language fractions (en 30%, zh 50%,
+    // rest 20%) — per-stratum rates with per-row determinism.
+    Q("a06_stratified_sample", (s, d) => {
+      Split.stratifiedSample(docs(s, d), "doc_id", "lang",
+          Map("en" -> 3000, "zh" -> 5000), defaultFrac = 2000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang,
+              |    ${hSql("CAST(doc_id AS VARCHAR)", "|sample")} % 10000 AS b
+              |  FROM documents)
+              |WHERE b < CASE lang WHEN 'en' THEN 3000
+              |                    WHEN 'zh' THEN 5000 ELSE 2000 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF building blocks: exact tf/df counts and the smoothed
+    // idf ratio (N+1)/(df+1) as one exact integer division — the
+    // ln() weighting lives in Text.tfIdfLog (ScalaTest-verified):
+    // JVM Math.log and DuckDB ln differ in the last ulp (~1e-3 of
+    // inputs, measured), so the oracle pins everything up to the log.
+    Q("t18_tfidf", (s, d) => {
+      val w = Text.words(docs(s, d), "doc_id", "text")
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = w.groupBy("word")
+        .agg(countDistinct("doc_id").as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("idf_ratio",
+          (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+        .filter(col("doc_id") < 100 && length(col("word")) >= 6)
+        .select("doc_id", "word", "tf", "df", "idf_ratio")
+        .orderBy("doc_id", "word")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+             |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT doc_id, word, tf, df,
+             |  CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS idf_ratio
+             |FROM tf JOIN df USING (word), n
+             |WHERE doc_id < 100 AND len(word) >= 6
+             |ORDER BY doc_id, word""".stripMargin)),
+
+    // Count–min heavy hitters: one-pass constant-memory frequency
+    // sketch (CmsAgg), estimates vs exact counts per supplier — the
+    // estimate is integer-exact and oracle-reproducible (3 GROUP BYs).
+    Q("d18_cms_heavyhitters", (s, d) => {
+      val D = 3; val W = 1024
+      val li = Tables.load(s, d, "lineitem")
+      val cms = udaf(new CmsAgg(D, W))
+      val counters = li.agg(
+        cms(col("l_suppkey").cast("string")).as("cs"))
+      li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(counters))
+        .withColumn("est_cnt",
+          Cms.estimate(col("cs"), col("l_suppkey"), D, W))
+        .select("l_suppkey", "est_cnt", "exact_cnt")
+        .orderBy("l_suppkey")
+    }, {
+      val h = (i: Int) => hSql("CAST(l_suppkey AS VARCHAR)", s"|s$i")
+      val hk = (i: Int) => hSql("CAST(ex.l_suppkey AS VARCHAR)", s"|s$i")
+      Some(s"""WITH ex AS (
+              |  SELECT l_suppkey, COUNT(*) AS exact_cnt
+              |  FROM lineitem GROUP BY 1),
+              |l0 AS (SELECT ${h(0)} % 1024 AS b, COUNT(*) AS c
+              |       FROM lineitem GROUP BY 1),
+              |l1 AS (SELECT ${h(1)} % 1024 AS b, COUNT(*) AS c
+              |       FROM lineitem GROUP BY 1),
+              |l2 AS (SELECT ${h(2)} % 1024 AS b, COUNT(*) AS c
+              |       FROM lineitem GROUP BY 1)
+              |SELECT ex.l_suppkey, LEAST(l0.c, l1.c, l2.c) AS est_cnt,
+              |  ex.exact_cnt
+              |FROM ex
+              |JOIN l0 ON ${hk(0)} % 1024 = l0.b
+              |JOIN l1 ON ${hk(1)} % 1024 = l1.b
+              |JOIN l2 ON ${hk(2)} % 1024 = l2.b
+              |ORDER BY l_suppkey""".stripMargin)
+    }),
+
+    // Bloom-filter runtime join pruning: lineitem is prefiltered by a
+    // 64 KiB bitset of the selective orders' keys BEFORE the shuffle;
+    // the join then removes the bloom's false positives, so the
+    // oracle is simply the plain join — the bitset is a transparent
+    // optimization (BloomSpec asserts the pruning itself).
+    Q("d19_bloom_prune", (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val sel = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 480000)
+        .select("o_orderkey", "o_orderpriority")
+      Bloom.prefilterJoin(li, sel,
+          col("l_orderkey"), col("o_orderkey"), bits = 1 << 19, k = 4)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_quantity").cast("decimal(14,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 480000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+}

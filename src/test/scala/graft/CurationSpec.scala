@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{Bloom, BloomAgg, Cms, CmsAgg, Split, Text}
+import org.apache.spark.sql.functions._
+
+/** Sketch + splitting operators: the properties the oracles can't
+  * express — CMS overestimate bound, bloom no-false-negatives and
+  * actual pruning, split determinism under repartitioning, and the
+  * ln-based TF-IDF weighting (kept off the oracle: libm ulp drift).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CmsAgg: estimate >= exact, within 2n/w, partitioning-invariant") {
+    val D = 3; val W = 256
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").cast("string").as("k"))
+    val cms = udaf(new CmsAgg(D, W))
+    def counters(parts: Int) =
+      li.repartition(parts).agg(cms(col("k")).as("cs"))
+        .head.getSeq[Long](0)
+    val c1 = counters(1)
+    assert(c1 === counters(13), "sketch must not depend on partitioning")
+    val n = li.count()
+    val est = li.distinct()
+      .crossJoin(broadcast(li.agg(cms(col("k")).as("cs"))))
+      .withColumn("est", Cms.estimate(col("cs"), col("k"), D, W))
+      .join(li.groupBy("k").agg(count(lit(1)).as("exact")), "k")
+      .select("est", "exact").collect()
+    est.foreach { r =>
+      val (e, x) = (r.getLong(0), r.getLong(1))
+      assert(e >= x, s"CMS must overestimate: $e < $x")
+      assert(e - x <= 2 * n / W, s"error bound blown: $e vs $x (n=$n)")
+    }
+  }
+
+  test("BloomAgg: no false negatives; prefilter join == plain join") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val sel = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderpriority")
+    val bits = 1 << 16; val k = 4
+    val bs = Bloom.buildBits(sel, col("o_orderkey"), bits, k)
+    // every true member passes
+    val misses = sel.filter(
+      !Bloom.mightContain(bs, col("o_orderkey"), bits, k)).count()
+    assert(misses === 0L, "bloom dropped a true member")
+    // the prefilter actually prunes (selective key set)
+    val kept = li.filter(
+      Bloom.mightContain(bs, col("l_orderkey"), bits, k)).count()
+    assert(kept < li.count() / 2,
+      s"prefilter kept $kept of ${li.count()} — not pruning")
+    // end-to-end result identical to the plain join
+    val viaBloom = Bloom.prefilterJoin(li, sel,
+        col("l_orderkey"), col("o_orderkey"), bits, k)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaBloom === plain)
+  }
+
+  test("bloom bitset merge is partitioning-invariant") {
+    val keys = Tables.load(spark, sf, "orders").select(
+      col("o_orderkey").cast("string").as("k"))
+    val agg = udaf(new BloomAgg(1 << 14, 4))
+    def bits(parts: Int) = keys.repartition(parts)
+      .agg(agg(col("k")).as("bs")).head.getSeq[Long](0)
+    assert(bits(1) === bits(17))
+  }
+
+  test("Split.assign: fractions ~honored, deterministic, exhaustive") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Split.assign(docs, "doc_id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+    val byS = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS("train") / n > 0.7 && byS("train") / n < 0.9)
+    // determinism: same assignment regardless of partitioning
+    val a1 = a.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Split.assign(docs.repartition(11), "doc_id",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 === a2)
+    intercept[IllegalArgumentException] {
+      Split.assign(docs, "doc_id", Seq("a" -> 9000, "b" -> 2000))
+    }
+  }
+
+  test("Split: fold and sample salts are independent of split salt") {
+    val docs = Tables.load(spark, sf, "documents")
+    // if salts collided, every test-split doc would land in one fold
+    val folds = Split.assign(docs, "doc_id", Seq("train" -> 5000, "test" -> 5000))
+      .withColumn("fold", Split.fold(col("doc_id"), 5))
+      .groupBy("split", "fold").count()
+    assert(folds.count() === 10L, "every (split, fold) cell populated")
+  }
+
+  test("tfIdfLog: tf * ln(ratio), zero for ubiquitous terms, monotone in df") {
+    val df = Seq((10L, 100L, 1L), (10L, 100L, 9L), (10L, 100L, 100L))
+      .toDF("tf", "n", "df")
+      .withColumn("w", Text.tfIdfLog(col("tf"), col("n"), col("df")))
+    val ws = df.select("w").collect().map(_.getDouble(0))
+    assert(ws(0) > ws(1) && ws(1) > ws(2), "idf must fall as df rises")
+    assert(math.abs(ws(2)) < 1e-12, "df == N (in every doc) → ln(1) == 0")
+    assert(math.abs(ws(0) - 10.0 * math.log(101.0 / 2.0)) < 1e-12)
+  }
+}
