@@ -44,12 +44,19 @@ object Dedup {
     */
   def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val words = filter(split(col(text), " "), w => length(w) > 0)
+    // Materialize the words array in its OWN projection before the
+    // transform: the lambda body references it n times per shingle,
+    // and inlined (single-projection) each element_at re-evaluated
+    // the split — O(doc_len) per access, quadratic per doc. Stored as
+    // an attribute it's split once per row (measured 7x on d05 sf0.1).
+    val w = col("__w")
     // sequence(a, b) descends when b < a -> guard short docs explicitly
-    val idx = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     val shingles = transform(idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
-    df.select(col(id), explode(shingles).as("sh")).distinct()
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    df.select(col(id), words.as("__w"))
+      .select(col(id), explode(shingles).as("sh")).distinct()
   }
 
   /** MinHash signatures: k salted portable hashes, min per doc.
@@ -105,6 +112,32 @@ object Dedup {
       .select(col("id_1"), col("id_2"),
         (col("n_common").cast("double") /
           (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Exact Jaccard for candidate pairs via per-doc shingle ARRAYS:
+    * two set-table joins (one row per pair) and an `array_intersect`,
+    * instead of exploding each pair into its shingle-match rows and
+    * re-aggregating. Bit-identical jaccard to [[jaccardVerify]] (same
+    * integer inputs); different cost shape: rows stay |pairs| and the
+    * (pairs x shingles) shuffle disappears, but each pair pays an
+    * O(|A|+|B|) intersection. Wins when docs are long and candidates
+    * few; on d04's shape at sf0.1 (tiny docs, 364k candidate pairs —
+    * the synthetic corpus is near-dup-heavy) the explode form
+    * measured faster (2.1s vs 2.9s), so d04 keeps [[jaccardVerify]].
+    */
+  def jaccardVerifySets(candidates: DataFrame, shingles: DataFrame,
+      id: String): DataFrame = {
+    val sets = shingles.groupBy(col(id))
+      .agg(collect_list(col("sh")).as("shs")) // already distinct per doc
+    candidates
+      .join(sets.as("za"), col("id_1") === col(s"za.$id"))
+      .join(sets.as("zb"), col("id_2") === col(s"zb.$id"))
+      .select(col("id_1"), col("id_2"),
+        size(array_intersect(col("za.shs"), col("zb.shs"))).as("n_common"),
+        size(col("za.shs")).as("na"), size(col("zb.shs")).as("nb"))
+      .select(col("id_1"), col("id_2"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
   }
 
   /** All-pairs Jaccard over shingle sets in ONE self-join: the

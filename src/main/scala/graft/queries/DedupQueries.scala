@@ -109,7 +109,9 @@ object DedupQueries extends Suite {
     // of 2 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
     Q("d04_minhash_lsh_neardup", (s, d) => {
       val base = docs(s, d).filter(col("doc_id") < 1000)
-      val sh = Dedup.wordShingles(base, "doc_id", "text")
+      // the shingle set feeds FOUR consumers (signatures, sizes, and
+      // both verify sides) — materialize once (see d12 note)
+      val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
       val cands = Dedup.lshCandidates(
         Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
@@ -450,13 +452,16 @@ object DedupQueries extends Suite {
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
       val edges = Dedup.jaccardFromSelfJoin(sh, "doc_id")
         .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
-      // the edge list feeds every propagation step; Spark's
-      // ReusedExchange already dedups its shuffle across iterations
-      // (an explicit .cache() measured SLOWER at sf0.1 — columnar
-      // encode cost without saving work). On a real cluster, add
-      // localCheckpoint every few iterations to cut lineage growth.
+      // The edge list feeds every propagation step: materialize it
+      // ONCE with an eager localCheckpoint — the 5 rounds then join
+      // against a tiny in-memory edge RDD instead of a 10x-duplicated
+      // shingle-join lineage, and the lineage itself stays flat (the
+      // cluster-scale discipline for iterative algorithms; a plain
+      // .cache() measured SLOWER at sf0.1 — columnar encode cost —
+      // and ReusedExchange alone left 4.7s vs 2.7s with this).
       val sym = edges.union(
         edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
+        .localCheckpoint()
       var labels = base.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 5) {
         val nbrMin = sym

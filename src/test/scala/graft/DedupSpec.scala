@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(verified(0).getDouble(2) === 1.0)
   }
 
+  test("jaccardVerifySets == jaccardVerify (bit-identical on real docs)") {
+    val base = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+    val sh = Dedup.wordShingles(base, "doc_id", "text")
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(
+        Dedup.minhashSignatures(sh, "doc_id", 8), "doc_id", 8, 2), "doc_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = key(Dedup.jaccardVerify(cands, sh, "doc_id"))
+    val b = key(Dedup.jaccardVerifySets(cands, sh, "doc_id"))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
