@@ -378,6 +378,92 @@ object Relational2 extends Suite {
              |  CAST(CAST(o_orderdate AS DATE) + 45 AS VARCHAR) AS plus_45d,
              |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
              |FROM orders WHERE o_orderkey < 200
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Time-series gap-fill + LOCF: build the dense month spine with
+    // sequence()/explode (no generator UDF, no driver loop), left-join
+    // the sparse actuals, and carry the last observation forward with
+    // an ignoreNulls last() window — the standard resample operator
+    // for feature pipelines. All month indexes are exact ints; sums
+    // go through decimal.
+    Q("o51_gap_fill", (s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_partkey") < 15)
+        .withColumn("m",
+          (year(col("l_shipdate").cast("date")) - 1992) * 12 +
+            month(col("l_shipdate").cast("date")) - 1)
+      val actual = li.groupBy("l_partkey", "m")
+        .agg(dsum(col("l_quantity")).as("qty"))
+      val bounds = li.groupBy("l_partkey")
+        .agg(min("m").as("m0"), max("m").as("m1"))
+      val spine = bounds.select(col("l_partkey"),
+        explode(sequence(col("m0"), col("m1"))).as("m"))
+      val w = Window.partitionBy("l_partkey").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(actual, Seq("l_partkey", "m"), "left_outer")
+        .select(col("l_partkey"), col("m"),
+          coalesce(col("qty"), lit(0.0)).as("qty_month"),
+          last(col("qty"), ignoreNulls = true).over(w).as("qty_locf"))
+        .orderBy("l_partkey", "m")
+    },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    (year(CAST(l_shipdate AS DATE)) - 1992) * 12
+             |      + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+             |    l_quantity
+             |  FROM lineitem WHERE l_partkey < 15),
+             |actual AS (
+             |  SELECT l_partkey, m,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+             |  FROM li GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT l_partkey, MIN(m) AS m0, MAX(m) AS m1
+             |  FROM li GROUP BY 1),
+             |spine AS (
+             |  SELECT l_partkey, CAST(g.m AS INT) AS m
+             |  FROM bounds, unnest(generate_series(m0, m1)) AS g(m))
+             |SELECT s.l_partkey, s.m,
+             |  COALESCE(a.qty, 0.0) AS qty_month,
+             |  last_value(a.qty IGNORE NULLS) OVER (
+             |    PARTITION BY s.l_partkey ORDER BY s.m
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS qty_locf
+             |FROM spine s LEFT JOIN actual a
+             |  ON s.l_partkey = a.l_partkey AND s.m = a.m
+             |ORDER BY s.l_partkey, s.m""".stripMargin)),
+
+    // RANGE-frame window: trailing-7-day revenue per supplier — the
+    // frame is bounded by the ORDER value (day number), not row
+    // position, so sparse days weight correctly. Pre-aggregate per
+    // day first: the window then slides over |supplier x day| rows,
+    // not |lineitem| rows.
+    Q("o52_range_frame", (s, d) => {
+      // the window SUM stays in DECIMAL (order-independent) — a
+      // double window sum could associate differently across engines
+      val daily = t(s, d, "lineitem").filter(col("l_suppkey") < 10)
+        .withColumn("daynum",
+          datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")))
+        .groupBy("l_suppkey", "daynum")
+        .agg(dsumDec(col("l_quantity")).as("dq"))
+      val w = Window.partitionBy("l_suppkey").orderBy("daynum")
+        .rangeBetween(-6, 0)
+      daily.select(col("l_suppkey"), col("daynum"),
+          col("dq").cast("double").as("day_qty"),
+          sum(col("dq")).over(w).cast("double").as("qty_7d"))
+        .orderBy("l_suppkey", "daynum")
+    },
+      Some("""WITH daily AS (
+             |  SELECT l_suppkey,
+             |    CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS daynum,
+             |    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS dq
+             |  FROM lineitem WHERE l_suppkey < 10
+             |  GROUP BY 1, 2)
+             |SELECT l_suppkey, daynum,
+             |  CAST(dq AS DOUBLE) AS day_qty,
+             |  CAST(SUM(dq) OVER (PARTITION BY l_suppkey ORDER BY daynum
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS qty_7d
+             |FROM daily
+             |ORDER BY l_suppkey, daynum""".stripMargin))
   )
 }
