@@ -75,7 +75,9 @@ object Bench {
       "d09_knn_bruteforce", "d12_dup_groups", "m01_kmeans_lloyd",
       "o08_join_agg", "o13_basket_pairs", "o26_topk", "o28_window_rank",
       "s02_sessions", "s04_session_pairs", "t03_word_counts",
-      "x02_streaming_sessions", "x04_tumbling_window", "x05_asof_join")
+      "t18_tfidf", "d18_cms_heavyhitters", "d19_bloom_prune",
+      "o51_gap_fill", "x02_streaming_sessions", "x04_tumbling_window",
+      "x05_asof_join")
     val byName = results.toMap
     val sfName = new java.io.File(sfDir).getName
     val detail = new java.io.PrintWriter(s"bench_detail_$sfName.txt")
