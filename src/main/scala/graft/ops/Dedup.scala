@@ -42,7 +42,14 @@ object Dedup {
     * (The join formulation shuffles the exploded words table n-1
     * times — 8x slower at 5k docs, catastrophically worse at scale.)
     */
-  def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    ngrams(df, id, text, n).distinct()
+
+  /** Word n-grams WITH multiplicity (one row per occurrence) — the
+    * input for repetition analysis, where how often the top n-gram
+    * repeats is the signal ([[ngramShingles]] is this + distinct).
+    */
+  def ngrams(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val words = filter(split(col(text), " "), w => length(w) > 0)
     // Materialize the words array in its OWN projection before the
     // transform: the lambda body references it n times per shingle,
@@ -56,7 +63,7 @@ object Dedup {
     val shingles = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
     df.select(col(id), words.as("__w"))
-      .select(col(id), explode(shingles).as("sh")).distinct()
+      .select(col(id), explode(shingles).as("sh"))
   }
 
   /** MinHash signatures: k salted portable hashes, min per doc.

@@ -53,6 +53,32 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), " +", " ")))
 
+  /** PII scrubbing: replace emails / E.164-ish phone numbers / IPv4
+    * addresses with typed placeholder tags. Patterns stick to
+    * char-classes and counted quantifiers, which behave identically
+    * in Java regex and RE2-family engines — no backrefs, no
+    * lookaround — so the operator ports to any engine. The synthetic
+    * corpus contains no PII, so this is ScalaTest-verified on crafted
+    * strings rather than oracle-gated.
+    */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  def redact(text: Column,
+      patterns: Seq[(String, String)] = RedactPatterns): Column =
+    patterns.foldLeft(text) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+
+  /** Count of PII matches that [[redact]] would replace. */
+  def redactionCount(text: Column,
+      patterns: Seq[(String, String)] = RedactPatterns): Column =
+    patterns.map { case (p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0)))
+    }.reduce(_ + _)
+
   /** Smoothed TF-IDF weight `tf * ln((N+1)/(df+1))`. The ratio is an
     * exact small-integer division (oracle-verified in `t18_tfidf`);
     * the `ln` itself is NOT oracle-gated — JVM `Math.log` and DuckDB

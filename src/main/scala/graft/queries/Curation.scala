@@ -61,6 +61,52 @@ object CurationQueries extends Suite {
               |                    WHEN 'zh' THEN 5000 ELSE 2000 END
               |ORDER BY doc_id""".stripMargin)),
 
+    // Repetition quality filter (the Gopher-style gate): keep docs
+    // whose type-token ratio is high enough AND whose most frequent
+    // 2-gram doesn't dominate — both metrics are exact integer ratios
+    // computed in two aggregations over the token/ngram explodes.
+    Q("a07_repetition_filter", (s, d) => {
+      val base = docs(s, d)
+      val tok = graft.ops.Text.words(base, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("word").as("n_distinct"))
+      val gs = graft.ops.Dedup.ngrams(base, "doc_id", "text", 2)
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top2"), sum("c").as("n2"))
+      tok.join(gs, "doc_id")
+        .withColumn("unique_ratio",
+          col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("top2_frac", col("top2").cast("double") / col("n2"))
+        .filter(col("unique_ratio") >= 0.4 && col("top2_frac") <= 0.04)
+        .select("doc_id", "n_tokens", "unique_ratio", "top2_frac")
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    COUNT(DISTINCT word) AS n_distinct
+             |  FROM w WHERE len(word) > 0 GROUP BY 1),
+             |g AS (
+             |  SELECT a.doc_id, a.word || ' ' || b.word AS sh
+             |  FROM w a JOIN w b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |gc AS (SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |gs AS (SELECT doc_id, MAX(c) AS top2,
+             |         CAST(SUM(c) AS BIGINT) AS n2 FROM gc GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  CAST(n_distinct AS DOUBLE) / n_tokens AS unique_ratio,
+             |  CAST(top2 AS DOUBLE) / n2 AS top2_frac
+             |FROM tok JOIN gs USING (doc_id)
+             |WHERE CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4
+             |  AND CAST(top2 AS DOUBLE) / n2 <= 0.04
+             |ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF building blocks: exact tf/df counts and the smoothed
     // idf ratio (N+1)/(df+1) as one exact integer division — the
     // ln() weighting lives in Text.tfIdfLog (ScalaTest-verified):

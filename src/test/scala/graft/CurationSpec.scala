@@ -101,6 +101,40 @@ class CurationSpec extends SparkSpec {
     assert(folds.count() === 10L, "every (split, fold) cell populated")
   }
 
+  test("redact: emails, phones, IPs replaced; counts match; clean text unchanged") {
+    val df = Seq(
+      "contact bob@example.com or +1-555-123-4567 from 10.0.0.1",
+      "no pii here at all",
+      "two mails: a@b.co and c.d@e-f.org").toDF("text")
+      .withColumn("red", Text.redact(col("text")))
+      .withColumn("n", Text.redactionCount(col("text")))
+    val rows = df.collect()
+    assert(rows(0).getString(1) ===
+      "contact <EMAIL> or <PHONE> from <IP>")
+    assert(rows(0).getInt(2) === 3)
+    assert(rows(1).getString(1) === "no pii here at all")
+    assert(rows(1).getInt(2) === 0)
+    assert(rows(2).getString(1) === "two mails: <EMAIL> and <EMAIL>")
+    assert(rows(2).getInt(2) === 2)
+  }
+
+  test("repetition filter: degenerate doc rejected, diverse doc kept") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog")).toDF("doc_id", "text")
+    val tok = Text.words(df, "doc_id", "text").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("word").as("n_distinct"))
+    val gs = graft.ops.Dedup.ngrams(df, "doc_id", "text", 2)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top2"), sum("c").as("n2"))
+    val kept = tok.join(gs, "doc_id")
+      .filter(col("n_distinct").cast("double") / col("n_tokens") >= 0.4 &&
+        col("top2").cast("double") / col("n2") <= 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
   test("tfIdfLog: tf * ln(ratio), zero for ubiquitous terms, monotone in df") {
     val df = Seq((10L, 100L, 1L), (10L, 100L, 9L), (10L, 100L, 100L))
       .toDF("tf", "n", "df")
