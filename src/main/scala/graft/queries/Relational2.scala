@@ -464,6 +464,63 @@ object Relational2 extends Suite {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
              |    AS qty_7d
              |FROM daily
-             |ORDER BY l_suppkey, daynum""".stripMargin))
+             |ORDER BY l_suppkey, daynum""".stripMargin)),
+
+    // MERGE/upsert as a declarative full-outer join: apply a change
+    // set to a base snapshot — update matched keys, insert new ones,
+    // keep the rest — with per-row provenance. The engine-native form
+    // of the warehouse MERGE INTO (no table format required); one
+    // shuffle on the key for both sides.
+    Q("o53_upsert", (s, d) => {
+      val o = t(s, d, "orders")
+      val base = o.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_base"))
+      val changes = o.filter(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 1500)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("price_chg"))
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("price_chg"), col("price_base")).as("price"),
+          when(col("price_chg").isNotNull && col("price_base").isNotNull,
+            "updated")
+            .when(col("price_chg").isNotNull, "inserted")
+            .otherwise("unchanged").as("status"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice AS price_base
+             |  FROM orders WHERE o_orderkey < 1000),
+             |chg AS (
+             |  SELECT o_orderkey, o_totalprice + 1000.0 AS price_chg
+             |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+             |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             |  COALESCE(price_chg, price_base) AS price,
+             |  CASE WHEN price_chg IS NOT NULL AND price_base IS NOT NULL
+             |         THEN 'updated'
+             |       WHEN price_chg IS NOT NULL THEN 'inserted'
+             |       ELSE 'unchanged' END AS status
+             |FROM base b FULL OUTER JOIN chg c USING (o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SCD2 interval build: per-user event-type history as half-open
+    // validity ranges [ts, next_ts) via lead() — one window over one
+    // exchange, nanosecond-exact integers; the open row carries NULL.
+    Q("o54_scd2", (s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") < 50)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // micros, not raw nanos: DuckDB timestamps are micro-precision
+      ev.select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("valid_from_us"),
+          lead(expr("ts div 1000"), 1).over(w).as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "event_type")
+    },
+      Some("""SELECT user_id, event_type,
+             |  epoch_us(ts) AS valid_from_us,
+             |  LEAD(epoch_us(ts), 1) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |    AS valid_to_us
+             |FROM events WHERE user_id < 50
+             |ORDER BY user_id, valid_from_us, event_type""".stripMargin))
   )
 }
