@@ -80,11 +80,18 @@ object Bench {
       "x05_asof_join")
     val byName = results.toMap
     val sfName = new java.io.File(sfDir).getName
-    val detail = new java.io.PrintWriter(s"bench_detail_$sfName.txt")
+    // best-effort only: a detail-file failure (read-only cwd, …) must
+    // never cost the round its JSON line
     try {
-      results.foreach { case (k, v) => detail.println(f"$k%-28s $v%.3f s") }
-      errors.reverse.foreach(e => detail.println(s"FAILED $e"))
-    } finally detail.close()
+      val detail = new java.io.PrintWriter(s"bench_detail_$sfName.txt")
+      try {
+        results.foreach { case (k, v) => detail.println(f"$k%-28s $v%.3f s") }
+        errors.reverse.foreach(e => detail.println(s"FAILED $e"))
+      } finally detail.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        errors ::= s"bench_detail write failed: ${e.getMessage}"
+    }
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         "\"" + h + f"""\":$v%.2f"""))
       .mkString("{", ",", "}")

@@ -24,19 +24,26 @@ object Split {
     Text.portableHash(concat(id.cast("string"), lit("|" + salt))) % Buckets
 
   /** Label each row train/val/test (or any named fractions) —
-    * fractions in units of 1/10000, must sum to <= 10000; the last
-    * named split absorbs the remainder when `rest` is passed.
+    * fractions in units of 1/10000. When the fractions sum below
+    * 10000, rows past the last cut get the `rest` label if one is
+    * given; without `rest` the fractions must cover all 10000 buckets
+    * (a silent NULL split would drop rows from every downstream
+    * split-equality filter).
     */
   def assign(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)], saltName: String = "split",
-      outCol: String = "split"): DataFrame = {
+      outCol: String = "split", rest: Option[String] = None): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= Buckets,
       s"split fractions exceed $Buckets: $splits")
+    require(rest.isDefined || splits.map(_._2).sum == Buckets,
+      s"fractions sum to ${splits.map(_._2).sum} < $Buckets and no " +
+        "`rest` label given — the remainder rows would get a NULL split")
     val b = bucket(col(idCol), saltName)
     val cuts = splits.scanLeft(0)(_ + _._2).tail
-    val ladder = splits.zip(cuts).foldRight(lit(null: String)) {
-      case (((name, _), cut), acc) => when(b < cut, lit(name)).otherwise(acc)
-    }
+    val ladder = splits.zip(cuts)
+      .foldRight(lit(rest.orNull): Column) {
+        case (((name, _), cut), acc) => when(b < cut, lit(name)).otherwise(acc)
+      }
     df.withColumn(outCol, ladder)
   }
 

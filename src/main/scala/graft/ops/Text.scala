@@ -72,12 +72,18 @@ object Text {
       regexp_replace(c, p, tag)
     }
 
-  /** Count of PII matches that [[redact]] would replace. */
+  /** Count of PII matches that [[redact]] would replace. Each pattern
+    * is counted against the text AFTER the earlier patterns' redaction
+    * (mirroring redact's sequential passes) — counting every pattern
+    * on the original would double-count overlaps, e.g. an IP-shaped
+    * substring inside an already-redacted email local part.
+    */
   def redactionCount(text: Column,
       patterns: Seq[(String, String)] = RedactPatterns): Column =
-    patterns.map { case (p, _) =>
-      size(regexp_extract_all(text, lit(p), lit(0)))
-    }.reduce(_ + _)
+    patterns.foldLeft((text, lit(0))) { case ((t, n), (p, tag)) =>
+      (regexp_replace(t, p, tag),
+        n + size(regexp_extract_all(t, lit(p), lit(0))))
+    }._2
 
   /** Smoothed TF-IDF weight `tf * ln((N+1)/(df+1))`. The ratio is an
     * exact small-integer division (oracle-verified in `t18_tfidf`);

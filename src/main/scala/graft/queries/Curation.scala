@@ -83,15 +83,23 @@ object CurationQueries extends Suite {
         .select("doc_id", "n_tokens", "unique_ratio", "top2_frac")
         .orderBy("doc_id")
     },
-      Some("""WITH w AS (
+      Some("""WITH w0 AS (
              |  SELECT doc_id,
              |    generate_subscripts(string_split(text,' '),1) AS pos,
              |    unnest(string_split(text,' ')) AS word
              |  FROM documents),
+             |-- drop empty tokens BEFORE pairing and renumber, exactly
+             |-- like the Spark side's filtered words array — a doc with
+             |-- consecutive spaces must form the same 2-grams
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
              |tok AS (
              |  SELECT doc_id, COUNT(*) AS n_tokens,
              |    COUNT(DISTINCT word) AS n_distinct
-             |  FROM w WHERE len(word) > 0 GROUP BY 1),
+             |  FROM w GROUP BY 1),
              |g AS (
              |  SELECT a.doc_id, a.word || ' ' || b.word AS sh
              |  FROM w a JOIN w b

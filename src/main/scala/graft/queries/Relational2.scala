@@ -507,12 +507,16 @@ object Relational2 extends Suite {
     // validity ranges [ts, next_ts) via lead() — one window over one
     // exchange, nanosecond-exact integers; the open row carries NULL.
     Q("o54_scd2", (s, d) => {
+      // micros, not raw nanos: DuckDB timestamps are micro-precision,
+      // and the WINDOW ORDER must use the truncated value too — two
+      // events in the same microsecond would otherwise sequence by
+      // nanos here but by event_id in the oracle
       val ev = t(s, d, "events").filter(col("user_id") < 50)
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      // micros, not raw nanos: DuckDB timestamps are micro-precision
+        .withColumn("tsu", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
       ev.select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("valid_from_us"),
-          lead(expr("ts div 1000"), 1).over(w).as("valid_to_us"))
+          col("tsu").as("valid_from_us"),
+          lead(col("tsu"), 1).over(w).as("valid_to_us"))
         .orderBy("user_id", "valid_from_us", "event_type")
     },
       Some("""SELECT user_id, event_type,

@@ -90,6 +90,29 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Split.assign(docs, "doc_id", Seq("a" -> 9000, "b" -> 2000))
     }
+    // fractions below 10000 need an explicit rest label (silent NULL
+    // splits would vanish from split-equality filters)...
+    intercept[IllegalArgumentException] {
+      Split.assign(docs, "doc_id", Seq("a" -> 8000, "b" -> 1000))
+    }
+    // ...and with one, the remainder is labeled, nothing is NULL
+    val withRest = Split.assign(docs, "doc_id",
+      Seq("train" -> 8000), rest = Some("holdout"))
+    assert(withRest.filter(col("split").isNull).count() === 0L)
+    assert(withRest.filter(col("split") === "holdout").count() > 0L)
+  }
+
+  test("corpus invariant: single-spaced text (oracle empty-token parity)") {
+    // Every text oracle splits on ' ' WITHOUT an empty-token guard in
+    // some CTEs, while the Spark side always filters empties. That
+    // parity is safe only while the corpus has no consecutive /
+    // leading / trailing spaces — assert the precondition so a future
+    // data change fails HERE, not as an oracle hash mismatch.
+    val bad = Tables.load(spark, sf, "documents")
+      .filter(col("text").contains("  ") ||
+        col("text").startsWith(" ") || col("text").endsWith(" "))
+      .count()
+    assert(bad === 0L, s"$bad docs violate single-spacing")
   }
 
   test("Split: fold and sample salts are independent of split salt") {
@@ -116,6 +139,13 @@ class CurationSpec extends SparkSpec {
     assert(rows(1).getInt(2) === 0)
     assert(rows(2).getString(1) === "two mails: <EMAIL> and <EMAIL>")
     assert(rows(2).getInt(2) === 2)
+    // overlap: the IP-shaped substring inside the email local part is
+    // consumed by the email pass — count must agree with redact (1)
+    val overlap = Seq("mail a1.2.3.4@x.com now").toDF("text")
+      .select(Text.redact(col("text")).as("red"),
+        Text.redactionCount(col("text")).as("n")).head
+    assert(overlap.getString(0) === "mail <EMAIL> now")
+    assert(overlap.getInt(1) === 1)
   }
 
   test("repetition filter: degenerate doc rejected, diverse doc kept") {
