@@ -280,6 +280,59 @@ object Extras extends Suite {
              |GROUP BY c_nationkey, event_type
              |ORDER BY c_nationkey, event_type""".stripMargin)),
 
+    // Streaming count-min sketch: the mergeable-sketch Aggregator
+    // inside a streaming aggregation — micro-batch partials combine
+    // through CmsAgg.merge, so the end-state counters are IDENTICAL
+    // to the batch sketch (the oracle replays the batch SQL). Per
+    // event_type, estimates for users 0..19 sit next to exact counts.
+    Q("x15_streaming_cms", (s, d) => {
+      val D = 3; val W = 1024
+      val spark = s
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val cms = udaf(new graft.ops.CmsAgg(D, W))
+      val agg = stream.groupBy("event_type")
+        .agg(cms(col("user_id").cast("string")).as("cs"))
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_stream_cms").outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      val exact = static.filter(col("user_id") < 20)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+      exact.join(spark.table("graft_stream_cms"), "event_type")
+        .withColumn("est_cnt",
+          graft.ops.Cms.estimate(col("cs"), col("user_id"), D, W))
+        .select("event_type", "user_id", "est_cnt", "exact_cnt")
+        .orderBy("event_type", "user_id")
+    }, {
+      def h(e: String, i: Int) =
+        s"CAST('0x' || substr(md5($e || '|s$i'),1,15) AS BIGINT)"
+      val u = "CAST(user_id AS VARCHAR)"
+      val uk = "CAST(ex.user_id AS VARCHAR)"
+      Some(s"""WITH ex AS (
+              |  SELECT event_type, user_id, COUNT(*) AS exact_cnt
+              |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+              |l0 AS (SELECT event_type, ${h(u, 0)} % 1024 AS b,
+              |         COUNT(*) AS c FROM events GROUP BY 1, 2),
+              |l1 AS (SELECT event_type, ${h(u, 1)} % 1024 AS b,
+              |         COUNT(*) AS c FROM events GROUP BY 1, 2),
+              |l2 AS (SELECT event_type, ${h(u, 2)} % 1024 AS b,
+              |         COUNT(*) AS c FROM events GROUP BY 1, 2)
+              |SELECT ex.event_type, ex.user_id,
+              |  LEAST(l0.c, l1.c, l2.c) AS est_cnt, ex.exact_cnt
+              |FROM ex
+              |JOIN l0 ON l0.event_type = ex.event_type
+              |       AND ${h(uk, 0)} % 1024 = l0.b
+              |JOIN l1 ON l1.event_type = ex.event_type
+              |       AND ${h(uk, 1)} % 1024 = l1.b
+              |JOIN l2 ON l2.event_type = ex.event_type
+              |       AND ${h(uk, 2)} % 1024 = l2.b
+              |ORDER BY ex.event_type, ex.user_id""".stripMargin)
+    }),
+
     // Streaming SLIDING window (2h width, 1h slide): every event lands
     // in exactly two overlapping windows; the oracle materializes both
     // window starts per event and re-aggregates.
