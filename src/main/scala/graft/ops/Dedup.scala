@@ -105,20 +105,35 @@ object Dedup {
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|), all-integer inputs so the
     * double division is engine-deterministic.
     */
+  /** `minJaccardPct` (0-100): exact size-bound prune — jaccard can
+    * never exceed min(|A|,|B|)/max(|A|,|B|), so when the caller will
+    * filter `jaccard >= p/100`, pairs failing `100*min >= p*max` are
+    * eliminated BEFORE the expensive common-shingle join using only
+    * the (cheap) size table. Integer arithmetic, no float compare —
+    * a necessary condition, so the final row set is unchanged.
+    */
   def jaccardVerify(candidates: DataFrame, shingles: DataFrame,
-      id: String): DataFrame = {
+      id: String, minJaccardPct: Int = 0): DataFrame = {
     val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val common = candidates
-      .join(shingles.as("sa"), col("id_1") === col(s"sa.$id"))
-      .join(shingles.as("sb"),
-        col("id_2") === col(s"sb.$id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_1", "id_2").agg(count(lit(1)).as("n_common"))
-    common
+    val withSizes = candidates
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
       .select(col("id_1"), col("id_2"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+    val pruned =
+      if (minJaccardPct <= 0) withSizes
+      else withSizes.filter(
+        least(col("na"), col("nb")) * 100 >=
+          greatest(col("na"), col("nb")) * minJaccardPct)
+    pruned
+      .join(shingles.as("sa"), col("id_1") === col(s"sa.$id"))
+      .join(shingles.as("sb"),
+        col("id_2") === col(s"sb.$id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_1", "id_2", "na", "nb")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_1"), col("id_2"),
         (col("n_common").cast("double") /
-          (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
   }
 
   /** Exact Jaccard for candidate pairs via per-doc shingle ARRAYS:

@@ -118,7 +118,9 @@ object DedupQueries extends Suite {
       // raw jaccard, not round-6: the ratio of exact ints is
       // bit-identical across engines, while rounding can flip when a
       // rational lands exactly on a 1e-6 boundary (e.g. k/640)
-      Dedup.jaccardVerify(cands, sh, "doc_id")
+      // minJaccardPct=90: exact size-bound prune before the common-
+      // shingle join (necessary condition for the 0.9 filter below)
+      Dedup.jaccardVerify(cands, sh, "doc_id", minJaccardPct = 90)
         .filter(col("jaccard") >= 0.9)
         .orderBy("id_1", "id_2")
     },
