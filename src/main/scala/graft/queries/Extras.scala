@@ -436,7 +436,10 @@ object Extras extends Suite {
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
           col("ets").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      graft.streaming.StreamConf.withStatePartitions(s) {
+      // 2, not the 4 other streams use: the join keeps TWO stores per
+      // partition (one per side), so its per-partition commit cost is
+      // double — halving partitions rebalances it (6.3s -> 5.7s)
+      graft.streaming.StreamConf.withStatePartitions(s, 2) {
         val q = purchases.join(signups,
             col("p_user") === col("s_user") &&
               col("s_ts") <= col("p_ts") &&
