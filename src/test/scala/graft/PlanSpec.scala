@@ -57,6 +57,28 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("hllagg"), p.take(3000))
   }
 
+  test("d18: CMS sketch aggregates partially below the exchange") {
+    val p = plan("d18_cms_heavyhitters")
+    // constant-size counter partials must combine map-side — the
+    // whole point of the sketch at scale
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.toLowerCase.contains("cmsagg"), p.take(3000))
+  }
+
+  test("d19: bloom prefilter sits at the fact scan, below the join") {
+    // the membership test (element_at over the bitset literal) must
+    // appear BELOW the join in the plan tree (children print after
+    // their parent) — the scan-side prefilter, not a post-join filter.
+    // Note: executedPlan is AdaptiveSparkPlan; assert on the printed
+    // tree, which includes the inner plan.
+    val p = plan("d19_bloom_prune")
+    val join = p.indexOf("HashJoin")
+    assert(join >= 0, p.take(3000))
+    val filterBelow = p.indexOf("element_at", join)
+    assert(filterBelow > join,
+      "bloom membership filter not below the join:\n" + p.take(4000))
+  }
+
   test("x12: binned range join shuffles, no nested-loop join") {
     val p = plan("x12_binned_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
