@@ -54,6 +54,26 @@ object Split {
     (Text.portableHash(concat(id.cast("string"), lit("|" + saltName)))
       % k).cast("int")
 
+  /** Mixture balancing: deterministically downsample every stratum to
+    * (approximately) the size of the RAREST stratum, so the output is
+    * a uniform mixture — the domain-rebalancing step of corpus
+    * curation. Per-stratum keep-threshold = (min_count * 10000) div
+    * count, all exact integer arithmetic (`div`), membership by the
+    * salted id hash — reproducible on any partitioning or engine.
+    */
+  def balanceStrata(df: DataFrame, idCol: String, strataCol: String,
+      saltName: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minCnt = counts.agg(min("__n").as("__mn"))
+    val thresholds = counts.crossJoin(broadcast(minCnt))
+      .select(col(strataCol),
+        call_function("div", col("__mn") * Buckets, col("__n"))
+          .as("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(bucket(col(idCol), saltName) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Stratified sample: per-stratum fraction (in 1/10000 units),
     * deterministic per id. Strata not in the map get `defaultFrac`.
     */

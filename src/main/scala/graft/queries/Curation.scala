@@ -61,6 +61,24 @@ object CurationQueries extends Suite {
               |                    WHEN 'zh' THEN 5000 ELSE 2000 END
               |ORDER BY doc_id""".stripMargin)),
 
+    // Mixture balancing: every language downsampled to the rarest
+    // language's share — uniform-mixture corpus rebalancing with
+    // exact integer thresholds (min_count*10000 div count) and
+    // hash-deterministic membership.
+    Q("a08_mixture_balance", (s, d) => {
+      Split.balanceStrata(docs(s, d), "doc_id", "lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH c AS (
+              |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+              |m AS (SELECT MIN(n) AS mn FROM c),
+              |t AS (SELECT lang, (mn * 10000) // n AS thr FROM c, m)
+              |SELECT doc_id, lang
+              |FROM documents JOIN t USING (lang)
+              |WHERE ${hSql("CAST(doc_id AS VARCHAR)", "|mix")} % 10000 < thr
+              |ORDER BY doc_id""".stripMargin)),
+
     // Repetition quality filter (the Gopher-style gate): keep docs
     // whose type-token ratio is high enough AND whose most frequent
     // 2-gram doesn't dominate — both metrics are exact integer ratios

@@ -102,6 +102,28 @@ class CurationSpec extends SparkSpec {
     assert(withRest.filter(col("split") === "holdout").count() > 0L)
   }
 
+  test("balanceStrata: strata sizes converge to the rarest, deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val byLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = byLang.values.min
+    val balanced = Split.balanceStrata(docs, "doc_id", "lang")
+    val outLang = balanced.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outLang.keySet === byLang.keySet)
+    outLang.foreach { case (l, n) =>
+      // hash-threshold sampling has binomial variance around the
+      // target; all strata must land near minN, none above 1.5x
+      assert(n <= minN * 3 / 2 && n >= minN / 2,
+        s"lang $l: $n not near target $minN")
+    }
+    // deterministic under repartitioning
+    val ids1 = balanced.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Split.balanceStrata(docs.repartition(13), "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("corpus invariant: single-spaced text (oracle empty-token parity)") {
     // Every text oracle splits on ' ' WITHOUT an empty-token guard in
     // some CTEs, while the Spark side always filters empties. That
