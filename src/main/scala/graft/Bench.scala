@@ -23,7 +23,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR (not WARN) from the very start: streaming queries emit a
+    // burst of WARN lines (AQE-disabled, checkpoint cleanup, job-group
+    // cancel) and sbt pumps forked stderr on a separate thread — a
+    // late stderr flush after the stdout JSON pushed round 2's JSON
+    // line out of the driver's 2000-char tail window. Keeping stderr
+    // silent is the only robust fix.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up so JIT/codegen startup isn't billed to the
     // alphabetically-first query
     try SparkEntry.queries("o15_multi_agg")(spark, sfDir)
@@ -99,8 +105,10 @@ object Bench {
     val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val avg = if (results.nonEmpty) total / results.size else 0.0
     // quiet shutdown: nothing may print after the JSON line or the
-    // driver's tail window can lose it
-    spark.sparkContext.setLogLevel("ERROR")
+    // driver's tail window can lose it. Drain any in-flight stderr
+    // (sbt's err pump is asynchronous) before emitting the line.
+    System.err.flush()
+    Thread.sleep(500)
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"queries":$qs,"sf":"$sfName"}""")
     System.out.flush()
