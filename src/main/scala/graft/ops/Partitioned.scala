@@ -67,6 +67,45 @@ object Partitioned {
     nFiles
   }
 
+  /** Interleave the low 31 bits of `v` with a zero bit between each
+    * (the classic parallel-prefix spread), pure shift/mask Columns so
+    * the whole key stays inside whole-stage codegen.
+    */
+  private def spread31(v: Column): Column = {
+    var c = v.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    c = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    c = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    c = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    c = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x3333333333333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton (Z-order) key of two non-negative ints (< 2^31 after
+    * masking): bit-interleaved so that sorting by the key clusters
+    * rows that are close in BOTH dimensions. Values are truncated to
+    * their low 31 bits — callers with wider domains should pre-scale
+    * (quantile-rank) each dimension, which also evens out skew.
+    */
+  def morton2(x: Column, y: Column): Column =
+    spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
+
+  /** Z-order layout: range-partition + sort by the Morton key of two
+    * filter dimensions, then write parquet. Each output file then
+    * covers a small RECTANGLE in (x, y) space, so parquet footer
+    * min/max statistics prune 2-D range queries on EITHER or BOTH
+    * columns — a single-column sort clusters only its own column and
+    * leaves the other scattered across every file (full scan for
+    * y-only predicates). This is the multi-dimensional generalization
+    * of [[writePartitioned]]'s one-dimensional directory pruning, and
+    * the standard layout for 100 TB fact tables filtered on 2+
+    * selective dimensions (date × customer, region × product).
+    */
+  def zorderWrite(df: DataFrame, path: String,
+      x: Column, y: Column, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, morton2(x, y))
+      .sortWithinPartitions(morton2(x, y))
+      .write.mode("overwrite").parquet(path)
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * deterministic salt derived from `tieBreak` (any column unique-ish
     * per row); the small side is exploded `saltFactor` times. Results

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Bloom, Cms, CmsAgg, Split, Text}
+import graft.ops.{Bloom, Cms, CmsAgg, Dedup, Split, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,50 @@ object CurationQueries extends Suite {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 480000
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Corpus-internal bigram LM quality score: every doc scored by the
+    // average corpus probability of its bigrams, in parts-per-million
+    // — p(w2|w1) ≈ c(w1 w2)*1e6 div c(w1), all integer arithmetic so
+    // the oracle is bit-exact (no ln/float divergence). Low scores =
+    // improbable token sequences (the perplexity-filter signal of LLM
+    // data pipelines, kept in exact integer space). Count tables are
+    // term-keyed aggregates with map-side partials; the joins back to
+    // the bigram stream are term-keyed shuffles (broadcast when the
+    // vocabulary is small, as Catalyst chooses here).
+    Q("a09_lm_score", (s, d) => {
+      val base = docs(s, d)
+      val uni = Text.words(base, "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val bi = Dedup.ngrams(base, "doc_id", "text", 2)
+      val biCount = bi.groupBy("sh").agg(count(lit(1)).as("c2"))
+      bi.join(biCount, "sh")
+        .withColumn("w1", substring_index(col("sh"), " ", 1))
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum((c2 * 1000000) div c1) div count(1)").as("lm_ppm"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
+             |g AS (
+             |  SELECT a.doc_id, a.word || ' ' || b.word AS sh, a.word AS w1
+             |  FROM w a JOIN w b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |c1 AS (SELECT word, COUNT(*) AS c1 FROM w GROUP BY 1),
+             |c2 AS (SELECT sh, COUNT(*) AS c2 FROM g GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM((c2 * 1000000) // c1) // COUNT(*) AS BIGINT) AS lm_ppm
+             |FROM g JOIN c2 USING (sh) JOIN c1 ON g.w1 = c1.word
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

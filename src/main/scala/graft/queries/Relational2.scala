@@ -525,6 +525,60 @@ object Relational2 extends Suite {
              |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
              |    AS valid_to_us
              |FROM events WHERE user_id < 50
-             |ORDER BY user_id, valid_from_us, event_type""".stripMargin))
+             |ORDER BY user_id, valid_from_us, event_type""".stripMargin)),
+
+    // Incremental aggregate maintenance: a standing per-customer
+    // aggregate is refreshed by merging the OLD partial state with an
+    // aggregate of only the DELTA rows — union + re-aggregate of
+    // partial (count, decimal-sum) states, never rescanning the base
+    // fact. count/sum/min/max states merge exactly; that mergeability
+    // is what makes a 100 TB nightly pipeline incremental (the same
+    // algebra Spark itself uses for partial->final HashAggregate).
+    // The oracle recomputes from scratch — results must be identical.
+    Q("o55_incremental_agg", (s, d) => {
+      val o = t(s, d, "orders")
+      def partial(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          dsumDec(col("o_totalprice")).as("total_dec"))
+      val base = partial(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = partial(o.filter(col("o_orderdate") >= "1997-01-01"))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n").as("n"),
+          sum("total_dec").cast("double").as("total"))
+        .orderBy("o_custkey")
+    },
+      Some("""SELECT o_custkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Z-order (Morton) data-skipping layout: orders re-laid-out by
+    // the bit-interleaved (o_custkey, day) key, so each parquet file
+    // covers a small rectangle of the 2-D key space and footer
+    // min/max stats prune rectangle queries on either dimension
+    // (PartitionedSpec measures candidate-file reduction vs a linear
+    // sort). The layout is semantically invisible — the oracle runs
+    // the identical rectangle on the original table.
+    Q("o56_zorder_prune", (s, d) => {
+      val tmp = "/root/repo/target/graft-tmp/zorder_orders"
+      val o = t(s, d, "orders").withColumn("day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+      graft.ops.Partitioned.zorderWrite(o, tmp,
+        col("o_custkey"), col("day"), nFiles = 16)
+      s.read.parquet(tmp)
+        .filter(col("o_custkey").between(100, 400) &&
+          col("day").between(9131, 9496))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 400
+             |  AND CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             |      BETWEEN 9131 AND 9496
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -210,6 +210,51 @@ object Sessions extends Suite {
              |FROM events GROUP BY user_id
              |HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
              |     < MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // S9: ordered funnel — per user the earliest view, the earliest
+    // click AFTER that view, and the earliest purchase AFTER that
+    // click (strict event-order semantics, not just min-per-type like
+    // S8). Each stage is a groupBy(user)+min over a filtered re-join;
+    // every shuffle in the chain is keyed on user_id, so one hash
+    // partitioning is reused end-to-end — at 100 TB the funnel costs
+    // one fact-scan plus user-keyed exchanges that AQE coalesces.
+    Q("s09_funnel", (s, d) => {
+      val e = events(s, d).select("user_id", "event_type", "tsn")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsn").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("tsn") > col("t_view"))
+        .groupBy("user_id").agg(min("tsn").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("tsn") > col("t_click"))
+        .groupBy("user_id").agg(min("tsn").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .withColumn("stage",
+          lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0))
+        .select("user_id", "t_view", "t_click", "t_purchase", "stage")
+        .orderBy("user_id")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
+             |v AS (
+             |  SELECT user_id, MIN(tsn) AS t_view FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, MIN(tsn) AS t_click
+             |  FROM e JOIN v ON e.user_id = v.user_id
+             |  WHERE event_type = 'click' AND tsn > t_view GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, MIN(tsn) AS t_purchase
+             |  FROM e JOIN c ON e.user_id = c.user_id
+             |  WHERE event_type = 'purchase' AND tsn > t_click GROUP BY 1)
+             |SELECT v.user_id, t_view, t_click, t_purchase,
+             |  1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+             |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin))
   )
 }

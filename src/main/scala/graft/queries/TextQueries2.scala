@@ -221,6 +221,38 @@ object TextQueries2 extends Suite {
              |FROM f JOIN k ON doc_id = keep_id
              |WHERE pred_lang = 'en' AND n_words BETWEEN 30 AND 1000
              |  AND stop_ratio < 0.2
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index build: term -> (document frequency, total term
+    // frequency, sorted posting list). Two-level aggregation: the
+    // (term, doc) partial collapses duplicates map-side BEFORE the
+    // by-term shuffle, so the exchange carries one row per distinct
+    // (term, doc) — not one per token occurrence. Posting lists are
+    // bounded by corpus df; at web scale the long tail is fine and the
+    // stopword head is exactly what CmsAgg heavy-hitter detection
+    // flags for segmented/blocked posting storage.
+    Q("t19_inverted_index", (s, d) => {
+      Text.words(docs(s, d), "doc_id", "text")
+        .groupBy("word", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("df"),
+          sum("tf").as("tf_total"),
+          // joined to a string: keeps the cross-engine compare scalar
+          // (same discipline as o41_collect_sorted)
+          array_join(sort_array(collect_list(col("doc_id")))
+            .cast("array<string>"), ",").as("postings"))
+        .orderBy("word")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |wf AS (
+             |  SELECT word, doc_id, COUNT(*) AS tf
+             |  FROM w WHERE len(word) > 0 GROUP BY 1, 2)
+             |SELECT word, COUNT(*) AS df,
+             |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+             |FROM wf GROUP BY word ORDER BY word""".stripMargin))
   )
 }

@@ -38,6 +38,52 @@ class PartitionedSpec extends SparkSpec {
     assert(plain.size === 901)
   }
 
+  test("morton2 interleaves bits (known values, monotone locality)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (3L, 5L), (0x7FFFFFFFL, 0x7FFFFFFFL)).toDF("x", "y")
+    val got = df.select(Partitioned.morton2(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    // interleave(x,y) with y in the odd bits: (3,5)=0b11,0b101 ->
+    // y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 0x27; 31 ones each -> 62 ones
+    assert(got === Seq(0L, 1L, 2L, 3L, 0x27L, 0x3FFFFFFFFFFFFFFFL))
+  }
+
+  test("z-order layout prunes 2-D rectangles better than linear sort") {
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "zorder").toString
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+    val zPath = s"$base/z"; val linPath = s"$base/lin"
+    Partitioned.zorderWrite(o, zPath, col("o_custkey"), col("day"), 16)
+    // linear baseline: same file count, sorted by o_custkey only
+    o.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(linPath)
+    // candidate files = files whose (min,max) box intersects the
+    // rectangle — what parquet footer stats let a scan skip
+    def candidates(path: String): Int = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("o_custkey"), max("o_custkey"), min("day"), max("day"))
+          .collect()(0)
+        !(r.getLong(1) < 100 || r.getLong(0) > 400 ||
+          r.getInt(3) < 9131 || r.getInt(2) > 9496)
+      }
+    }
+    val zc = candidates(zPath); val lc = candidates(linPath)
+    // the custkey rectangle is ~20% of the domain: a custkey-sorted
+    // layout already skips on custkey but reads every file for the
+    // day bound alone; z-order must beat it and prune most files
+    assert(zc < lc, s"z-order candidates $zc !< linear $lc")
+    assert(zc <= 6, s"z-order should prune most of 16 files, got $zc")
+    // layout preserves content
+    assert(spark.read.parquet(zPath).count() === o.count())
+  }
+
   test("compact collapses a small-file directory preserving rows") {
     val base = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
