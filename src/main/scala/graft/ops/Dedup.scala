@@ -182,6 +182,27 @@ object Dedup {
           (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
   }
 
+  /** All-pairs asymmetric containment over shingle sets, same single
+    * self-join shape as [[jaccardFromSelfJoin]]: c_1in2 = |A∩B|/|A|
+    * detects doc 1 CONTAINED in doc 2 (quotation, boilerplate wrap,
+    * partial scrape) even when symmetric Jaccard is low because the
+    * container is much larger — the subset-dup case Jaccard misses.
+    */
+  def containmentFromSelfJoin(shingles: DataFrame, id: String): DataFrame = {
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val common = shingles.as("a")
+      .join(shingles.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
+      .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
+      .select(col("id_1"), col("id_2"), col("n_common"),
+        (col("n_common").cast("double") / col("za.n")).as("c_1in2"),
+        (col("n_common").cast("double") / col("zb.n")).as("c_2in1"))
+  }
+
   /** SimHash fingerprint (`bits`-wide) over token occurrences:
     * per bit j, sum +1/-1 by hash bit; fingerprint sets bit j where
     * the sum is positive.

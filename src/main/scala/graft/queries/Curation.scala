@@ -271,6 +271,37 @@ object CurationQueries extends Suite {
              |SELECT doc_id, COUNT(*) AS n_bigrams,
              |  CAST(SUM((c2 * 1000000) // c1) // COUNT(*) AS BIGINT) AS lm_ppm
              |FROM g JOIN c2 USING (sh) JOIN c1 ON g.w1 = c1.word
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Domain-mix report: docs and exact token mass per (source, lang)
+    // plus each cell's parts-per-million share — the mixture table a
+    // training-data pipeline reports before/after rebalancing (a08).
+    // Token counting stays inside the scan projection (no explode);
+    // the single global total is a broadcast scalar.
+    Q("a10_domain_mix", (s, d) => {
+      val perDoc = docs(s, d).select(col("source"), col("lang"),
+        size(filter(split(col("text"), " "),
+          w => length(w) > 0)).as("n_tok"))
+      val grouped = perDoc.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val total = grouped.agg(sum("n_tokens").as("tot"))
+      grouped.crossJoin(broadcast(total))
+        .withColumn("token_ppm", expr("n_tokens * 1000000 div tot"))
+        .select("source", "lang", "n_docs", "n_tokens", "token_ppm")
+        .orderBy("source", "lang")
+    },
+      Some("""WITH p AS (
+             |  SELECT source, lang,
+             |    len(list_filter(string_split(text, ' '),
+             |                    w -> len(w) > 0)) AS n_tok
+             |  FROM documents),
+             |g AS (
+             |  SELECT source, lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |  FROM p GROUP BY 1, 2),
+             |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+             |SELECT source, lang, n_docs, n_tokens,
+             |  CAST((n_tokens * 1000000) // tot AS BIGINT) AS token_ppm
+             |FROM g, t ORDER BY source, lang""".stripMargin))
   )
 }

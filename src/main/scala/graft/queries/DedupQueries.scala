@@ -513,6 +513,38 @@ object DedupQueries extends Suite {
            |l0 AS (SELECT doc_id, doc_id AS label FROM docs_c),
            |$propagate
            |SELECT doc_id, label AS group_id FROM l5 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // D20: asymmetric containment |A∩B|/|A| over 3-gram shingles —
+    // catches a short doc quoted/wrapped inside a longer one, where
+    // symmetric Jaccard stays low because the container dominates the
+    // union. Same one-self-join shape (and cost) as d05.
+    Q("d20_containment", (s, d) => {
+      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
+      Dedup.containmentFromSelfJoin(sh, "doc_id")
+        .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
+        .orderBy("id_1", "id_2")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+             |         unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |ws AS (
+             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+             |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+             |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_1, id_2, n_common,
+             |  CAST(n_common AS DOUBLE) / za.n AS c_1in2,
+             |  CAST(n_common AS DOUBLE) / zb.n AS c_2in1
+             |FROM common JOIN sizes za ON za.doc_id = id_1
+             |            JOIN sizes zb ON zb.doc_id = id_2
+             |WHERE greatest(CAST(n_common AS DOUBLE) / za.n,
+             |               CAST(n_common AS DOUBLE) / zb.n) >= 0.5
+             |ORDER BY id_1, id_2""".stripMargin))
   )
 }

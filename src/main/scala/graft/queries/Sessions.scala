@@ -255,6 +255,29 @@ object Sessions extends Suite {
              |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
              |FROM v LEFT JOIN c ON v.user_id = c.user_id
              |       LEFT JOIN p ON v.user_id = p.user_id
-             |ORDER BY v.user_id""".stripMargin))
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // S10: per-session roll-up — duration, size, type diversity,
+    // purchase flag. One window pass (the sessionizer's single
+    // user-keyed exchange) feeds a groupBy on the SAME key prefix, so
+    // no second shuffle is needed for the aggregate.
+    Q("s10_session_metrics", (s, d) =>
+      Sessionize.byTimeout(events(s, d), "user_id", "tsn", "event_id",
+          TimeoutNs)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tsn") - min("tsn")).as("duration_us"),
+          countDistinct("event_type").as("n_types"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_purchase"))
+        .orderBy("user_id", "session_seq"),
+      Some(OracleBase +
+        """SELECT user_id, session_seq, COUNT(*) AS n_events,
+          |  MAX(tsn) - MIN(tsn) AS duration_us,
+          |  COUNT(DISTINCT event_type) AS n_types,
+          |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |    AS has_purchase
+          |FROM sess GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin))
   )
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.{Exact, Text}
 import graft.expressions.SentenceWords.sentence_words
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second text batch: the custom one-pass sentence+word Generator and
@@ -253,6 +254,47 @@ object TextQueries2 extends Suite {
              |SELECT word, COUNT(*) AS df,
              |  CAST(SUM(tf) AS BIGINT) AS tf_total,
              |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-             |FROM wf GROUP BY word ORDER BY word""".stripMargin))
+             |FROM wf GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Keyword extraction: top-3 terms per doc by EXACT integer tf-idf
+    // weight tf * ((N+1)*1e6 div (df+1)) — the float ln stays out of
+    // the gate (t18's discipline), ties broken lexicographically so
+    // the top-k is total-ordered and engine-independent. The
+    // row_number()<=k idiom is exactly what TopKRewrite turns into
+    // TopKPerKeyExec when installed (x08).
+    Q("t20_keyword_topk", (s, d) => {
+      val w = Text.words(docs(s, d), "doc_id", "text")
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy("doc_id")
+        .orderBy(desc("weight"), asc("word"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("weight",
+          expr("tf * ((n_docs + 1) * 1000000 div (df + 1))"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3 && col("doc_id") < 100)
+        .select("doc_id", "rk", "word", "tf", "df", "weight")
+        .orderBy("doc_id", "rk")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+             |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, word, tf, df,
+             |    tf * (((n_docs + 1) * 1000000) // (df + 1)) AS weight
+             |  FROM tf JOIN df USING (word), n),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY weight DESC, word) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, word, tf, df, CAST(weight AS BIGINT) AS weight
+             |FROM ranked WHERE rk <= 3 AND doc_id < 100
+             |ORDER BY doc_id, rk""".stripMargin))
   )
 }
