@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Bloom, Cms, CmsAgg, Dedup, Split, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation / pipeline-infrastructure suite: deterministic
@@ -302,6 +303,67 @@ object CurationQueries extends Suite {
              |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
              |SELECT source, lang, n_docs, n_tokens,
              |  CAST((n_tokens * 1000000) // tot AS BIGINT) AS token_ppm
-             |FROM g, t ORDER BY source, lang""".stripMargin))
+             |FROM g, t ORDER BY source, lang""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing any 3-gram with
+    // the held-out eval slice (doc_id % 100 == 0 stands in for the
+    // benchmark set), with the shared-shingle count as evidence. Real
+    // pipelines use 8-13-gram windows; this corpus's docs are short,
+    // so n=3 keeps the overlap non-trivial — n is a parameter. The
+    // eval shingle set is small by construction — Catalyst broadcasts
+    // it, so the train-side scan never shuffles; at 100 TB this is a
+    // bloom/broadcast-semi-join against the eval n-gram dictionary.
+    Q("a11_contamination", (s, d) => {
+      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
+      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+        .select("sh").distinct()
+      sh.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |g3 AS (
+             |  SELECT DISTINCT a.doc_id,
+             |    a.word || ' ' || b.word || ' ' || c.word AS sh
+             |  FROM w a
+             |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |ev AS (SELECT DISTINCT sh FROM g3 WHERE doc_id % 100 = 0)
+             |SELECT doc_id, COUNT(*) AS n_shared_ngrams
+             |FROM g3 JOIN ev USING (sh)
+             |WHERE doc_id % 100 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Priority dedup keeper: within each exact-dup group keep the
+    // BEST doc (longest, then lowest id) instead of d01's min-id —
+    // the curation policy that preserves the richest copy. One
+    // row_number over the fingerprint partitioning; at scale this is
+    // the same single shuffle as the plain dedup.
+    Q("a12_keeper_priority", (s, d) => {
+      val w = Window.partitionBy("fp")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          Text.fingerprint(col("text")).as("fp"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "n_chars", "fp")
+        .orderBy("doc_id")
+    },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             |    row_number() OVER (
+             |      PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, n_chars, fp FROM f WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin))
   )
 }

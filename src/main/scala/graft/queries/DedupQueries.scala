@@ -545,6 +545,68 @@ object DedupQueries extends Suite {
              |            JOIN sizes zb ON zb.doc_id = id_2
              |WHERE greatest(CAST(n_common AS DOUBLE) / za.n,
              |               CAST(n_common AS DOUBLE) / zb.n) >= 0.5
-             |ORDER BY id_1, id_2""".stripMargin))
+             |ORDER BY id_1, id_2""".stripMargin)),
+
+    // D21: MinHash estimator quality — per candidate pair the
+    // signature-agreement estimate (matching positions / K) next to
+    // the exact Jaccard it approximates. E[est] = J is the identity
+    // LSH relies on; emitting both makes the tradeoff auditable (the
+    // K=8 estimate is coarse — steps of 1/8 — exactly why the verify
+    // pass after banding is not optional at 0.9 thresholds).
+    Q("d21_minhash_est", (s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 1000)
+      val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
+      val nMatch = (0 until K).map(i =>
+        when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cands
+        .join(sigs.as("a"), col("id_1") === col("a.doc_id"))
+        .join(sigs.as("b"), col("id_2") === col("b.doc_id"))
+        .select(col("id_1"), col("id_2"), nMatch.as("n_match"))
+      Dedup.jaccardVerify(cands, sh, "doc_id", minJaccardPct = 90)
+        .filter(col("jaccard") >= 0.9)
+        .join(est, Seq("id_1", "id_2"))
+        .select(col("id_1"), col("id_2"), col("n_match"),
+          (col("n_match").cast("double") / K).as("est_jaccard"),
+          col("jaccard").as("exact_jaccard"))
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val matches = (0 until K)
+          .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
+           |${wordShinglesSql("docs_c")},
+           |${sigSelect("ws")},
+           |$BandsSql,
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+           |common AS (
+           |  SELECT id_1, id_2, COUNT(*) AS n_common
+           |  FROM cand JOIN ws sa ON sa.doc_id = id_1
+           |            JOIN ws sb ON sb.doc_id = id_2 AND sa.sh = sb.sh
+           |  GROUP BY id_1, id_2),
+           |est AS (
+           |  SELECT c.id_1, c.id_2, $matches AS n_match
+           |  FROM cand c JOIN sigs a ON c.id_1 = a.doc_id
+           |              JOIN sigs b ON c.id_2 = b.doc_id)
+           |SELECT common.id_1, common.id_2, n_match,
+           |  CAST(n_match AS DOUBLE) / $K AS est_jaccard,
+           |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common)
+           |    AS exact_jaccard
+           |FROM common JOIN sizes za ON za.doc_id = common.id_1
+           |            JOIN sizes zb ON zb.doc_id = common.id_2
+           |            JOIN est ON est.id_1 = common.id_1
+           |                    AND est.id_2 = common.id_2
+           |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.9
+           |ORDER BY common.id_1, common.id_2""".stripMargin
+      })
   )
 }

@@ -579,6 +579,31 @@ object Relational2 extends Suite {
              |WHERE o_custkey BETWEEN 100 AND 400
              |  AND CAST(o_orderdate AS DATE) - DATE '1970-01-01'
              |      BETWEEN 9131 AND 9496
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Arbitrary GROUPING SETS (beyond rollup o32 / cube o45): the
+    // (flag, status), (flag), () lattice in ONE pass — Catalyst plans
+    // a single Expand + aggregation, vs three scans for the union-all
+    // formulation. gid disambiguates all-null data values from
+    // subtotal rows (the o45 discipline).
+    Q("o57_grouping_sets", (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())
+             |ORDER BY gid, l_returnflag NULLS FIRST,
+             |  l_linestatus NULLS FIRST""".stripMargin))
   )
 }
