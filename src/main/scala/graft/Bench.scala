@@ -76,14 +76,16 @@ object Bench {
     // round 2's result). So ALL per-query detail goes to a file, and
     // the single short JSON line is the very last thing printed.
     val headline = Seq(
-      "a01_lang_id", "b25_rfm", "b29_brand_pairs",
+      "a01_lang_id", "a09_lm_score", "a11_contamination",
+      "b25_rfm", "b29_brand_pairs",
       "d01_dedup_exact", "d04_minhash_lsh_neardup", "d07_simhash_neardup",
       "d09_knn_bruteforce", "d12_dup_groups", "m01_kmeans_lloyd",
       "o08_join_agg", "o13_basket_pairs", "o26_topk", "o28_window_rank",
-      "s02_sessions", "s04_session_pairs", "t03_word_counts",
-      "t18_tfidf", "d18_cms_heavyhitters", "d19_bloom_prune",
-      "o51_gap_fill", "x02_streaming_sessions", "x04_tumbling_window",
-      "x05_asof_join")
+      "o55_incremental_agg", "o56_zorder_prune",
+      "s02_sessions", "s04_session_pairs", "s09_funnel", "t03_word_counts",
+      "t18_tfidf", "t19_inverted_index", "d18_cms_heavyhitters",
+      "d19_bloom_prune", "o51_gap_fill", "x02_streaming_sessions",
+      "x04_tumbling_window", "x05_asof_join")
     val byName = results.toMap
     val sfName = new java.io.File(sfDir).getName
     // best-effort only: a detail-file failure (read-only cwd, …) must

@@ -85,6 +85,32 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("s10: session metrics reuse the sessionizer's user partitioning") {
+    // window (user_id) + groupBy(user_id, session_seq) + countDistinct:
+    // the subset rule means ONE hash exchange serves all three
+    val p = plan("s10_session_metrics")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(4000)}")
+  }
+
+  test("o57: grouping sets plan one Expand, not a union of scans") {
+    val p = plan("o57_grouping_sets")
+    assert("Expand".r.findAllIn(p).length === 1, p.take(3000))
+    assert(!p.contains("Union"), p.take(3000))
+  }
+
+  test("a11: eval n-gram dictionary broadcasts to the train scan") {
+    val p = plan("a11_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("t19: inverted index collapses (term, doc) partials map-side") {
+    val p = plan("t19_inverted_index")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
