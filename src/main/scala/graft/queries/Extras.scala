@@ -534,6 +534,24 @@ object Extras extends Suite {
               |SELECT grp,
               |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 1, 2, "p50_cents")},
               |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 19, 20, "p95_cents")}
-              |FROM cum GROUP BY grp ORDER BY grp""".stripMargin))
+              |FROM cum GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Media dedup BEFORE decode: content-hash dedup on the opaque
+    // binary column, so each distinct payload is decoded once and the
+    // (expensive at scale) codec fan-out runs on keepers only — the
+    // multimodal analog of d01. The stub payload is the text bytes,
+    // so the oracle reproduces the hash as md5(text).
+    Q("x17_media_dedup", (s, d) => {
+      val media = graft.ops.Multimodal.asBinary(
+        Tables.load(s, d, "documents"), "doc_id", "text", "image")
+      media.groupBy(md5(col("content")).as("content_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          min("n_bytes").as("n_bytes"))
+        .orderBy("content_md5")
+    },
+      Some("""SELECT md5(text) AS content_md5,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+             |  MIN(octet_length(CAST(text AS BLOB))) AS n_bytes
+             |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin))
   )
 }

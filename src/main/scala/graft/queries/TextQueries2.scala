@@ -295,6 +295,53 @@ object TextQueries2 extends Suite {
              |  FROM scored)
              |SELECT doc_id, rk, word, tf, df, CAST(weight AS BIGINT) AS weight
              |FROM ranked WHERE rk <= 3 AND doc_id < 100
-             |ORDER BY doc_id, rk""".stripMargin))
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // Word co-occurrence + PMI: document-level pair counts against
+    // the independence expectation, kept in exact integer ppm space
+    // (ratio = c_xy*N / (c_x*c_y); PMI's log is monotone in it, so
+    // ranking/thresholding needs no float). The pair stream is the
+    // within-doc distinct self-join (O13's shape applied to words);
+    // marginals join back by term — broadcast-sized here, term-keyed
+    // shuffles at web scale.
+    Q("t21_pmi_cooccur", (s, d) => {
+      val wd = Text.words(docs(s, d), "doc_id", "text")
+        .select("doc_id", "word").distinct()
+      val cx = wd.groupBy("word").agg(count(lit(1)).as("c"))
+      val pairs = wd.as("a")
+        .join(wd.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.word") < col("b.word"))
+        .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      pairs.filter(col("c_xy") >= 20)
+        .join(cx.toDF("w1", "c_x"), "w1")
+        .join(cx.toDF("w2", "c_y"), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ratio_ppm",
+          expr("c_xy * n_docs * 1000000 div (c_x * c_y)"))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ratio_ppm")
+        .orderBy("w1", "w2")
+    },
+      Some("""WITH wd AS (
+             |  SELECT DISTINCT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |cx AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c_xy
+             |  FROM wd a JOIN wd b
+             |    ON a.doc_id = b.doc_id AND a.word < b.word
+             |  GROUP BY 1, 2),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT w1, w2, c_xy, ca.c AS c_x, cb.c AS c_y,
+             |  CAST((c_xy * n_docs * 1000000) // (ca.c * cb.c) AS BIGINT)
+             |    AS pmi_ratio_ppm
+             |FROM pairs JOIN cx ca ON pairs.w1 = ca.word
+             |           JOIN cx cb ON pairs.w2 = cb.word, n
+             |WHERE c_xy >= 20
+             |ORDER BY w1, w2""".stripMargin))
   )
 }
