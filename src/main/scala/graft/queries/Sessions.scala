@@ -278,6 +278,76 @@ object Sessions extends Suite {
           |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
           |    AS has_purchase
           |FROM sess GROUP BY user_id, session_seq
-          |ORDER BY user_id, session_seq""".stripMargin))
+          |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // S11: sequence-pattern matching (MATCH_RECOGNIZE-lite): encode
+    // each user's event history as a one-char-per-event string in
+    // exact (ts, event_id) order, then count non-overlapping regex
+    // matches — view->clicks->purchase runs here. The encode is one
+    // sort_array+transform over a per-user collect (bounded by the
+    // user's history length); the regex scan is per-user, linear, and
+    // stays inside codegen. Left-to-right non-overlapping match
+    // semantics are identical in Java regex and RE2-family engines
+    // for this backref-free pattern.
+    Q("s11_pattern_match", (s, d) => {
+      val enc = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("o")
+      val seq = events(s, d)
+        .select(col("user_id"),
+          struct(col("tsn"), col("event_id"), enc.as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(concat_ws("",
+          expr("transform(sort_array(collect_list(e)), x -> x.ch)"))
+          .as("seq"))
+      seq.select(col("user_id"),
+          length(col("seq")).as("n_events"),
+          expr("size(regexp_extract_all(seq, 'vc*p', 0))").as("n_funnels"))
+        .filter(col("n_funnels") >= 1)
+        .orderBy("user_id")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS tsn, event_id,
+             |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+             |  FROM events),
+             |seqs AS (
+             |  SELECT user_id,
+             |    string_agg(ch, '' ORDER BY tsn, event_id) AS seq
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, len(seq) AS n_events,
+             |  len(regexp_extract_all(seq, 'vc*p')) AS n_funnels
+             |FROM seqs
+             |WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // S12: cohort retention — users cohorted by first-activity day,
+    // retention = distinct active users per (cohort, day offset).
+    // Two user-keyed aggregations (first-day, then activity join) and
+    // one (cohort, offset) count-distinct; the user-keyed shuffles
+    // reuse one partitioning, the final distinct is the only wide
+    // re-key.
+    Q("s12_retention", (s, d) => {
+      val e = events(s, d)
+        .withColumn("day", expr("tsn div 86400000000"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .filter(col("day_offset") <= 7)
+        .orderBy("cohort_day", "day_offset")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day
+             |      FROM e GROUP BY 1)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |  COUNT(DISTINCT e.user_id) AS n_active
+             |FROM e JOIN c ON e.user_id = c.user_id
+             |GROUP BY 1, 2 HAVING day - cohort_day <= 7
+             |ORDER BY cohort_day, day_offset""".stripMargin))
   )
 }
