@@ -364,6 +364,29 @@ object CurationQueries extends Suite {
              |      ORDER BY n_chars DESC, doc_id) AS rk
              |  FROM documents)
              |SELECT doc_id, n_chars, fp FROM f WHERE rk = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-size per-group sampling: exactly k=50 docs per language by
+    // salted-hash rank — the deterministic reservoir (a06 samples a
+    // FRACTION per stratum; pipelines also need exact-k eval slices).
+    // Hash order is a pure row function, so the sample is identical on
+    // any partitioning/cluster size; one window over the lang
+    // partitioning is the only shuffle.
+    Q("a13_group_sample", (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(Text.saltedHash(col("doc_id").cast("string"), 7),
+          col("doc_id"))
+      docs(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    },
+      Some(s"""SELECT doc_id, lang, rk FROM (
+              |  SELECT doc_id, lang, row_number() OVER (
+              |    PARTITION BY lang
+              |    ORDER BY ${hSql("CAST(doc_id AS VARCHAR)", "|s7")}, doc_id) AS rk
+              |  FROM documents)
+              |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin))
   )
 }

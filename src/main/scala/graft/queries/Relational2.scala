@@ -604,6 +604,62 @@ object Relational2 extends Suite {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |                        (l_returnflag), ())
              |ORDER BY gid, l_returnflag NULLS FIRST,
-             |  l_linestatus NULLS FIRST""".stripMargin))
+             |  l_linestatus NULLS FIRST""".stripMargin)),
+
+    // UNPIVOT (wide->long melt): the o33 pivot's inverse — per-status
+    // spend columns melted back to (priority, status, spend) rows.
+    // Narrow operator (Expand, no shuffle); the long form is what
+    // downstream grouped operators want at scale.
+    Q("o58_unpivot", (s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .na.fill(0.0, Seq("F", "O", "P"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "spend")
+        .orderBy("o_orderpriority", "status")
+    },
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |    COALESCE(CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 0) AS F,
+             |    COALESCE(CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 0) AS O,
+             |    COALESCE(CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 0) AS P
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, status, spend
+             |FROM wide UNPIVOT (spend FOR status IN (F, O, P))
+             |ORDER BY o_orderpriority, status""".stripMargin)),
+
+    // Schema evolution: two parquet batches with different schemas
+    // (the second adds a column) read back as ONE table via
+    // mergeSchema — the old batch surfaces NULL for the new column.
+    // This is the operational reality of a 100 TB table that gained
+    // a column mid-history; the oracle replays the union semantics.
+    Q("o59_schema_evolution", (s, d) => {
+      val tmp = "/root/repo/target/graft-tmp/schema_evo"
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderdate") < "1995-01-01")
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$tmp/b=1")
+      o.filter(col("o_orderdate") >= "1995-01-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/b=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"), countDistinct("o_custkey").as("n_cust"))
+        .orderBy("priority")
+    },
+      Some("""WITH evo AS (
+             |  SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
+             |  FROM orders WHERE o_orderdate < '1995-01-01'
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderpriority
+             |  FROM orders WHERE o_orderdate >= '1995-01-01')
+             |SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
+             |  COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM evo GROUP BY 1 ORDER BY priority""".stripMargin))
   )
 }
