@@ -15,9 +15,15 @@ class EntrySpec extends SparkSpec {
 
   test("query names are unique across suites") {
     import graft.queries._
-    val all = Seq(Relational, Sessions, TextQueries, DedupQueries, MlQueries, BdbShapes, Extras, Relational2, TextQueries2)
-      .flatMap(_.qs.map(_.name))
-    assert(all.size === all.distinct.size)
+    val all = Seq(Relational, Sessions, TextQueries, DedupQueries,
+      MlQueries, BdbShapes, Extras, Relational2, TextQueries2,
+      CurationQueries).flatMap(_.qs.map(_.name))
+    assert(all.size === all.distinct.size,
+      all.diff(all.distinct).mkString("duplicate names: ", ", ", ""))
+    // and the suite list above is complete — a suite missing from it
+    // (as CurationQueries once was) would let a cross-suite collision
+    // silently drop a query in SparkEntry's Map
+    assert(all.size === SparkEntry.queries.size)
   }
 
   test("exact stats: dstddev/dcorr match closed form on a fixture") {
