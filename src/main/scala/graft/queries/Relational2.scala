@@ -660,6 +660,33 @@ object Relational2 extends Suite {
              |  FROM orders WHERE o_orderdate >= '1995-01-01')
              |SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
              |  COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
-             |FROM evo GROUP BY 1 ORDER BY priority""".stripMargin))
+             |FROM evo GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // Custom DataSource V2 (graft.sources.SyntheticSource): rows are
+    // generated partition-locally on executors with pushed-down
+    // column pruning — the non-file-source axis (bus/API/KV) of the
+    // source surface. Content derives from the portable hash, so the
+    // oracle regenerates the identical table from generate_series.
+    Q("o60_custom_source", (s, d) =>
+      s.read.format("graft.sources.SyntheticSource")
+        .option("rows", 100000).option("slices", 8).load()
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          sum("amount_cents").as("total_cents"))
+        .orderBy("category"),
+      Some("""WITH src AS (
+             |  SELECT i AS id,
+             |    CAST('0x' || substr(md5('e|' || i),1,15) AS BIGINT) % 100
+             |      AS user_id,
+             |    CAST('0x' || substr(md5('e|' || i),1,15) AS BIGINT) % 10000
+             |      AS amount_cents,
+             |    'c' || (CAST('0x' || substr(md5('e|' || i),1,15) AS BIGINT) % 7)
+             |      AS category
+             |  FROM generate_series(0, 99999) AS t(i))
+             |SELECT category, COUNT(*) AS n,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+             |FROM src GROUP BY category ORDER BY category""".stripMargin))
   )
 }

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 TableProvider: a deterministic synthetic event table
+  * generated ON the executors — the pattern for any non-file source
+  * (message bus, REST-paged API, internal KV store) in this engine.
+  *
+  * `spark.read.format("graft.sources.SyntheticSource")
+  *   .option("rows", n).option("slices", p).load()`
+  *
+  * Row i derives every field from the 60-bit portable hash of "e|i"
+  * ([[graft.expressions.Kernels.portableHash60]]), so the content is
+  * reproducible in ANY engine with md5 — the DuckDB oracle replays it
+  * from `generate_series` (query `o60_custom_source`).
+  *
+  * Scale properties:
+  *  - generation is partition-local: `slices` InputPartitions, each
+  *    producing its contiguous id range — no driver materialization,
+  *    no shuffle; parallelism is a knob exactly like file splits;
+  *  - column pruning is pushed into the reader
+  *    (SupportsPushDownRequiredColumns): unprojected columns are
+  *    never computed — the DSv2 contract that replaces the
+  *    reference's hand-passed `relevant_cols`
+  *    (`bdb_tools/readers.py:108-127`).
+  */
+class SyntheticSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.Full
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SyntheticTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "4").toInt)
+}
+
+object SyntheticSource {
+  val Full: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("amount_cents", LongType, nullable = false),
+    StructField("category", StringType, nullable = false)))
+
+  /** Field values of row `i` for the pruned schema. */
+  private[sources] def row(i: Long, schema: StructType): InternalRow = {
+    lazy val h = graft.expressions.Kernels.portableHash60(
+      UTF8String.fromString(s"e|$i"))
+    InternalRow.fromSeq(schema.fields.toSeq.map(_.name match {
+      case "id" => i
+      case "user_id" => h % 100
+      case "amount_cents" => h % 10000
+      case "category" => UTF8String.fromString("c" + (h % 7))
+    }))
+  }
+}
+
+private class SyntheticTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  require(rows >= 0 && slices > 0)
+  override def name(): String = s"synthetic($rows rows, $slices slices)"
+  override def schema(): StructType = SyntheticSource.Full
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, slices)
+}
+
+private class SyntheticScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticSource.Full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SyntheticScan(rows, slices, required)
+}
+
+private case class SyntheticSlice(start: Long, end: Long)
+    extends InputPartition
+
+private class SyntheticScan(rows: Long, slices: Int, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until slices).map { s =>
+      SyntheticSlice(rows * s / slices, rows * (s + 1) / slices)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(schema)
+}
+
+private class SyntheticReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val slice = p.asInstanceOf[SyntheticSlice]
+    new PartitionReader[InternalRow] {
+      private var i = slice.start - 1
+      override def next(): Boolean = { i += 1; i < slice.end }
+      override def get(): InternalRow = SyntheticSource.row(i, schema)
+      override def close(): Unit = ()
+    }
+  }
+}
