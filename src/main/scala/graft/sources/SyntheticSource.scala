@@ -4,6 +4,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (SupportsPushDownRequiredColumns): unprojected columns are
   *    never computed — the DSv2 contract that replaces the
   *    reference's hand-passed `relevant_cols`
-  *    (`bdb_tools/readers.py:108-127`).
+  *    (`bdb_tools/readers.py:108-127`);
+  *  - range predicates on the ordering column `id` push down
+  *    (SupportsPushDownFilters) and NARROW THE GENERATED RANGE before
+  *    partition planning — the custom-source analog of partition
+  *    pruning: slices outside [lo, hi) are never scheduled. The
+  *    filters are fully handled (exactly, not best-effort), so Spark
+  *    plans no residual Filter for them;
+  *  - LIMIT pushes down (SupportsPushDownLimit) and truncates the
+  *    range — `df.limit(k)` generates k rows, not `rows`.
   */
 class SyntheticSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -73,24 +82,65 @@ private class SyntheticTable(rows: Long, slices: Int)
 }
 
 private class SyntheticScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = SyntheticSource.Full
+  private var lo = 0L        // inclusive id lower bound
+  private var hi = rows      // exclusive id upper bound
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, slices, required)
+
+  // id is the generation order, so range predicates on it narrow the
+  // generated interval EXACTLY — accept those, reject the rest.
+  private var accepted: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rejected) = filters.partition {
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case GreaterThan("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    accepted = acc
+    acc.foreach {
+      case GreaterThanOrEqual(_, v: java.lang.Long) => lo = lo max v
+      case GreaterThan(_, v: java.lang.Long) => lo = lo max (v + 1)
+      case LessThan(_, v: java.lang.Long) => hi = hi min v
+      case LessThanOrEqual(_, v: java.lang.Long) => hi = hi min (v + 1)
+      case _ =>
+    }
+    rejected // residual filters Spark must still apply post-scan
+  }
+  // reported for EXPLAIN; the accepted range bounds are exact, so no
+  // residual re-evaluation is needed for them
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = hi min (lo + limit)
+    true // fully applied
+  }
+
+  override def build(): Scan =
+    new SyntheticScan(lo, hi max lo, slices, required)
 }
 
 private case class SyntheticSlice(start: Long, end: Long)
     extends InputPartition
 
-private class SyntheticScan(rows: Long, slices: Int, schema: StructType)
-    extends Scan with Batch {
+private class SyntheticScan(lo: Long, hi: Long, slices: Int,
+    schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
+  override def description(): String =
+    s"SyntheticScan range=[$lo, $hi) slices=$slices"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
     (0 until slices).map { s =>
-      SyntheticSlice(rows * s / slices, rows * (s + 1) / slices)
+      SyntheticSlice(lo + n * s / slices, lo + n * (s + 1) / slices)
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(schema)
 }
