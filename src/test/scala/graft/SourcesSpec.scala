@@ -56,4 +56,29 @@ class SourcesSpec extends SparkSpec {
     val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.sum === 32, s"source generated ${perPart.sum} rows")
   }
+
+  test("checksum sink aggregates committed task messages exactly once") {
+    import graft.sources.ChecksumSink
+    val df = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    df.repartition(13) // many tasks -> many commit messages
+      .write.format("graft.sources.ChecksumSink")
+      .option("name", "spec-run").mode("append").save()
+    val (n, sum) = ChecksumSink.result("spec-run").get
+    assert(n === df.count())
+    // recompute the order-independent checksum locally
+    val expected = df.collect().map { r =>
+      val rendered = (0 until 3).map { i =>
+        if (r.isNullAt(i)) "" else r.get(i).toString
+      }.mkString("|")
+      graft.expressions.Kernels.portableHash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(rendered))
+    }.sum
+    assert(sum === expected)
+    // a second identical write overwrites the slot with the same state
+    df.repartition(3).write.format("graft.sources.ChecksumSink")
+      .option("name", "spec-run").mode("append").save()
+    assert(ChecksumSink.result("spec-run").get === ((n, sum)),
+      "checksum must be partitioning-independent")
+  }
 }
