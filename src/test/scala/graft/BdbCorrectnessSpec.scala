@@ -227,4 +227,63 @@ class BdbCorrectnessSpec extends SparkSpec {
       s"q02 mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
     assert(got.nonEmpty, "q02 check is vacuous — no co-viewed items")
   }
+
+  test("q08 review-revenue split matches a Scala reimplementation") {
+    BdbFixture.register(spark)
+    val start = "2001-09-02"; val end = "2002-09-02"
+    val window = 259200L
+    val dd = frames("date_dim").filter { r =>
+      val s = r.getAs[String]("d_date")
+      s != null && s >= start && s < end // ISO strings order by date
+    }.map(_.getAs[Long]("d_date_sk")).toSet
+    assert(dd.nonEmpty)
+    val reviewPages = frames("web_page")
+      .filter(_.getAs[String]("wp_type") == "review")
+      .map(_.getAs[Long]("wp_web_page_sk")).toSet
+    val clicks = frames("web_clickstreams").filter { r =>
+      !r.isNullAt(r.fieldIndex("wcs_user_sk")) &&
+        dd(r.getAs[Long]("wcs_click_date_sk"))
+    }
+    // boundary sessionization scan: running last-review timestamp per
+    // user; a sale within `window` of it is review-driven. The query
+    // orders ties by a monotonic id — assert the fixture has none, so
+    // plain ts order is total and the check is deterministic.
+    val reviewSales = clicks.groupBy(_.getAs[Long]("wcs_user_sk"))
+      .values.flatMap { rows =>
+        val evs = rows.map { r =>
+          val ts = r.getAs[Long]("wcs_click_date_sk") * 86400 +
+            r.getAs[Long]("wcs_click_time_sk")
+          val isReview = !r.isNullAt(r.fieldIndex("wcs_web_page_sk")) &&
+            reviewPages(r.getAs[Long]("wcs_web_page_sk"))
+          val sale =
+            if (r.isNullAt(r.fieldIndex("wcs_sales_sk"))) None
+            else Some(r.getAs[Long]("wcs_sales_sk"))
+          (ts, isReview, sale)
+        }.sortBy(_._1)
+        assert(evs.map(_._1).distinct.length === evs.length,
+          "fixture has same-ts clicks for one user — tie-break ambiguous")
+        var lastReview = Option.empty[Long]
+        evs.flatMap { case (ts, isReview, sale) =>
+          if (isReview) lastReview = Some(ts) // row includes itself
+          sale.filter(_ => lastReview.exists(b => ts - b <= window))
+        }
+      }.toSet
+    val ws = frames("web_sales").filter { r =>
+      !r.isNullAt(r.fieldIndex("ws_sold_date_sk")) &&
+        dd(r.getAs[Long]("ws_sold_date_sk"))
+    }
+    def total(rows: Seq[Row]): BigDecimal =
+      rows.foldLeft(BigDecimal(0)) { (a, r) =>
+        val v = r.getAs[java.math.BigDecimal]("ws_net_paid")
+        if (v == null) a else a + BigDecimal(v)
+      }
+    val all = total(ws.toSeq)
+    val rev = total(ws.filter(r =>
+      reviewSales(r.getAs[Long]("ws_order_number"))).toSeq)
+    val got = BdbQueries1.q08(spark).collect()(0)
+    assert(BigDecimal(got.getString(0)) === rev)
+    assert(BigDecimal(got.getString(1)) === all - rev)
+    assert(rev > 0 && all - rev > 0,
+      "q08 check is vacuous — one side of the split is empty")
+  }
 }
