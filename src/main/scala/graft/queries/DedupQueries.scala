@@ -607,6 +607,89 @@ object DedupQueries extends Suite {
            |                    AND est.id_2 = common.id_2
            |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.9
            |ORDER BY common.id_1, common.id_2""".stripMargin
-      })
+      }),
+
+    // D22: recall@5 of the IVF index against exact search, computed IN
+    // the engine — the ANN quality metric. Both pipelines share the
+    // corpus scan shapes of d09/d10; overlap is an equi-join on
+    // (query, neighbor) and recall is exact integer percent. At scale
+    // this is the continuous index-quality probe run on a sampled
+    // query set after every index rebuild.
+    Q("d22_knn_recall", (s, d) => {
+      val K = 5
+      val e = embs(s, d).select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= K)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val cents = e.filter(col("vec_id").isin(0, 101, 202, 303))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val wAsg = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val qv = asg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+          col("embedding").as("q_emb"))
+      val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      val ivf = asg.join(broadcast(qv),
+          col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= K)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val hits = exact.join(ivf, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      q.select("q_id").join(hits, Seq("q_id"), "left_outer")
+        .na.fill(0L, Seq("n_hit"))
+        .withColumn("recall_pct", expr(s"n_hit * 100 div $K"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |q0 AS (SELECT vec_id AS q_id, embedding FROM embeddings
+              |       WHERE vec_id < 10),
+              |ex_scored AS (
+              |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+              |  FROM q0 q, e WHERE e.vec_id <> q.q_id),
+              |ex AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS rnk FROM ex_scored)
+              |  WHERE rnk <= 5),
+              |cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+              |          WHERE vec_id IN (0, 101, 202, 303)),
+              |scored_c AS (
+              |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS ccos
+              |  FROM e, cents c),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY ccos DESC, cid) AS arn FROM scored_c)
+              |  WHERE arn = 1),
+              |qv AS (
+              |  SELECT a.vec_id AS q_id, a.cid AS q_cid, e.embedding
+              |  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 10),
+              |iv_scored AS (
+              |  SELECT q.q_id, e.vec_id AS n_id, ${cosSql("q", "e")} AS cos
+              |  FROM qv q JOIN asg a ON a.cid = q.q_cid AND a.vec_id <> q.q_id
+              |            JOIN e ON e.vec_id = a.vec_id),
+              |iv AS (
+              |  SELECT q_id, n_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS rnk FROM iv_scored)
+              |  WHERE rnk <= 5),
+              |hits AS (
+              |  SELECT ex.q_id, COUNT(*) AS n_hit
+              |  FROM ex JOIN iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+              |  GROUP BY ex.q_id)
+              |SELECT q0.q_id,
+              |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+              |  CAST(COALESCE(n_hit, 0) * 100 // 5 AS BIGINT) AS recall_pct
+              |FROM q0 LEFT JOIN hits ON q0.q_id = hits.q_id
+              |ORDER BY q0.q_id""".stripMargin))
   )
 }
