@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on derived co-occurrence graphs.
+  *
+  * PageRank is kept in EXACT integer ppm space: ranks are integers,
+  * each hop contributes `(r * 85) div (100 * deg)` (d = 0.85), and
+  * the teleport base is `150000 div N` — every engine truncates
+  * integer division identically, so 5 iterations of joins reproduce
+  * bit-exactly in the DuckDB oracle (the same discipline as d12's
+  * label propagation). Floating-point PageRank would be order-
+  * dependent under partial aggregation; integer ppm is not.
+  *
+  * Scale shape: each iteration is one edge-rank equi-join + one
+  * groupBy(dst) — both keyed on node, so the partitioning is reused
+  * across iterations; on a real cluster checkpoint every few rounds
+  * to flatten lineage (see d12 note in SCALE.md).
+  */
+object GraphQueries extends Suite {
+
+  val qs: Seq[Q] = Seq(
+
+    // g01: 5-iteration integer PageRank over brands co-purchased in
+    // one order (the b29 pair graph, symmetrized and deduplicated).
+    Q("g01_pagerank", (s, d) => {
+      val lp = Tables.load(s, d, "lineitem")
+        .join(broadcast(Tables.load(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "p_brand").distinct()
+      val e0 = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.p_brand") < col("b.p_brand"))
+        .select(col("a.p_brand").as("src"), col("b.p_brand").as("dst"))
+      val edges = e0.select("src", "dst")
+        .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // driver-side scalar splice (o29 pattern): node count feeds the
+      // integer base constants
+      val nNodes = deg.count()
+      val init = 1000000L / nNodes
+      val base = 150000L / nNodes
+      var rank = deg.select(col("src").as("node"), lit(init).as("r"))
+      for (_ <- 1 to 5) {
+        rank = edges
+          .join(rank, col("src") === col("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
+          .groupBy("dst")
+          .agg(sum("c").as("cs"))
+          .select(col("dst").as("node"), (lit(base) + col("cs")).as("r"))
+      }
+      rank.select(col("node").as("brand"), col("r").as("rank_ppm"))
+        .orderBy("brand")
+    }, {
+      val iter = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT ed.dst AS node,
+           |    (SELECT 150000 // n FROM n)
+           |      + CAST(SUM((r.r * 85) // (100 * d.deg)) AS BIGINT) AS r
+           |  FROM ed JOIN r${k - 1} r ON ed.src = r.node
+           |          JOIN deg d ON ed.src = d.src
+           |  GROUP BY ed.dst)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH lp AS (
+              |  SELECT DISTINCT l_orderkey, p_brand
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+              |e0 AS (
+              |  SELECT a.p_brand AS src, b.p_brand AS dst
+              |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+              |   AND a.p_brand < b.p_brand),
+              |ed AS (
+              |  SELECT DISTINCT src, dst FROM (
+              |    SELECT src, dst FROM e0
+              |    UNION ALL SELECT dst, src FROM e0)),
+              |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+              |n AS (SELECT COUNT(*) AS n FROM deg),
+              |r0 AS (
+              |  SELECT src AS node, CAST(1000000 // (SELECT n FROM n) AS BIGINT) AS r
+              |  FROM deg),
+              |$iter
+              |SELECT node AS brand, CAST(r AS BIGINT) AS rank_ppm
+              |FROM r5 ORDER BY brand""".stripMargin)
+    })
+  )
+}

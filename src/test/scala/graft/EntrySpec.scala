@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     import graft.queries._
     val all = Seq(Relational, Sessions, TextQueries, DedupQueries,
       MlQueries, BdbShapes, Extras, Relational2, TextQueries2,
-      CurationQueries).flatMap(_.qs.map(_.name))
+      CurationQueries, GraphQueries).flatMap(_.qs.map(_.name))
     assert(all.size === all.distinct.size,
       all.diff(all.distinct).mkString("duplicate names: ", ", ", ""))
     // and the suite list above is complete — a suite missing from it
