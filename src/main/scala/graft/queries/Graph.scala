@@ -84,6 +84,53 @@ object GraphQueries extends Suite {
               |$iter
               |SELECT node AS brand, CAST(r AS BIGINT) AS rank_ppm
               |FROM r5 ORDER BY brand""".stripMargin)
-    })
+    }),
+
+    // g02: per-node triangle count — the clustering-coefficient
+    // numerator. Triangles enumerate once via the a<b<c ordered
+    // three-way self-join on the deduplicated src<dst edge list (the
+    // ordering kills the 6x symmetry); per-node counts then union the
+    // three corner projections. The join chain is edge-keyed
+    // throughout — at scale, partition edges by src and the first two
+    // hops co-locate.
+    Q("g02_triangles", (s, d) => {
+      val lp = Tables.load(s, d, "lineitem")
+        .join(broadcast(Tables.load(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "p_brand").distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.p_brand") < col("b.p_brand"))
+        .select(col("a.p_brand").as("u"), col("b.p_brand").as("v"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c"))
+      tri.select(col("a").as("brand"))
+        .unionByName(tri.select(col("b").as("brand")))
+        .unionByName(tri.select(col("c").as("brand")))
+        .groupBy("brand").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("brand")
+    },
+      Some("""WITH lp AS (
+             |  SELECT DISTINCT l_orderkey, p_brand
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |e AS (
+             |  SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+             |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+             |   AND a.p_brand < b.p_brand),
+             |tri AS (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |corners AS (
+             |  SELECT a AS brand FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT brand, COUNT(*) AS n_triangles
+             |FROM corners GROUP BY brand ORDER BY brand""".stripMargin))
   )
 }
