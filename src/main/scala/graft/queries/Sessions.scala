@@ -348,6 +348,41 @@ object Sessions extends Suite {
              |  COUNT(DISTINCT e.user_id) AS n_active
              |FROM e JOIN c ON e.user_id = c.user_id
              |GROUP BY 1, 2 HAVING day - cohort_day <= 7
-             |ORDER BY cohort_day, day_offset""".stripMargin))
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // S13: time-to-conversion distribution — per user the latency
+    // from first signup to the first purchase AFTER it (exact integer
+    // micros), then the population's exact interpolated percentiles
+    // (o42's discipline: round-6 on both engines). The funnel chain
+    // is user-keyed; the percentile is the only global aggregation.
+    Q("s13_conversion_latency", (s, d) => {
+      val e = events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tsn").as("t_signup"))
+      val latency = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id").filter(col("tsn") > col("t_signup"))
+        .groupBy("user_id")
+        .agg((min("tsn") - min("t_signup")).as("latency_us"))
+      latency.agg(
+          count(lit(1)).as("n_converted"),
+          round(expr("percentile(latency_us, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(latency_us, 0.9)"), 6).as("p90_us"),
+          max("latency_us").as("max_us"))
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
+             |su AS (
+             |  SELECT user_id, MIN(tsn) AS t_signup FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |lat AS (
+             |  SELECT e.user_id, MIN(tsn) - MIN(t_signup) AS latency_us
+             |  FROM e JOIN su ON e.user_id = su.user_id
+             |  WHERE event_type = 'purchase' AND tsn > t_signup
+             |  GROUP BY 1)
+             |SELECT COUNT(*) AS n_converted,
+             |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
+             |  round(quantile_cont(latency_us, 0.9), 6) AS p90_us,
+             |  MAX(latency_us) AS max_us
+             |FROM lat""".stripMargin))
   )
 }
