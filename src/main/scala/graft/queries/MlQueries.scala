@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Model outputs aren't ANSI-SQL-expressible → rows-only driver checks
   * (the reference takes the same stance: ML queries verify via metric
-  * thresholds, not row equality, `utils.py:517-581`). m01 is the
-  * exception: a single Lloyd iteration from fixed seeds IS pure
-  * relational algebra, so the core clustering step gets a real oracle.
+  * thresholds, not row equality, `utils.py:517-581`). m01 and m07 are
+  * the exceptions: a Lloyd iteration from fixed seeds and the k-fold
+  * held-out evaluation ARE pure relational algebra, so the clustering
+  * core and its CV harness get real oracles.
   */
 object MlQueries extends Suite {
 
@@ -193,6 +194,60 @@ object MlQueries extends Suite {
       data.select(col("doc_id"), nnz(col("features")).as("nnz"),
         round(mass(col("features")), 2).as("term_mass"))
         .orderBy("doc_id")
-    }, None)
+    }, None),
+
+    // M7: deterministic 3-fold cross-validated clustering evaluation —
+    // folds by salted-hash id (Split.fold: partitioning/engine-
+    // invariant, unlike randomSplit), seeds = the 8 lowest train ids
+    // per fold, held-out vectors assigned to their nearest seed, and
+    // per (fold, cluster) the held-out WSS in INTEGER micro-units
+    // (each round-6 distance scaled to an exact integer before the
+    // sum, so the aggregate is order-independent and the oracle is
+    // bit-exact — no float accumulation across rows).
+    Q("m07_cv_kmeans", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val folded = e.withColumn("fold",
+        graft.ops.Split.fold(col("vec_id"), 3))
+      (0 until 3).map { f =>
+        val train = folded.filter(col("fold") =!= f)
+        val test = folded.filter(col("fold") === f)
+        val seeds = train.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+        test.crossJoin(broadcast(seeds))
+          .withColumn("d2", dist2(col("embedding"), col("cvec")))
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") === 1)
+          .withColumn("d2_us",
+            expr("CAST(round(d2 * 1000000, 0) AS BIGINT)"))
+          .groupBy(lit(f).as("fold"), col("cid"))
+          .agg(count(lit(1)).as("n"), sum("d2_us").as("wss_us"))
+      }.reduce(_ unionByName _).orderBy("fold", "cid")
+    }, {
+      val foldSql =
+        "CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|fold'),1,15) AS BIGINT) % 3 AS INT)"
+      val blocks = (0 until 3).map { f =>
+        s"""SELECT $f AS fold, cid, COUNT(*) AS n,
+           |  CAST(SUM(d2_us) AS BIGINT) AS wss_us
+           |FROM (
+           |  SELECT vec_id, cid, d2_us, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY d2, cid) AS arn
+           |  FROM (
+           |    SELECT t.vec_id, s.cid, ${dist2Sql("t", "s")} AS d2,
+           |      CAST(round(${dist2Sql("t", "s")} * 1000000, 0) AS BIGINT)
+           |        AS d2_us
+           |    FROM (SELECT * FROM e WHERE fold = $f) t,
+           |         (SELECT vec_id AS cid, embedding
+           |          FROM e WHERE fold <> $f
+           |          ORDER BY vec_id LIMIT 8) s))
+           |WHERE arn = 1 GROUP BY cid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $foldSql AS fold
+              |  FROM embeddings)
+              |SELECT * FROM (
+              |$blocks
+              |) ORDER BY fold, cid""".stripMargin)
+    })
   )
 }
