@@ -552,6 +552,43 @@ object Extras extends Suite {
       Some("""SELECT md5(text) AS content_md5,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
              |  MIN(octet_length(CAST(text AS BLOB))) AS n_bytes
-             |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
+
+    // Streaming incremental-aggregate maintenance (o55's streaming
+    // form): foreachBatch merges each micro-batch's PARTIAL aggregate
+    // (count + exact integer checksum) into a running state table —
+    // the upsert pattern whose target at scale is a Delta MERGE / KV
+    // store. Partials merge exactly, so the final state equals the
+    // batch recompute (the oracle) for any batch slicing.
+    Q("x18_stream_incremental", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val state = new java.util.concurrent.ConcurrentHashMap[
+        String, (Long, Long)]()
+      val q = stream.writeStream.foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+            .collect().foreach { r =>
+              val k = r.getString(0)
+              val (n0, s0) = Option(state.get(k)).getOrElse((0L, 0L))
+              state.put(k, (n0 + r.getLong(1), s0 + r.getLong(2)))
+            }
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      state.asScala.toSeq
+        .map { case (k, (n, sum)) => (k, n, sum) }
+        .toDF("event_type", "n", "id_sum")
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

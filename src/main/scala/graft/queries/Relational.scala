@@ -134,6 +134,36 @@ object Relational extends Suite {
              |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // NOT IN vs NOT EXISTS three-valued logic: one NULL in the
+    // subquery poisons NOT IN to UNKNOWN for every non-matching row
+    // (zero results), while the null-free form anti-joins normally.
+    // Spark plans the poisoned arm as a null-aware anti join — a
+    // different (and broadcast-only) physical operator; both arms in
+    // one query make the semantic cliff visible and oracle-checked.
+    Q("o62_notin_nulls", (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT variant, n FROM (
+              |  SELECT 'null_free' AS variant, COUNT(*) AS n FROM part
+              |  WHERE p_partkey NOT IN
+              |    (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+              |  UNION ALL
+              |  SELECT 'null_poisoned', COUNT(*) FROM part
+              |  WHERE p_partkey NOT IN
+              |    (SELECT CASE WHEN l_quantity > 49 THEN l_partkey END
+              |     FROM lineitem))
+              |ORDER BY variant""".stripMargin)
+    },
+      Some("""SELECT variant, n FROM (
+             |  SELECT 'null_free' AS variant, COUNT(*) AS n FROM part
+             |  WHERE p_partkey NOT IN
+             |    (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+             |  UNION ALL
+             |  SELECT 'null_poisoned', COUNT(*) FROM part
+             |  WHERE p_partkey NOT IN
+             |    (SELECT CASE WHEN l_quantity > 49 THEN l_partkey END
+             |     FROM lineitem))
+             |ORDER BY variant""".stripMargin)),
+
     // O11: semi join written as correlated EXISTS in SQL — Catalyst's
     // RewritePredicateSubquery turns it into a left-semi
     // (ref: queries/q18/gpu_bdb_query_18_dask_sql.py:69-76).
