@@ -387,6 +387,45 @@ object CurationQueries extends Suite {
               |    PARTITION BY lang
               |    ORDER BY ${hSql("CAST(doc_id AS VARCHAR)", "|s7")}, doc_id) AS rk
               |  FROM documents)
-              |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin))
+              |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)),
+
+    // OOV-rate report: per doc the fraction of tokens outside the
+    // corpus's top-100 vocabulary, in exact integer ppm — the
+    // out-of-vocabulary signal tokenizer/corpus audits track. The
+    // vocabulary is a frequency top-k (ties broken by word, so the
+    // cut is total-ordered); it broadcasts to an anti-join flag on
+    // the token stream.
+    Q("a15_oov_rate", (s, d) => {
+      val w = Text.words(docs(s, d), "doc_id", "text")
+      val vocabW = Window.orderBy(desc("c"), asc("word"))
+      val vocab = w.groupBy("word").agg(count(lit(1)).as("c"))
+        .withColumn("vrk", row_number().over(vocabW))
+        .filter(col("vrk") <= 100).select("word")
+        .withColumn("in_vocab", lit(1))
+      w.join(broadcast(vocab), Seq("word"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |vocab AS (
+             |  SELECT word FROM (
+             |    SELECT word, row_number() OVER (
+             |      ORDER BY COUNT(*) DESC, word) AS vrk
+             |    FROM w GROUP BY word)
+             |  WHERE vrk <= 100)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST((SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+             |FROM w LEFT JOIN vocab ON w.word = vocab.word
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

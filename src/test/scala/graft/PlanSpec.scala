@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("o62: NOT IN plans a null-aware anti join (broadcast-only op)") {
+    val p = plan("o62_notin_nulls")
+    // BroadcastHashJoin's trailing flag is isNullAwareAntiJoin — the
+    // operator that implements NOT IN's three-valued logic; it exists
+    // only as a broadcast join, which is why a huge NOT IN subquery
+    // is a scale hazard NOT EXISTS doesn't have
+    val nullAware =
+      "LeftAnti, BuildRight, true".r.findAllIn(p).length
+    assert(nullAware >= 1, p.take(4000))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
