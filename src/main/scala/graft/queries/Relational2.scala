@@ -687,6 +687,31 @@ object Relational2 extends Suite {
              |SELECT category, COUNT(*) AS n,
              |  COUNT(DISTINCT user_id) AS n_users,
              |  CAST(SUM(amount_cents) AS BIGINT) AS total_cents
-             |FROM src GROUP BY category ORDER BY category""".stripMargin))
+             |FROM src GROUP BY category ORDER BY category""".stripMargin)),
+
+    // Recursive CTE (Spark 4 surface): ancestor-chain walk of the
+    // part-key decimal hierarchy (each key's parent = key div 10 — a
+    // BOM-explosion / org-chart shape). Iteration depth is bounded by
+    // the key width; each round is one self-union the engine executes
+    // as an incremental loop. The SQL text is engine-portable, so the
+    // oracle runs it verbatim.
+    Q("o63_recursive_cte", (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(RecursiveAncSql)
+    },
+      Some(RecursiveAncSql))
   )
+
+  /** Shared verbatim by the Spark side and the DuckDB oracle. */
+  private val RecursiveAncSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS part,
+      |    CAST(floor(p_partkey / 10) AS BIGINT) AS ancestor, 1 AS depth
+      |  FROM part WHERE p_partkey >= 10
+      |  UNION ALL
+      |  SELECT part, CAST(floor(ancestor / 10) AS BIGINT), depth + 1
+      |  FROM anc WHERE ancestor >= 10)
+      |SELECT depth, COUNT(*) AS n,
+      |  CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 }
