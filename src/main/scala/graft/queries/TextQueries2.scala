@@ -342,6 +342,58 @@ object TextQueries2 extends Suite {
              |FROM pairs JOIN cx ca ON pairs.w1 = ca.word
              |           JOIN cx cb ON pairs.w2 = cb.word, n
              |WHERE c_xy >= 20
-             |ORDER BY w1, w2""".stripMargin))
+             |ORDER BY w1, w2""".stripMargin)),
+
+    // Passage-level dedup: documents chunked into non-overlapping
+    // 10-token windows, each fingerprinted; a passage seen in 2+
+    // DISTINCT docs is duplicated — sub-document dedup (boilerplate,
+    // quoted paragraphs) that whole-doc fingerprints (d01) miss. Per
+    // doc: passage count, duplicated-passage count, exact ppm rate.
+    // The passage build is one ordered per-(doc, window) aggregation;
+    // the dup set is a fingerprint-keyed count-distinct.
+    Q("t23_passage_dedup", (s, d) => {
+      val passages = Text.wordsWithPos(docs(s, d), "doc_id", "text")
+        .withColumn("wid", expr("(pos - 1) div 10"))
+        .groupBy("doc_id", "wid")
+        .agg(md5(concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
+          .as("fp"))
+      val dupFp = passages.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+        .withColumn("is_dup", lit(1))
+      passages.join(broadcast(dupFp), Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("is_dup").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_passages"))
+        .withColumn("dup_ppm",
+          expr("n_dup_passages * 1000000 div n_passages"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
+             |p AS (
+             |  SELECT doc_id, (pos - 1) // 10 AS wid,
+             |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+             |  FROM w GROUP BY doc_id, (pos - 1) // 10),
+             |dup AS (
+             |  SELECT fp FROM p GROUP BY fp
+             |  HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, COUNT(*) AS n_passages,
+             |  CAST(SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup_passages,
+             |  CAST((SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+             |FROM p LEFT JOIN dup ON p.fp = dup.fp
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
