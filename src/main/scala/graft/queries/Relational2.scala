@@ -15,6 +15,24 @@ object Relational2 extends Suite {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Shared verbatim by the Spark side and the DuckDB oracle.
+    * Declared BEFORE `qs`: object fields initialize in declaration
+    * order, and a val defined below `qs` would be captured as null
+    * inside the oracle map (which silently voids the whole
+    * correctness dump — EntrySpec now guards against null oracles).
+    */
+  private val RecursiveAncSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS part,
+      |    CAST(floor(p_partkey / 10) AS BIGINT) AS ancestor, 1 AS depth
+      |  FROM part WHERE p_partkey >= 10
+      |  UNION ALL
+      |  SELECT part, CAST(floor(ancestor / 10) AS BIGINT), depth + 1
+      |  FROM anc WHERE ancestor >= 10)
+      |SELECT depth, COUNT(*) AS n,
+      |  CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ROLLUP: subtotals + grand total in one pass (partial-agg
@@ -701,17 +719,4 @@ object Relational2 extends Suite {
     },
       Some(RecursiveAncSql))
   )
-
-  /** Shared verbatim by the Spark side and the DuckDB oracle. */
-  private val RecursiveAncSql: String =
-    """WITH RECURSIVE anc AS (
-      |  SELECT p_partkey AS part,
-      |    CAST(floor(p_partkey / 10) AS BIGINT) AS ancestor, 1 AS depth
-      |  FROM part WHERE p_partkey >= 10
-      |  UNION ALL
-      |  SELECT part, CAST(floor(ancestor / 10) AS BIGINT), depth + 1
-      |  FROM anc WHERE ancestor >= 10)
-      |SELECT depth, COUNT(*) AS n,
-      |  CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
-      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 }

@@ -13,6 +13,16 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no oracle is null or blank (object-init ordering hazard)") {
+    // a `val` declared below `qs` in a suite object is still null
+    // when qs captures it — one null oracle crashes the whole Verify
+    // dump and zeroes the round's correctness
+    val bad = SparkEntry.oracleSql.collect {
+      case (k, v) if v == null || v.trim.isEmpty => k
+    }
+    assert(bad.isEmpty, s"null/blank oracles: $bad")
+  }
+
   test("query names are unique across suites") {
     import graft.queries._
     val all = Seq(Relational, Sessions, TextQueries, DedupQueries,
