@@ -117,12 +117,44 @@ case class CosineF(left: Expression, right: Expression)
       : CosineF = copy(left = l, right = r)
 }
 
+/** unscaled_long(decimal(p<=18,s)) -> long: the decimal's unscaled
+  * integer value (e.g. 12.34 at scale 2 -> 1234). Lets exact money
+  * arithmetic run on long multiply/add instead of BigDecimal: a
+  * decimal(14,2)x(14,2) product is precision 29, which falls off
+  * Spark's long-backed Decimal fast path, but the equivalent
+  * cents-as-long product is a single IMUL. Compact decimals return
+  * their long payload directly — no allocation, codegen-friendly.
+  */
+case class UnscaledLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"unscaled_long needs decimal with precision <= 18, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toUnscaledLong()")
+
+  override protected def withNewChildInternal(c: Expression): UnscaledLong =
+    copy(child = c)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
   def portable_hash60(c: Column): Column = toCol(PortableHash60(toExpr(c)))
   def cosine_f(a: Column, b: Column): Column =
     toCol(CosineF(toExpr(a), toExpr(b)))
+  def unscaled_long(c: Column): Column = toCol(UnscaledLong(toExpr(c)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -30,11 +30,34 @@ object Exact {
   /** Exact sum kept as decimal (for further exact arithmetic). */
   def dsumDec(c: Column): Column = sum(c.cast("decimal(14,2)"))
 
-  /** Exact sum of a product of two money-like columns. Each factor is
-    * cast to decimal first so the multiply itself is exact.
+  /** Exact sum of a product of two money-like columns.
+    *
+    * Implementation note (perf): a decimal(14,2) x decimal(14,2)
+    * product is precision 29 — off Spark's long-backed Decimal fast
+    * path, so the naive form pays a BigDecimal multiply per row
+    * (round-3 profiling: o23_corr was the slowest relational query).
+    * Instead each factor is rounded once via the decimal(14,2) cast
+    * (correct HALF_UP money rounding), its unscaled cents extracted
+    * as a long ([[graft.expressions.UnscaledLong]]), and the per-row
+    * product is a single long IMUL. Only the aggregate sums into a
+    * wide decimal; /10^4 restores the 2+2 scale exactly. Bit-identical
+    * to the naive form whenever |a*b| < 2^63/10^4 per row — i.e. both
+    * factors under ~$30M — which holds for every money/quantity column
+    * in scope; [[dsumProdWide]] keeps the full-range path.
     */
   def dsumProd(a: Column, b: Column): Column =
+    (sum((cents(a) * cents(b)).cast("decimal(38,0)")) / lit(10000))
+      .cast("double")
+
+  /** Full-range variant of [[dsumProd]] (decimal products all the
+    * way): use when factors can exceed ~$30M in absolute value.
+    */
+  def dsumProdWide(a: Column, b: Column): Column =
     sum(a.cast("decimal(14,2)") * b.cast("decimal(14,2)")).cast("double")
+
+  /** Money column -> exact cents as long (unscaled decimal(14,2)). */
+  private def cents(c: Column): Column =
+    graft.expressions.GraftFunctions.unscaled_long(c.cast("decimal(14,2)"))
 
   /** Exact average -> double (exact decimal sum / exact count). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
@@ -98,24 +121,21 @@ object Exact {
     * (`queries/q15/gpu_bdb_query_15_dask_sql.py:41-64`).
     * x is expected integral (e.g. day number), y money-like.
     */
-  def dslope(x: Column, y: Column): Column = {
-    val n = count(lit(1)).cast("double")
-    val sx = sum(x.cast("decimal(18,0)")).cast("double")
-    val sy = dsum(y)
-    val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
-    val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
-    val den = n * sxx - sx * sx
-    when(den =!= 0, r6((n * sxy - sx * sy) / den))
-      .otherwise(lit(null).cast("double"))
-  }
+  def dslope(x: Column, y: Column): Column = r6(dslopeRaw(x, y))
 
-  /** Unrounded slope (internal, for intercept composition). */
+  /** Unrounded slope (internal, for intercept composition).
+    * x is integral so x*x and x*cents(y) are long IMULs per row (same
+    * fast-path rationale as [[dsumProd]]; x*x exceeding long range
+    * would need |x| > 3e9, far beyond any day/ordinal domain).
+    */
   private def dslopeRaw(x: Column, y: Column): Column = {
     val n = count(lit(1)).cast("double")
+    val xL = x.cast("bigint")
     val sx = sum(x.cast("decimal(18,0)")).cast("double")
     val sy = dsum(y)
-    val sxx = sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).cast("double")
-    val sxy = sum(x.cast("decimal(18,0)") * y.cast("decimal(14,2)")).cast("double")
+    val sxx = sum((xL * xL).cast("decimal(38,0)")).cast("double")
+    val sxy = (sum((xL * cents(y)).cast("decimal(38,0)")) / lit(100))
+      .cast("double")
     val den = n * sxx - sx * sx
     when(den =!= 0, (n * sxy - sx * sy) / den)
       .otherwise(lit(null).cast("double"))
