@@ -56,6 +56,25 @@ object Kernels {
       i += 1
     }
     val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    roundOrPass6(c)
+  }
+
+  /** Two-pointer intersection count over ascending duplicate-free
+    * long arrays. See [[IntersectCountSorted]].
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  private def roundOrPass6(c: Double): Double = {
     // round half-up to 6 decimals over the EXACT binary expansion —
     // bit-identical to Spark's round(expr, 6) on doubles, which passes
     // NaN/Infinity through (a zero-norm vector divides 0/0 here)
@@ -117,6 +136,43 @@ case class CosineF(left: Expression, right: Expression)
       : CosineF = copy(left = l, right = r)
 }
 
+/** intersect_count_sorted(array<bigint>, array<bigint>) -> int:
+  * number of common elements of two ASCENDING-SORTED duplicate-free
+  * long arrays, by two-pointer merge — no per-row hash set, no
+  * allocation, whole-stage-codegen friendly. The exact-Jaccard
+  * verify stage of MinHash-LSH dedup calls this millions of times per
+  * partition on hashed shingle sets; `size(array_intersect(a, b))`
+  * (per-row OpenHashSet build) measured ~4x slower at sf0.1.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("intersect_count_sorted needs two array<bigint> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intersectCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.Kernels.intersectCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : IntersectCountSorted = copy(left = l, right = r)
+}
+
 /** unscaled_long(decimal(p<=18,s)) -> long: the decimal's unscaled
   * integer value (e.g. 12.34 at scale 2 -> 1234). Lets exact money
   * arithmetic run on long multiply/add instead of BigDecimal: a
@@ -155,6 +211,8 @@ object GraftFunctions {
   def cosine_f(a: Column, b: Column): Column =
     toCol(CosineF(toExpr(a), toExpr(b)))
   def unscaled_long(c: Column): Column = toCol(UnscaledLong(toExpr(c)))
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    toCol(IntersectCountSorted(toExpr(a), toExpr(b)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

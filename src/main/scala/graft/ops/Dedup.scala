@@ -91,6 +91,37 @@ object Dedup {
       .select(col(id), col("b.band_id"), col("b.band_hash"))
   }
 
+  /** Candidate pairs, each emitted EXACTLY ONCE — by its first
+    * matching band. A near-dup pair typically collides in several
+    * bands, so the naive bands-join + distinct shuffles the pair
+    * stream at its duplicated size (2.3x at sf0.1, 21M rows) just to
+    * dedup it. Carrying all band hashes on both join sides instead
+    * lets band j's join filter out pairs that already matched in any
+    * band i < j — the union is distinct BY CONSTRUCTION and the
+    * global distinct exchange disappears. Same candidate set as
+    * [[lshCandidates]]; the per-row extra predicate is j string
+    * equality checks against an O(1)-width row.
+    */
+  def lshCandidatesOnce(sigs: DataFrame, id: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val withH = sigs.select(col(id) +: (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("#", cols: _*)).as(s"bh_$b")
+    }: _*)
+    (0 until nBands).map { j =>
+      val noEarlier = (0 until j)
+        .map(i => col(s"a.bh_$i") =!= col(s"b.bh_$i"))
+        .foldLeft(lit(true))(_ && _)
+      withH.as("a")
+        .join(withH.as("b"),
+          col(s"a.bh_$j") === col(s"b.bh_$j") &&
+            col(s"a.$id") < col(s"b.$id") && noEarlier)
+        .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"))
+    }.reduce(_ union _)
+  }
+
   /** Candidate pairs from shared LSH buckets (distinct over bands). */
   def lshCandidates(bands: DataFrame, id: String): DataFrame =
     bands.as("a")
@@ -148,10 +179,24 @@ object Dedup {
     * measured faster (2.1s vs 2.9s), so d04 keeps [[jaccardVerify]].
     */
   def jaccardVerifySets(candidates: DataFrame, shingles: DataFrame,
-      id: String): DataFrame = {
+      id: String, minJaccardPct: Int = 0): DataFrame = {
     val sets = shingles.groupBy(col(id))
       .agg(collect_list(col("sh")).as("shs")) // already distinct per doc
-    candidates
+    // size-bound prune on the NARROW size table first (same necessary
+    // condition as [[jaccardVerify]]): pruned pairs never shuffle the
+    // shingle arrays at all.
+    val pruned =
+      if (minJaccardPct <= 0) candidates
+      else {
+        val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+        candidates
+          .join(sizes.as("pa"), col("id_1") === col(s"pa.$id"))
+          .join(sizes.as("pb"), col("id_2") === col(s"pb.$id"))
+          .filter(least(col("pa.n"), col("pb.n")) * 100 >=
+            greatest(col("pa.n"), col("pb.n")) * minJaccardPct)
+          .select(col("id_1"), col("id_2"))
+      }
+    pruned
       .join(sets.as("za"), col("id_1") === col(s"za.$id"))
       .join(sets.as("zb"), col("id_2") === col(s"zb.$id"))
       .select(col("id_1"), col("id_2"),
@@ -162,19 +207,59 @@ object Dedup {
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
   }
 
-  /** All-pairs Jaccard over shingle sets in ONE self-join: the
-    * shingle-equality join directly yields common counts per pair
-    * (group by pair), then sizes join in. Use when candidates ARE
-    * "pairs sharing a shingle" — no separate verify pass needed.
+  /** Exact Jaccard for candidate pairs via SORTED HASHED shingle
+    * sets: each doc's shingle set becomes an ascending array of
+    * 60-bit portable hashes, the size-bound prune runs on the narrow
+    * size table first, and surviving pairs pay one two-pointer merge
+    * ([[graft.expressions.IntersectCountSorted]]) instead of a
+    * per-row string hash set. Identical jaccard values to
+    * [[jaccardVerify]]/[[jaccardVerifySets]] barring a 60-bit hash
+    * collision inside one document pair (probability ~ |sh|^2 / 2^61;
+    * the signature stage already rests on the same hash family).
+    * This is the scale path: verify cost is |pairs| * O(|A|+|B|)
+    * primitive compares, with no (pairs x shingles) explode shuffle.
     */
-  def jaccardFromSelfJoin(shingles: DataFrame, id: String): DataFrame = {
+  def jaccardVerifyHashedSets(candidates: DataFrame, shingles: DataFrame,
+      id: String, minJaccardPct: Int = 0): DataFrame = {
+    import graft.expressions.GraftFunctions.intersect_count_sorted
+    val hsets = shingles.groupBy(col(id))
+      .agg(sort_array(collect_list(Text.portableHash(col("sh")))).as("hs"))
+    val pruned =
+      if (minJaccardPct <= 0) candidates
+      else {
+        val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+        candidates
+          .join(sizes.as("pa"), col("id_1") === col(s"pa.$id"))
+          .join(sizes.as("pb"), col("id_2") === col(s"pb.$id"))
+          .filter(least(col("pa.n"), col("pb.n")) * 100 >=
+            greatest(col("pa.n"), col("pb.n")) * minJaccardPct)
+          .select(col("id_1"), col("id_2"))
+      }
+    pruned
+      .join(hsets.as("za"), col("id_1") === col(s"za.$id"))
+      .join(hsets.as("zb"), col("id_2") === col(s"zb.$id"))
+      .select(col("id_1"), col("id_2"),
+        intersect_count_sorted(col("za.hs"), col("zb.hs")).as("n_common"),
+        size(col("za.hs")).as("na"), size(col("zb.hs")).as("nb"))
+      .select(col("id_1"), col("id_2"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
+  /** All-pairs Jaccard over shingle sets, bucket form: pairs sharing
+    * >= 1 (non-heavy) shingle get their common count from
+    * [[commonCountsFromBuckets]], then sizes join in. Use when
+    * candidates ARE "pairs sharing a shingle" — no separate verify
+    * pass needed. Sizes stay uncapped (full |A|, |B|): when the df
+    * cap engages, a boilerplate shingle stops generating pairs but
+    * still counts toward set size, so jaccard is under- (never over-)
+    * estimated for boilerplate-heavy docs — the conservative
+    * direction for dedup.
+    */
+  def jaccardAllPairs(shingles: DataFrame, id: String,
+      maxDf: Int = 10000): DataFrame = {
     val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val common = shingles.as("a")
-      .join(shingles.as("b"),
-        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"))
-      .agg(count(lit(1)).as("n_common"))
-    common
+    commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
       .select(col("id_1"), col("id_2"),
@@ -182,25 +267,93 @@ object Dedup {
           (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
   }
 
-  /** All-pairs asymmetric containment over shingle sets, same single
-    * self-join shape as [[jaccardFromSelfJoin]]: c_1in2 = |A∩B|/|A|
+  /** All-pairs asymmetric containment over shingle sets, same bucket
+    * shape as [[jaccardAllPairs]]: c_1in2 = |A∩B|/|A|
     * detects doc 1 CONTAINED in doc 2 (quotation, boilerplate wrap,
     * partial scrape) even when symmetric Jaccard is low because the
     * container is much larger — the subset-dup case Jaccard misses.
     */
-  def containmentFromSelfJoin(shingles: DataFrame, id: String): DataFrame = {
+  def containmentAllPairs(shingles: DataFrame, id: String,
+      maxDf: Int = 10000): DataFrame = {
     val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val common = shingles.as("a")
-      .join(shingles.as("b"),
-        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"))
-      .agg(count(lit(1)).as("n_common"))
-    common
+    commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
       .select(col("id_1"), col("id_2"), col("n_common"),
         (col("n_common").cast("double") / col("za.n")).as("c_1in2"),
         (col("n_common").cast("double") / col("zb.n")).as("c_2in1"))
+  }
+
+  /** Common-shingle counts per doc pair via shingle BUCKETS, with a
+    * built-in document-frequency cap.
+    *
+    * One shuffle (groupBy sh) collects each shingle's doc list; pairs
+    * then stream out of two chained explodes within the bucket — the
+    * same (pair, shingle) row set the shingle-equality self-join
+    * produces, minus the join build and the second shuffle of the
+    * shingle table.
+    *
+    * The df cap is structural and free: a bucket larger than `maxDf`
+    * is dropped BEFORE pair expansion. A single boilerplate shingle
+    * shared by 10^6 docs would otherwise emit a quadratic bucket —
+    * the cap bounds every bucket at maxDf^2 pair rows, making the
+    * worst case linear in the corpus for fixed maxDf. High-df
+    * shingles carry ~zero similarity signal (they fail to
+    * discriminate by definition), which is why near-dup pipelines
+    * drop them rather than pay to pair on them. No silent caps:
+    * dropped-bucket counts ride the job as an observed metric and are
+    * logged on completion ([[Metrics.observeDropped]]). On testdata
+    * the cap is a no-op (max observed df is 25 at sf0.1), so results
+    * are identical to the uncapped self-join.
+    */
+  def commonCountsFromBuckets(shingles: DataFrame, id: String,
+      maxDf: Int): DataFrame = {
+    val buckets = shingles.groupBy(col("sh"))
+      .agg(collect_list(col(id)).as("ids"))
+    val guarded = Metrics
+      .observeDropped(buckets, "dedup_df_cap", size(col("ids")) > maxDf)
+      .filter(size(col("ids")).between(2, maxDf))
+    guarded
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a").as("id_1"), col("id_b").as("id_2"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** SimHash near-dup pairs via pigeonhole banding. For hamming <= h
+    * over a `bits`-wide fingerprint, split the fingerprint into h+1
+    * disjoint bit bands: two fingerprints within hamming h differ in
+    * at most h bands, so they MUST agree exactly on at least one.
+    * Candidates therefore come from an equi-join on (band_id, band
+    * key) — shuffle-partitionable, pairs only form inside a bucket —
+    * and exact hamming verifies. No all-pairs theta join anywhere,
+    * unlike the brute-force form this replaces (round-3 verdict).
+    * Exact: returns precisely the pairs with hamming <= maxHamming.
+    */
+  def simhashPairsBanded(fp: DataFrame, id: String, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandCols = (0 until nBands).map { j =>
+      val lo = j * bits / nBands
+      val w = (j + 1) * bits / nBands - lo
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+          .as("key"))
+    }
+    val banded = fp
+      .select(col(id), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair agreeing on several bands appears once
   }
 
   /** SimHash fingerprint (`bits`-wide) over token occurrences:

