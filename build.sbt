@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward golden-regeneration flag into the forked test JVM
+  sys.props.get("graft.golden.update")
+    .map(v => s"-Dgraft.golden.update=$v").toSeq

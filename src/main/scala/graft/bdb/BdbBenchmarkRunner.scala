@@ -31,13 +31,20 @@ object BdbBenchmarkRunner {
     finally spark.stop()
   }
 
-  /** Core loop, reusable against any session (tests pass their own). */
+  /** Core loop, reusable against any session (tests pass their own).
+    * `queries` defaults to the reference-parameter set; callers on
+    * tiny data can override individual entries (e.g. q28 with a
+    * vocabulary-sized feature space instead of the 2^23 default,
+    * whose dense NB model costs ~200 MB per broadcast).
+    */
   def run(spark: SparkSession, basePath: String, outCsv: String,
-      repeats: Int): Unit = {
+      repeats: Int,
+      queries: Map[String, SparkSession => org.apache.spark.sql.DataFrame]
+        = BdbQueries.all): Unit = {
     BdbCatalog.registerParquet(spark, basePath)
     val rows = new scala.collection.mutable.ListBuffer[String]
     rows += "query,run,seconds,status"
-    BdbQueries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       (1 to repeats).foreach { run =>
         val t0 = System.nanoTime()
         val status =

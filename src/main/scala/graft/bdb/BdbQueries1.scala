@@ -33,6 +33,14 @@ object BdbQueries1 {
       .toDF("sentiment_word", "sentiment")
   }
 
+  /** File-loaded lexicon for [[q10]] — point at the TPC kit's
+    * positiveSentiment.txt / negativeSentiment.txt to reproduce the
+    * reference exactly (`q10_dask_sql.py:94-104`).
+    */
+  def lexFromFiles(positivePath: String,
+      negativePath: String): SparkSession => DataFrame =
+    s => Text.sentimentLexicon(s, positivePath, negativePath)
+
   /** Clickstream epoch-second timestamp (q02_dask_sql.py:43). */
   private def clickTs =
     (col("wcs_click_date_sk") * 86400 + col("wcs_click_time_sk")).as("ts")

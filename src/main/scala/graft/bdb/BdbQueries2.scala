@@ -83,7 +83,8 @@ object BdbQueries2 {
     * Ref: q18_dask_sql.py:47-246.
     */
   def q18(s: SparkSession, startDate: String = "2001-05-02",
-      endDate: String = "2001-09-02"): DataFrame = {
+      endDate: String = "2001-09-02",
+      negWords: Seq[String] = BdbQueries1.defaultNegative): DataFrame = {
     val dd = s.table("date_dim")
       .withColumn("dd", to_date(col("d_date")))
       .filter(col("dd") >= lit(startDate) && col("dd") < lit(endDate))
@@ -111,8 +112,9 @@ object BdbQueries2 {
       .filter(length(trim(col("sentence"))) > 0)
     val hits = sentences.crossJoin(broadcast(stores))
       .filter(expr("instr(sentence, store_name) > 0"))
-    val neg = BdbQueries1.defaultNegative
-    val negHit = neg.map(wd => expr(s"instr(sentence, '$wd') > 0"))
+    // word lists are tiny: compile into a codegen'd OR-of-instr scan
+    // (load from the kit files via Text.wordList(s, path) for parity)
+    val negHit = negWords.map(wd => expr(s"instr(sentence, '$wd') > 0"))
       .reduce(_ || _)
     hits.withColumn("sentiment", when(negHit, "NEG").otherwise("POS"))
       .select(col("s_store_sk").as("store_sk"), col("store_name"),
@@ -126,7 +128,8 @@ object BdbQueries2 {
     */
   def q19(s: SparkSession,
       returnDates: Seq[String] =
-        Seq("2004-03-08", "2004-08-02", "2004-11-15", "2004-12-20")): DataFrame = {
+        Seq("2004-03-08", "2004-08-02", "2004-11-15", "2004-12-20"),
+      negWords: Seq[String] = BdbQueries1.defaultNegative): DataFrame = {
     val weeks = s.table("date_dim")
       .filter(to_date(col("d_date")).isin(returnDates.map(java.sql.Date.valueOf): _*))
       .select(col("d_week_seq")).distinct()
@@ -155,7 +158,7 @@ object BdbQueries2 {
       explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
         .as("sentence"))
       .filter(length(trim(col("sentence"))) > 0)
-    val negHit = BdbQueries1.defaultNegative
+    val negHit = negWords
       .map(wd => expr(s"instr(sentence, '$wd') > 0")).reduce(_ || _)
     sentences.filter(negHit)
       .select(col("pr_item_sk").as("item_sk"), col("pr_review_sk"),
@@ -447,7 +450,7 @@ object BdbQueries2 {
     * split, alpha=0.001, labels from rating: 1-2 NEG / 3 NEUT / 4-5
     * POS). Ref: q28_dask_sql.py:33-66, q28_utils.py:73-82.
     */
-  def q28(s: SparkSession): DataFrame = {
+  def q28(s: SparkSession, numFeatures: Int = 1 << 23): DataFrame = {
     import org.apache.spark.ml.classification.NaiveBayes
     import org.apache.spark.ml.feature.HashingTF
     val labeled = s.table("product_reviews")
@@ -457,8 +460,11 @@ object BdbQueries2 {
         when(col("pr_review_rating") <= 2, 0.0)
           .when(col("pr_review_rating") === 3, 1.0).otherwise(2.0))
       .withColumn("words", split(lower(col("pr_review_content")), "[^a-z']+"))
+    // reference default 2^23 (q28_utils.py:36); the NB model is dense
+    // (classes x numFeatures doubles, ~200 MB at 2^23) — small runs
+    // should pass a vocabulary-sized power of two instead
     val feats = new HashingTF().setInputCol("words").setOutputCol("features")
-      .setNumFeatures(1 << 23).transform(labeled)
+      .setNumFeatures(numFeatures).transform(labeled)
     val train = feats.filter(pmod(col("pr_review_sk"), lit(10)) =!= 0)
     val test = feats.filter(pmod(col("pr_review_sk"), lit(10)) === 0)
     val model = new NaiveBayes().setSmoothing(0.001)

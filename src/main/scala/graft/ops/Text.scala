@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Text / NLP operator library — SURVEY §2c (T1–T12) plus the
   * text-analysis operators a large-scale training-data pipeline needs
@@ -13,6 +14,35 @@ import org.apache.spark.sql.functions._
   * (`gpu_bdb/bdb_tools/text.py:28-69`).
   */
 object Text {
+
+  /** Load a one-word-per-line lexicon file into a single-column
+    * DataFrame — how the reference loads the TPC kit's sentiment word
+    * lists at runtime (`queries/q10/gpu_bdb_query_10_dask_sql.py:94-104`,
+    * `read_csv(names=["sentiment_word"])`). Works for any newline-
+    * separated word list (sentiment lexicons, gazetteers, stopwords).
+    */
+  def lexiconFromCsv(s: SparkSession, path: String,
+      colName: String = "sentiment_word"): DataFrame =
+    s.read.schema(StructType(Seq(StructField(colName, StringType))))
+      .csv(path)
+
+  /** Two-file positive/negative sentiment lexicon labeled POS/NEG —
+    * the shape q10/q18/q19 join against (positiveSentiment.txt /
+    * negativeSentiment.txt in the reference kit).
+    */
+  def sentimentLexicon(s: SparkSession, positivePath: String,
+      negativePath: String): DataFrame =
+    lexiconFromCsv(s, positivePath).withColumn("sentiment", lit("POS"))
+      .unionByName(
+        lexiconFromCsv(s, negativePath).withColumn("sentiment", lit("NEG")))
+
+  /** Driver-side word list from a lexicon file — for the multi-needle
+    * scan paths (q18/q19) that compile the (small) list into a
+    * codegen'd OR-of-instr predicate rather than a join.
+    */
+  def wordList(s: SparkSession, path: String): Seq[String] =
+    lexiconFromCsv(s, path, "w").collect().toSeq
+      .map(_.getString(0).trim).filter(_.nonEmpty)
 
   /** Tokenize: split on single spaces, explode, drop empty tokens
     * (ref: bdb_tools/text.py:46-69 — strip, split, explode, filter).

@@ -555,35 +555,38 @@ object Extras extends Suite {
              |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
 
     // Streaming incremental-aggregate maintenance (o55's streaming
-    // form): foreachBatch merges each micro-batch's PARTIAL aggregate
-    // (count + exact integer checksum) into a running state table —
-    // the upsert pattern whose target at scale is a Delta MERGE / KV
-    // store. Partials merge exactly, so the final state equals the
-    // batch recompute (the oracle) for any batch slicing.
+    // form): foreachBatch APPENDS each micro-batch's PARTIAL aggregate
+    // (count + exact integer checksum) to a warehouse state table; the
+    // served state is the aggregate over the partials (merge-on-read).
+    // No driver-side state anywhere — partials live in the catalog
+    // table and merge exactly under any batch slicing, so the final
+    // state equals the batch recompute (the oracle). At scale the
+    // append target is the same pattern's Delta/Iceberg table, with a
+    // periodic compaction replacing the on-read merge.
     Q("x18_stream_incremental", (s, d) => {
-      val spark = s
-      import spark.implicits._
       val static = Tables.load(s, d, "events")
       val stream = s.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1").parquet(d)
-      val state = new java.util.concurrent.ConcurrentHashMap[
-        String, (Long, Long)]()
+      val tbl = "x18_partials"
+      // reset state from any prior run: drop the catalog entry AND the
+      // managed-table location (a previous JVM's directory survives
+      // the in-memory catalog and would fail LOCATION_ALREADY_EXISTS)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val q = stream.writeStream.foreachBatch {
-        (batch: DataFrame, _: Long) =>
+        (batch: DataFrame, batchId: Long) =>
           batch.groupBy("event_type")
             .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
-            .collect().foreach { r =>
-              val k = r.getString(0)
-              val (n0, s0) = Option(state.get(k)).getOrElse((0L, 0L))
-              state.put(k, (n0 + r.getLong(1), s0 + r.getLong(2)))
-            }
+            .write.mode(if (batchId == 0L) "overwrite" else "append")
+            .saveAsTable(tbl)
       }.start()
       try q.processAllAvailable() finally q.stop()
-      import scala.jdk.CollectionConverters._
-      state.asScala.toSeq
-        .map { case (k, (n, sum)) => (k, n, sum) }
-        .toDF("event_type", "n", "id_sum")
+      s.table(tbl).groupBy("event_type")
+        .agg(sum("n").as("n"), sum("id_sum").as("id_sum"))
         .orderBy("event_type")
     },
       Some("""SELECT event_type, COUNT(*) AS n,

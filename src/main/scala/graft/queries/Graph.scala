@@ -47,20 +47,30 @@ object GraphQueries extends Suite {
       // driver-side scalar splice (o29 pattern): node count feeds the
       // integer base constants
       val nNodes = deg.count()
-      val init = 1000000L / nNodes
-      val base = 150000L / nNodes
-      var rank = deg.select(col("src").as("node"), lit(init).as("r"))
-      for (_ <- 1 to 5) {
-        rank = edges
-          .join(rank, col("src") === col("node"))
-          .join(deg, "src")
-          .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
-          .groupBy("dst")
-          .agg(sum("c").as("cs"))
-          .select(col("dst").as("node"), (lit(base) + col("cs")).as("r"))
+      if (nNodes == 0) {
+        // degenerate empty edge set: empty result, not a /0 crash
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("brand",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rank_ppm",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+        val init = 1000000L / nNodes
+        val base = 150000L / nNodes
+        var rank = deg.select(col("src").as("node"), lit(init).as("r"))
+        for (_ <- 1 to 5) {
+          rank = edges
+            .join(rank, col("src") === col("node"))
+            .join(deg, "src")
+            .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
+            .groupBy("dst")
+            .agg(sum("c").as("cs"))
+            .select(col("dst").as("node"), (lit(base) + col("cs")).as("r"))
+        }
+        rank.select(col("node").as("brand"), col("r").as("rank_ppm"))
+          .orderBy("brand")
       }
-      rank.select(col("node").as("brand"), col("r").as("rank_ppm"))
-        .orderBy("brand")
     }, {
       val iter = (1 to 5).map { k =>
         s"""r$k AS (

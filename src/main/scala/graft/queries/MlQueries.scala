@@ -1,31 +1,44 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Similarity
-import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes}
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Exact, Text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ML suite — SURVEY §2d (M1–M4) on `embeddings`/`documents` via
-  * Spark MLlib, mirroring the reference's configurations:
-  * K-means k=8 / maxIter=20 (`bdb_tools/utils.py:957-1018`),
-  * LogisticRegression regParam=0 / 100 iter / tol 1e-9
-  * (`bdb_tools/q05_utils.py:37-43`), multinomial NaiveBayes
-  * smoothing=0.001 over hashed text features
-  * (`bdb_tools/q28_utils.py:36-82`), hand-rolled distributed metrics
-  * (`q28_utils.py:106-257`).
+/** ML suite — SURVEY §2d (M1–M4) on `embeddings`/`documents`.
   *
-  * Model outputs aren't ANSI-SQL-expressible → rows-only driver checks
-  * (the reference takes the same stance: ML queries verify via metric
-  * thresholds, not row equality, `utils.py:517-581`). m01 and m07 are
-  * the exceptions: a Lloyd iteration from fixed seeds and the k-fold
-  * held-out evaluation ARE pure relational algebra, so the clustering
-  * core and its CV harness get real oracles.
+  * Every query here is DETERMINISTIC RELATIONAL ALGEBRA with a full
+  * DuckDB oracle — the hash-exact core of each ML capability:
+  *
+  *  - k-means: Lloyd iterations unrolled in exact integer micro-unit
+  *    arithmetic (m01 one step, m02 three steps, m07 k-fold CV);
+  *  - linear classifier: closed-form least squares from exact decimal
+  *    sums — the reference's own regression-in-SQL stance
+  *    (`queries/q15/gpu_bdb_query_15_dask_sql.py:41-64`) applied as a
+  *    thresholded classifier (m03);
+  *  - naive-bayes-style text classifier: additive per-class
+  *    likelihood in integer parts-per-million with +1 smoothing —
+  *    same counts/priors/smoothing relational skeleton as
+  *    `bdb_tools/q28_utils.py:36-82`, with ppm-integer likelihood in
+  *    place of log-space floats so the argmax is engine-exact (m04);
+  *  - multiclass metrics: accuracy / per-class precision / recall /
+  *    F1 as one aggregation pipeline — the reference hand-rolls these
+  *    as tree reductions (`q28_utils.py:106-257`) (m05);
+  *  - hashing vectorizer: term-frequency buckets from the portable
+  *    60-bit hash (`portable_hash60(word) % 2^18`), mirroring
+  *    HashingTF's shape (`q28_utils.py:36-71`) (m06).
+  *
+  * The optimizer-dependent MLlib fits (KMeans.fit, LogisticRegression,
+  * NaiveBayes, HashingTF) remain first-class library paths in
+  * [[graft.ops.MlPipelines]], verified via metric thresholds in
+  * MlThresholdSpec — the reference's own stance for iterated ML
+  * (`bdb_tools/utils.py:517-581`).
+  *
+  * Scale: centroids / class tables / priors are broadcast; the only
+  * large shuffles are word-level joins keyed on (word) or
+  * (word, class), both bounded by vocabulary size — linear in corpus
+  * size, no all-pairs anywhere.
   */
 object MlQueries extends Suite {
 
@@ -34,29 +47,215 @@ object MlQueries extends Suite {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  /** embeddings with an ML Vector column. */
-  private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("features",
-      array_to_vector(col("embedding").cast("array<float>")))
-
   private def dist2Sql(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, len($a.embedding)+1),
        |  i -> (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))
        |     * (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE)))), 6)""".stripMargin
 
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private def dist2(a: Column, b: Column) =
     round(aggregate(
       zip_with(a, b, (x, y) => {
         val diff = x.cast("double") - y.cast("double"); diff * diff
       }),
       lit(0.0), (acc, x) => acc + x), 6)
 
+  // ---------------------------------------------------------------
+  // m02: unrolled Lloyd iterations in exact integer micro-units.
+  // Embeddings quantized once to 6-decimal micro-units (bigint); per
+  // iteration: assign by integer squared distance (argmin with cid
+  // tiebreak), recenter by exact floor-division mean. Every value is
+  // an exact integer → order-independent, engine-exact.
+  // ---------------------------------------------------------------
+
+  private val KmIters = 3
+
+  private def kmeansIter(s: SparkSession, d: String): DataFrame = {
+    val eq = embs(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos", "x")
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
+    val c0 = eq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
+
+    // one Lloyd step: (centroids) -> (assignment, new centroids)
+    def step(c: DataFrame): (DataFrame, DataFrame) = {
+      val d2 = eq.join(broadcast(c), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val asg = d2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      // exact floor-division mean (pmod keeps Spark's truncating `div`
+      // aligned with DuckDB's flooring `//` on negative sums)
+      val cn = eq.join(broadcast(asg), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          expr("(sv - pmod(sv, n)) div n").as("cv"))
+      (asg, cn)
+    }
+
+    val (aN, cN) = (1 to KmIters).foldLeft((c0, c0)) {
+      case ((_, c), _) => step(c)
+    }
+    val n = aN.groupBy("cid").agg(count(lit(1)).as("n"))
+    val piv = cN.filter(col("dim") <= 4).groupBy("cid").agg(
+      max(when(col("dim") === 1, col("cv"))).as("c1"),
+      max(when(col("dim") === 2, col("cv"))).as("c2"),
+      max(when(col("dim") === 3, col("cv"))).as("c3"),
+      max(when(col("dim") === 4, col("cv"))).as("c4"))
+    n.join(piv, "cid")
+      .select("cid", "n", "c1", "c2", "c3", "c4").orderBy("cid")
+  }
+
+  private val kmeansIterSql: String = {
+    val iters = (1 to KmIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d2
+         |  FROM eq e JOIN $prev c USING (dim) GROUP BY e.vec_id, c.cid),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s$i)
+         |  WHERE rn = 1),
+         |c$i AS (
+         |  SELECT cid, dim, (sv - (((sv % n) + n) % n)) // n AS cv FROM (
+         |    SELECT a.cid, e.dim, CAST(SUM(e.v) AS BIGINT) AS sv,
+         |      COUNT(*) AS n
+         |    FROM a$i a JOIN eq e USING (vec_id) GROUP BY a.cid, e.dim))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH eq AS (
+       |  SELECT vec_id, dim,
+       |    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |          unnest(embedding) AS x FROM embeddings)),
+       |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM eq WHERE vec_id < 8),
+       |$iters
+       |SELECT n.cid, n.n,
+       |  MAX(CASE WHEN c.dim = 1 THEN c.cv END) AS c1,
+       |  MAX(CASE WHEN c.dim = 2 THEN c.cv END) AS c2,
+       |  MAX(CASE WHEN c.dim = 3 THEN c.cv END) AS c3,
+       |  MAX(CASE WHEN c.dim = 4 THEN c.cv END) AS c4
+       |FROM (SELECT cid, COUNT(*) AS n FROM a$KmIters GROUP BY cid) n
+       |JOIN c$KmIters c USING (cid)
+       |GROUP BY n.cid, n.n
+       |ORDER BY n.cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // m04: naive-bayes-style classifier, integer-ppm likelihoods.
+  // Shared between m04 (confusion matrix) and m05 (metrics).
+  // ---------------------------------------------------------------
+
+  private def nbConfusion(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val trd = base.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select("doc_id", "lang")
+    val ted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select("doc_id", "lang")
+    val trw = Text.words(
+      base.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+    val tew = Text.words(
+      base.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+
+    val cls = trd.select("lang").distinct()
+    val priors = trd.groupBy("lang").agg(count(lit(1)).as("pc"))
+      .crossJoin(broadcast(trd.agg(count(lit(1)).as("dd"))))
+      .select(col("lang"), expr("(pc * 1000000) div dd").as("prior_ppm"))
+    val cw = trw.join(trd, "doc_id").groupBy("lang", "word")
+      .agg(count(lit(1)).as("c"))
+    val nc = cw.groupBy("lang").agg(sum("c").as("n_c"))
+    val vocab = trw.agg(countDistinct("word").as("v"))
+    val den = cls.join(nc, Seq("lang"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        (coalesce(col("n_c"), lit(0L)) + col("v")).as("den"))
+    val pw = cw.join(broadcast(den), "lang")
+      .select(col("lang"), col("word"),
+        expr("((c + 1) * 1000000) div den").as("p_ppm"))
+    val defp = den.select(col("lang"),
+      expr("1000000 div den").as("def_ppm"))
+
+    val occ = tew.crossJoin(broadcast(cls))
+      .join(broadcast(defp), "lang")
+      .join(pw, Seq("lang", "word"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("p_ppm"), col("def_ppm")).as("ppm"))
+    val wsum = occ.groupBy("doc_id", "lang").agg(sum("ppm").as("wsum"))
+    val scores = ted.withColumnRenamed("lang", "true_lang")
+      .crossJoin(broadcast(cls))
+      .join(broadcast(priors), "lang")
+      .join(wsum, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (coalesce(col("wsum"), lit(0L)) + col("prior_ppm")).as("score"))
+    val wp = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang"))
+    scores.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** m04's oracle body WITHOUT the final ORDER BY (reused by m05). */
+  private val nbConfusionSqlBody: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |trd AS (SELECT doc_id, lang FROM documents WHERE (doc_id % 10) <> 0),
+      |ted AS (SELECT doc_id, lang FROM documents WHERE (doc_id % 10) = 0),
+      |trw AS (SELECT * FROM w WHERE (doc_id % 10) <> 0),
+      |tew AS (SELECT * FROM w WHERE (doc_id % 10) = 0),
+      |cls AS (SELECT DISTINCT lang FROM trd),
+      |priors AS (
+      |  SELECT lang, (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM trd)
+      |    AS prior_ppm
+      |  FROM trd GROUP BY lang),
+      |cw AS (
+      |  SELECT l.lang, t.word, COUNT(*) AS c
+      |  FROM trw t JOIN trd l USING (doc_id) GROUP BY l.lang, t.word),
+      |nc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_c FROM cw GROUP BY lang),
+      |vocab AS (SELECT COUNT(DISTINCT word) AS v FROM trw),
+      |den AS (
+      |  SELECT c.lang, COALESCE(n.n_c, 0) + (SELECT v FROM vocab) AS den
+      |  FROM cls c LEFT JOIN nc n USING (lang)),
+      |pw AS (
+      |  SELECT cw.lang, cw.word, ((cw.c + 1) * 1000000) // d.den AS p_ppm
+      |  FROM cw JOIN den d USING (lang)),
+      |defp AS (SELECT lang, 1000000 // den AS def_ppm FROM den),
+      |occ AS (
+      |  SELECT tew.doc_id, c.lang, COALESCE(p.p_ppm, f.def_ppm) AS ppm
+      |  FROM tew CROSS JOIN cls c
+      |  JOIN defp f ON f.lang = c.lang
+      |  LEFT JOIN pw p ON p.lang = c.lang AND p.word = tew.word),
+      |wsum AS (
+      |  SELECT doc_id, lang, CAST(SUM(ppm) AS BIGINT) AS wsum
+      |  FROM occ GROUP BY doc_id, lang),
+      |scores AS (
+      |  SELECT t.doc_id, t.lang AS true_lang, c.lang,
+      |    COALESCE(s.wsum, 0) + pr.prior_ppm AS score
+      |  FROM ted t CROSS JOIN cls c
+      |  JOIN priors pr ON pr.lang = c.lang
+      |  LEFT JOIN wsum s ON s.doc_id = t.doc_id AND s.lang = c.lang),
+      |pred AS (
+      |  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      |    FROM scores)
+      |  WHERE rn = 1)
+      |SELECT true_lang, pred_lang, COUNT(*) AS n
+      |FROM pred GROUP BY true_lang, pred_lang""".stripMargin
+
+  // ---------------------------------------------------------------
+
   val qs: Seq[Q] = Seq(
 
     // M1a: one Lloyd iteration of k-means (k=8, seeds = vec_id 0..7)
     // as pure relational algebra — assignment by squared euclidean
-    // distance, then per-cluster mean of the first 4 dims. Verifiable
-    // against the SQL oracle, unlike the iterated MLlib fit.
+    // distance, then per-cluster mean of the first 4 dims.
     Q("m01_kmeans_lloyd", (s, d) => {
       val e = embs(s, d).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < 8)
@@ -92,109 +291,184 @@ object MlQueries extends Suite {
               |FROM asg JOIN e ON e.vec_id = asg.vec_id
               |GROUP BY cid ORDER BY cid""".stripMargin)),
 
-    // M1b: full MLlib K-means (k=8, maxIter=20, fixed seed) — cluster
-    // size distribution + WSSSE (trainingCost), the reference's
-    // verification metric (utils.py:517-545). Rows-only check.
-    Q("m02_kmeans_mllib", (s, d) => {
-      val data = withVec(embs(s, d))
-      val km = new KMeans().setK(8).setMaxIter(20).setSeed(42L)
-        .setFeaturesCol("features")
-      val model = km.fit(data)
-      val cost = model.summary.trainingCost
-      val sizes = model.summary.predictions
-        .groupBy("prediction").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("prediction"))
-        .withColumn("size_rank",
-          row_number().over(Window.orderBy(desc("n"), col("prediction"))))
-      sizes.select(col("size_rank"), col("n"))
-        .withColumn("wssse", round(lit(cost), 3))
-    }, None),
+    // M1b: THREE unrolled Lloyd iterations in exact micro-unit integer
+    // arithmetic — the iterated-k-means core as verifiable relational
+    // algebra (cluster sizes + final centroids of dims 1..4 in
+    // micro-units). The optimized MLlib fit (k=8, maxIter=20) stays in
+    // MlPipelines.kmeansMllib + its WSSSE threshold test, mirroring
+    // the reference's threshold stance (utils.py:957-1018).
+    Q("m02_kmeans_iter3", kmeansIter, Some(kmeansIterSql)),
 
-    // M2: logistic regression (no penalty, 100 iter, tol 1e-9,
-    // standardization on) — label = upper half of the label space;
-    // outputs precision / AUC / confusion counts like the reference's
-    // q05 metrics block (q05_utils.py:75-120). Rows-only check.
-    Q("m03_logreg", (s, d) => {
-      val data = withVec(embs(s, d))
-        .withColumn("y", when(col("label") >= 5, 1.0).otherwise(0.0))
-      val Array(train, test) =
-        Array(data.filter(pmod(col("vec_id"), lit(10)) =!= 0),
-          data.filter(pmod(col("vec_id"), lit(10)) === 0))
-      val lr = new LogisticRegression().setRegParam(0.0).setMaxIter(100)
-        .setTol(1e-9).setLabelCol("y").setFeaturesCol("features")
-      val model = lr.fit(train)
-      val pred = model.transform(test)
-      val auc = new BinaryClassificationEvaluator().setLabelCol("y")
-        .setRawPredictionCol("rawPrediction").evaluate(pred)
-      pred.agg(
-        count(lit(1)).as("n_test"),
-        sum(when(col("prediction") === col("y"), 1).otherwise(0)).as("n_correct"),
-        sum(when(col("prediction") === 1.0 && col("y") === 1.0, 1).otherwise(0)).as("tp"),
-        sum(when(col("prediction") === 1.0 && col("y") === 0.0, 1).otherwise(0)).as("fp"),
-        sum(when(col("prediction") === 0.0 && col("y") === 1.0, 1).otherwise(0)).as("fn"),
-        sum(when(col("prediction") === 0.0 && col("y") === 0.0, 1).otherwise(0)).as("tn"))
-        .withColumn("auc", round(lit(auc), 4))
-    }, None),
+    // M2: closed-form linear classifier — least-squares slope and
+    // intercept from exact decimal sums (the reference's q15/q18
+    // regression-in-SQL pattern) fit on the 90% train split, then a
+    // 0.5-threshold prediction on the held-out 10%, reported as a
+    // confusion matrix + accuracy in ppm. The iterated logistic fit
+    // stays in MlPipelines.logregMllib + AUC threshold test
+    // (q05_utils.py:75-120).
+    Q("m03_linear_clf", (s, d) => {
+      val pts = embs(s, d).select(col("vec_id"),
+        expr("CAST(round(CAST(embedding[0] AS DOUBLE) * 1000000, 0) AS BIGINT)")
+          .as("x_us"),
+        when(col("label") >= 5, 1.0).otherwise(0.0).as("y"))
+      val train = pts.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val test = pts.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val st = train.agg(
+        Exact.dslope(col("x_us"), col("y")).as("slope"),
+        Exact.dintercept(col("x_us"), col("y")).as("intercept"))
+      test.crossJoin(broadcast(st))
+        .withColumn("yhat",
+          when(col("intercept") + col("slope") * col("x_us").cast("double")
+            > 0.5, 1.0).otherwise(0.0))
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("yhat") === 1.0 && col("y") === 1.0, 1).otherwise(0)).as("tp"),
+          sum(when(col("yhat") === 1.0 && col("y") === 0.0, 1).otherwise(0)).as("fp"),
+          sum(when(col("yhat") === 0.0 && col("y") === 1.0, 1).otherwise(0)).as("fn"),
+          sum(when(col("yhat") === 0.0 && col("y") === 0.0, 1).otherwise(0)).as("tn"),
+          max(col("slope")).as("slope"),
+          max(col("intercept")).as("intercept"))
+        .withColumn("acc_ppm", expr("((tp + tn) * 1000000) div n_test"))
+        .select("n_test", "tp", "fp", "fn", "tn", "acc_ppm",
+          "slope", "intercept")
+    }, {
+      // exact-sum fragments shared by slope and intercept (o24 idiom)
+      val sx = "CAST(SUM(CAST(x_us AS DECIMAL(18,0))) AS DOUBLE)"
+      val sy = "CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(x_us AS DECIMAL(18,0)) * CAST(x_us AS DECIMAL(18,0))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(x_us AS DECIMAL(18,0)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE)"
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val slopeRaw = s"(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx))"
+      Some(s"""WITH pts AS (
+              |  SELECT vec_id,
+              |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x_us,
+              |    CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+              |  FROM embeddings),
+              |tr AS (SELECT * FROM pts WHERE (vec_id % 10) <> 0),
+              |te AS (SELECT * FROM pts WHERE (vec_id % 10) = 0),
+              |st AS (
+              |  SELECT round($slopeRaw, 6) AS slope,
+              |    round(($sy - $slopeRaw * $sx) / $n, 6) AS intercept
+              |  FROM tr),
+              |scored AS (
+              |  SELECT te.y,
+              |    CASE WHEN st.intercept + st.slope * CAST(te.x_us AS DOUBLE) > 0.5
+              |      THEN 1.0 ELSE 0.0 END AS yhat
+              |  FROM te, st)
+              |SELECT COUNT(*) AS n_test,
+              |  CAST(SUM(CASE WHEN yhat = 1.0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |  CAST(SUM(CASE WHEN yhat = 1.0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |  CAST(SUM(CASE WHEN yhat = 0.0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |  CAST(SUM(CASE WHEN yhat = 0.0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              |  (CAST(SUM(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+              |    // COUNT(*) AS acc_ppm,
+              |  (SELECT slope FROM st) AS slope,
+              |  (SELECT intercept FROM st) AS intercept
+              |FROM scored""".stripMargin)
+    }),
 
-    // M3: multinomial naive bayes (alpha=0.001) on hashed text
-    // features; 90/10 split via doc_id % 10 (the reference's modulo
-    // split, q28_dask_sql.py:39-56). Rows-only check.
-    Q("m04_naivebayes_text", (s, d) => {
-      val langs = Seq("de", "en", "es", "fr", "zh")
-      val langIdx = langs.zipWithIndex
-        .foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
-          when(col("lang") === l, lit(i.toDouble)).otherwise(acc)
-        }
-      val feats = new HashingTF().setInputCol("wordarr")
-        .setOutputCol("features").setNumFeatures(1 << 18)
-      val data = feats.transform(
-        docs(s, d).withColumn("wordarr", split(col("text"), " "))
-          .withColumn("y", langIdx))
-      val train = data.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      val test = data.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val nb = new NaiveBayes().setSmoothing(0.001)
-        .setModelType("multinomial").setLabelCol("y")
-        .setFeaturesCol("features")
-      val pred = nb.fit(train).transform(test)
-      pred.groupBy(col("y").as("true_lang"), col("prediction").as("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("true_lang", "pred_lang")
-    }, None),
+    // M3: naive-bayes-style text classifier with integer-ppm
+    // likelihoods: per-class word probabilities with +1 smoothing in
+    // parts-per-million (integer division), additive per-document
+    // scores + class prior, argmax with lexical tiebreak. Same
+    // counts/smoothing/priors skeleton as multinomial NB
+    // (q28_utils.py:36-82) with the log-space product replaced by an
+    // exact integer sum so both engines agree bit-for-bit. The true
+    // MLlib NaiveBayes stays in MlPipelines + accuracy threshold test.
+    Q("m04_nb_ppm_text", (s, d) =>
+      nbConfusion(s, d).orderBy("true_lang", "pred_lang"),
+      Some(nbConfusionSqlBody + "\nORDER BY true_lang, pred_lang")),
 
-    // M4: distributed multiclass metrics (accuracy, per-class
-    // precision/recall) as a plain aggregation pipeline — the
-    // reference hand-rolls these as tree reductions
-    // (q28_utils.py:106-257); here they're one groupBy.
+    // M4: distributed multiclass metrics (per-class precision /
+    // recall / F1 in exact ppm integers) over m04's deterministic
+    // confusion matrix — the reference hand-rolls these as tree
+    // reductions (q28_utils.py:106-257); here they're two groupBys
+    // and a full outer join.
     Q("m05_multiclass_metrics", (s, d) => {
-      val confusion = qs.find(_.name == "m04_naivebayes_text").get
-        .fn(s, d)
-      val perClass = confusion.groupBy("true_lang")
+      val conf = nbConfusion(s, d)
+      val tr = conf.groupBy(col("true_lang").as("lang"))
         .agg(sum("n").as("n_true"),
           sum(when(col("true_lang") === col("pred_lang"), col("n"))
             .otherwise(0L)).as("n_correct"))
-        .withColumn("recall",
-          round(col("n_correct").cast("double") / col("n_true"), 4))
-      perClass.orderBy("true_lang")
-    }, None),
+      val pr = conf.groupBy(col("pred_lang").as("lang"))
+        .agg(sum("n").as("n_pred"))
+      tr.join(pr, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("precision_ppm",
+          expr("CASE WHEN n_pred > 0 THEN (n_correct * 1000000) div n_pred " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN n_true > 0 THEN (n_correct * 1000000) div n_true " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("f1_ppm",
+          expr("CASE WHEN precision_ppm + recall_ppm > 0 " +
+            "THEN (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("lang")
+    },
+      Some(s"""WITH conf AS (
+              |$nbConfusionSqlBody
+              |),
+              |tr AS (
+              |  SELECT true_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_true,
+              |    CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+              |      AS BIGINT) AS n_correct
+              |  FROM conf GROUP BY true_lang),
+              |pr AS (
+              |  SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+              |  FROM conf GROUP BY pred_lang),
+              |j AS (
+              |  SELECT COALESCE(t.lang, p.lang) AS lang,
+              |    COALESCE(t.n_true, 0) AS n_true,
+              |    COALESCE(p.n_pred, 0) AS n_pred,
+              |    COALESCE(t.n_correct, 0) AS n_correct
+              |  FROM tr t FULL OUTER JOIN pr p ON t.lang = p.lang),
+              |m AS (
+              |  SELECT lang, n_true, n_pred, n_correct,
+              |    CASE WHEN n_pred > 0 THEN (n_correct * 1000000) // n_pred
+              |      ELSE 0 END AS precision_ppm,
+              |    CASE WHEN n_true > 0 THEN (n_correct * 1000000) // n_true
+              |      ELSE 0 END AS recall_ppm
+              |  FROM j)
+              |SELECT lang, n_true, n_pred, n_correct,
+              |  precision_ppm, recall_ppm,
+              |  CASE WHEN precision_ppm + recall_ppm > 0
+              |    THEN (2 * precision_ppm * recall_ppm)
+              |      // (precision_ppm + recall_ppm)
+              |    ELSE 0 END AS f1_ppm
+              |FROM m ORDER BY lang""".stripMargin)),
 
-    // T11: hashing vectorizer surface (1-gram, 2^18 features) —
-    // per-doc non-zero feature count + total term mass. Rows-only.
+    // T11: hashing vectorizer with the engine-portable 60-bit hash —
+    // bucket = portable_hash60(word) % 2^18; per-doc distinct-bucket
+    // count (nnz), token count (L1 term mass) and max bucket frequency.
+    // Mirrors HashingTF's shape (q28_utils.py:36-71); the MLlib
+    // murmur3-based HashingTF stays in MlPipelines.hashingTfMllib as
+    // the parity path (same term mass, engine-specific buckets).
     Q("m06_hashing_tf", (s, d) => {
-      val feats = new HashingTF().setInputCol("wordarr")
-        .setOutputCol("features").setNumFeatures(1 << 18)
-      import org.apache.spark.ml.linalg.Vector
-      val data = feats.transform(
-        docs(s, d).withColumn("wordarr", split(col("text"), " ")))
-      val nnz = udf((v: Vector) => v.numNonzeros)
-      // sum over ACTIVE entries only — v.toArray would densify the
-      // 2^18-dim vector per row (gigabytes of allocation at sf0.1)
-      val mass = udf { (v: Vector) =>
-        var s = 0.0; v.foreachActive((_, x) => s += x); s
-      }
-      data.select(col("doc_id"), nnz(col("features")).as("nnz"),
-        round(mass(col("features")), 2).as("term_mass"))
+      val w = Text.words(docs(s, d), "doc_id", "text")
+      val tfb = w
+        .withColumn("bucket", Text.portableHash(col("word")) % lit(262144L))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      tfb.groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum("tf").as("n_tok"),
+          max("tf").as("max_tf"))
         .orderBy("doc_id")
-    }, None),
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |tfb AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 262144 AS bucket,
+             |    COUNT(*) AS tf
+             |  FROM w GROUP BY doc_id, bucket)
+             |SELECT doc_id, COUNT(*) AS nnz, CAST(SUM(tf) AS BIGINT) AS n_tok,
+             |  MAX(tf) AS max_tf
+             |FROM tfb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // M7: deterministic 3-fold cross-validated clustering evaluation —
     // folds by salted-hash id (Split.fold: partitioning/engine-

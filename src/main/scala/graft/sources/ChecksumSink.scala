@@ -4,7 +4,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -46,11 +47,42 @@ object ChecksumSink {
 
   /** Row checksum: portable hash of the '|'-joined field rendering.
     * null renders as the empty string (distinct from "null" text).
+    * Rendering is canonical per type — binary as lowercase hex,
+    * arrays/structs recursively, map entries sorted — because the
+    * JVM default `toString` on internal values (Array[Byte],
+    * ArrayData, InternalRow) is an identity-hash string that would
+    * change across runs and defeat the sink's verification purpose.
     */
+  private[sources] def render(v: Any, dt: DataType): String = dt match {
+    case BinaryType =>
+      v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+    case ArrayType(et, _) =>
+      val a = v.asInstanceOf[ArrayData]
+      (0 until a.numElements()).map { i =>
+        if (a.isNullAt(i)) "" else render(a.get(i, et), et)
+      }.mkString("[", ",", "]")
+    case st: StructType =>
+      val r = v.asInstanceOf[InternalRow]
+      st.fields.indices.map { i =>
+        if (r.isNullAt(i)) ""
+        else render(r.get(i, st.fields(i).dataType), st.fields(i).dataType)
+      }.mkString("{", ",", "}")
+    case MapType(kt, vt, _) =>
+      val m = v.asInstanceOf[MapData]
+      val ks = m.keyArray(); val vs = m.valueArray()
+      // map iteration order is engine-internal: sort rendered entries
+      (0 until m.numElements()).map { i =>
+        render(ks.get(i, kt), kt) + "->" +
+          (if (vs.isNullAt(i)) "" else render(vs.get(i, vt), vt))
+      }.sorted.mkString("{", ",", "}")
+    case _ => v.toString // primitives/UTF8String/Decimal: value-based
+  }
+
   private[sources] def rowHash(row: InternalRow, schema: StructType): Long = {
     val rendered = schema.fields.indices.map { i =>
       if (row.isNullAt(i)) ""
-      else row.get(i, schema.fields(i).dataType).toString
+      else render(row.get(i, schema.fields(i).dataType),
+        schema.fields(i).dataType)
     }.mkString("|")
     graft.expressions.Kernels.portableHash60(UTF8String.fromString(rendered))
   }
@@ -83,7 +115,12 @@ private class ChecksumBatchWrite(name: String, schema: StructType)
     // only COMMITTED task attempts reach here — aborted/speculative
     // duplicates are excluded by the protocol
     var count = 0L; var sum = 0L
-    messages.foreach { case ChecksumCommit(c, s) => count += c; sum += s }
+    messages.foreach {
+      case ChecksumCommit(c, s) => count += c; sum += s
+      case null => // a task that produced no commit message: skip
+      case other => throw new IllegalStateException(
+        s"checksum_sink($name): unexpected commit message $other")
+    }
     ChecksumSink.record(name, count, sum)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

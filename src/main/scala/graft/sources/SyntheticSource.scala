@@ -106,9 +106,12 @@ private class SyntheticScanBuilder(rows: Long, slices: Int)
     accepted = acc
     acc.foreach {
       case GreaterThanOrEqual(_, v: java.lang.Long) => lo = lo max v
-      case GreaterThan(_, v: java.lang.Long) => lo = lo max (v + 1)
+      case GreaterThan(_, v: java.lang.Long) =>
+        // saturate: v+1 would wrap at Long.MaxValue into a full range
+        lo = if (v < Long.MaxValue) lo max (v + 1) else hi
       case LessThan(_, v: java.lang.Long) => hi = hi min v
-      case LessThanOrEqual(_, v: java.lang.Long) => hi = hi min (v + 1)
+      case LessThanOrEqual(_, v: java.lang.Long) =>
+        if (v < Long.MaxValue) hi = hi min (v + 1) // else: no-op bound
       case _ =>
     }
     rejected // residual filters Spark must still apply post-scan

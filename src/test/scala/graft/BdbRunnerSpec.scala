@@ -19,7 +19,12 @@ class BdbRunnerSpec extends SparkSpec {
       df.write.mode("overwrite").parquet(s"$base/$t")
     }
     val outCsv = s"$base/results.csv"
-    BdbBenchmarkRunner.run(spark, base, outCsv, repeats = 1)
+    // fixture vocabulary is tiny: shrink q28's hashed feature space so
+    // the NB model broadcast isn't 200 MB (reference default 2^23)
+    BdbBenchmarkRunner.run(spark, base, outCsv, repeats = 1,
+      queries = graft.bdb.BdbQueries.all +
+        ("q28" -> ((s: org.apache.spark.sql.SparkSession) =>
+          graft.bdb.BdbQueries2.q28(s, numFeatures = 1 << 16))))
     val lines = scala.io.Source.fromFile(outCsv).getLines().toSeq
     assert(lines.head === "query,run,seconds,status")
     assert(lines.length === 31) // header + 30 queries x 1 repeat

@@ -1,15 +1,18 @@
 package graft
 
-/** Metric-threshold checks for the ML queries — the reference's own
-  * verification stance for ML (WSSSE / AUC thresholds, not row
-  * equality; `bdb_tools/utils.py:517-581`).
+import graft.ops.MlPipelines
+
+/** Metric-threshold checks for the MLlib model-fitting pipelines —
+  * the reference's own verification stance for iterated ML (WSSSE /
+  * AUC thresholds, not row equality; `bdb_tools/utils.py:517-581`).
+  * The hash-exact relational ML cores (m01–m07) are verified by the
+  * driver's DuckDB oracle instead; here we only cross-check their
+  * invariants against the MLlib parity paths.
   */
 class MlThresholdSpec extends SparkSpec {
 
   test("kmeans: WSSSE below the no-clustering baseline (total variance)") {
-    import org.apache.spark.sql.functions._
-    import graft.ops.Similarity
-    val out = SparkEntry.queries("m02_kmeans_mllib")(spark, sf).collect()
+    val out = MlPipelines.kmeansMllib(spark, sf).collect()
     val wssse = out(0).getAs[Double]("wssse")
     assert(out.map(_.getAs[Long]("n")).sum === 500L)
     // unit-norm 64-dim vectors, near-orthogonal: total variance around
@@ -18,7 +21,7 @@ class MlThresholdSpec extends SparkSpec {
   }
 
   test("logreg: AUC above chance on the held-out split") {
-    val r = SparkEntry.queries("m03_logreg")(spark, sf).collect()(0)
+    val r = MlPipelines.logregMllib(spark, sf).collect()(0)
     val auc = r.getAs[Double]("auc")
     val n = r.getAs[Long]("n_test")
     assert(n > 0)
@@ -26,7 +29,7 @@ class MlThresholdSpec extends SparkSpec {
   }
 
   test("naive bayes: accuracy at least majority-class rate") {
-    val conf = SparkEntry.queries("m04_naivebayes_text")(spark, sf).collect()
+    val conf = MlPipelines.naiveBayesMllib(spark, sf).collect()
     val total = conf.map(_.getAs[Long]("n")).sum
     val correct = conf.filter(r =>
       r.getAs[Double]("true_lang") == r.getAs[Double]("pred_lang"))
@@ -37,5 +40,77 @@ class MlThresholdSpec extends SparkSpec {
     assert(correct >= majority,
       s"accuracy ${correct.toDouble / total} below majority baseline " +
         s"${majority.toDouble / total}")
+  }
+
+  test("kmeans iter3: partitions all vectors over at most 8 clusters") {
+    val out = SparkEntry.queries("m02_kmeans_iter3")(spark, sf).collect()
+    assert(out.length <= 8 && out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum === 500L)
+    // centroids are micro-unit quantized unit-norm components
+    out.foreach { r =>
+      // columns: cid, n, c1..c4 — centroid dims at indices 2..5
+      (2 to 5).foreach { i =>
+        assert(math.abs(r.getLong(i)) <= 1000000L, r.toString)
+      }
+    }
+  }
+
+  test("linear classifier: confusion counts partition the test split") {
+    val r = SparkEntry.queries("m03_linear_clf")(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_test")
+    val parts = Seq("tp", "fp", "fn", "tn").map(r.getAs[Long](_)).sum
+    assert(n > 0 && parts === n)
+    val acc = r.getAs[Long]("acc_ppm")
+    assert(acc >= 0 && acc <= 1000000L)
+  }
+
+  test("nb-ppm classifier: beats the majority-class baseline") {
+    val conf = SparkEntry.queries("m04_nb_ppm_text")(spark, sf).collect()
+    val total = conf.map(_.getAs[Long]("n")).sum
+    val correct = conf.filter(r =>
+      r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n")).sum
+    val majority = conf.groupBy(_.getAs[String]("true_lang"))
+      .map(_._2.map(_.getAs[Long]("n")).sum).max
+    assert(total > 0)
+    assert(correct >= majority,
+      s"accuracy ${correct.toDouble / total} below majority baseline " +
+        s"${majority.toDouble / total}")
+  }
+
+  test("multiclass metrics: ppm values bounded, counts consistent") {
+    val rows = SparkEntry.queries("m05_multiclass_metrics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, rec, f1) = (r.getAs[Long]("precision_ppm"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("f1_ppm"))
+      Seq(p, rec, f1).foreach(v => assert(v >= 0 && v <= 1000000L))
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_pred")
+        || r.getAs[Long]("n_pred") == 0)
+    }
+    // test split is doc_id % 10 == 0 over 500 docs
+    assert(rows.map(_.getAs[Long]("n_true")).sum === 50L)
+  }
+
+  test("portable hashing-tf agrees with MLlib HashingTF on term mass") {
+    import org.apache.spark.sql.functions._
+    val portable = SparkEntry.queries("m06_hashing_tf")(spark, sf)
+      .select(col("doc_id"), col("n_tok"))
+    // MLlib term mass counts every split token incl. empties; compare
+    // against the non-empty token count both paths share
+    val mllib = MlPipelines.hashingTfMllib(spark, sf)
+      .select(col("doc_id"), col("term_mass"))
+    val joined = portable.join(mllib, "doc_id")
+      .withColumn("diff", col("term_mass") - col("n_tok"))
+      .collect()
+    assert(joined.nonEmpty)
+    // empty tokens (double spaces) can only add mass on the MLlib side
+    joined.foreach { r =>
+      assert(r.getAs[Double]("diff") >= 0.0, r.toString)
+    }
+    // and the vast majority of docs should agree exactly
+    val exact = joined.count(_.getAs[Double]("diff") == 0.0)
+    assert(exact >= joined.length / 2, s"only $exact of ${joined.length} agree")
   }
 }
