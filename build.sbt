@@ -26,7 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs driver+executors into one JVM; 8g forced multi-
+  // second full-GC pauses once the uncapped near-dup checkpoints plus
+  // a 6M-row shuffle coexisted (measured: random 20 s spikes on
+  // otherwise sub-second queries). The bench/verify box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 165 whole-stage-codegen'd queries in one JVM overflow the default
+  // 240m JIT code cache (flush storms deoptimize hot loops mid-suite)
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // forward golden-regeneration flag into the forked test JVM
   sys.props.get("graft.golden.update")
