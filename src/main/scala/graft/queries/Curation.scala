@@ -389,6 +389,62 @@ object CurationQueries extends Suite {
               |  FROM documents)
               |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)),
 
+    // Deterministic systematic PPS (probability-proportional-to-size)
+    // sampling: ~k docs per source stratum with inclusion chance
+    // proportional to token mass — the weighted subset a mixture-
+    // tuning pipeline draws when long documents should be kept more
+    // often. Selection is a pure function of the data (per-stratum
+    // cumulative weight + a salted-hash offset stepping through it),
+    // so the sample is identical on any engine / partitioning /
+    // cluster size — Spark's sample()/randomSplit are neither. The
+    // per-stratum window prefix sum is the only shuffle (no global
+    // sort), the scale-safe shape for stratified corpora.
+    Q("a14_weighted_sample", (s, d) => {
+      val k = 25
+      val perDoc = docs(s, d).select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "),
+          t => length(t) > 0)).cast("bigint").as("w"))
+      val wOrd = Window.partitionBy("source").orderBy("doc_id")
+      val wAll = Window.partitionBy("source")
+      perDoc
+        .withColumn("cum_end", sum("w").over(wOrd))
+        .withColumn("cum_start", col("cum_end") - col("w"))
+        .withColumn("tot", sum("w").over(wAll))
+        .withColumn("step", greatest(expr(s"tot div $k"), lit(1L)))
+        .withColumn("off", pmod(Text.portableHash(col("source")), col("step")))
+        // doc selected iff its weight interval [cum_start, cum_end)
+        // contains a point of the offset step grid; shifted by +step
+        // so both floor-divisions see nonnegative arguments (Spark
+        // `div` truncates, DuckDB `//` floors — they only agree >= 0)
+        .filter(expr("(cum_end - off + step - 1) div step > " +
+          "(cum_start - off + step - 1) div step"))
+        .select("source", "doc_id", "w")
+        .orderBy("source", "doc_id")
+    },
+      Some(s"""WITH p AS (
+              |  SELECT source, doc_id,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |                         t -> len(t) > 0)) AS BIGINT) AS w
+              |  FROM documents),
+              |c AS (
+              |  SELECT source, doc_id, w,
+              |    CAST(SUM(w) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+              |    CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+              |  FROM p),
+              |s1 AS (
+              |  SELECT *, cum_end - w AS cum_start,
+              |    GREATEST(tot // 25, 1) AS step
+              |  FROM c),
+              |s2 AS (
+              |  SELECT *,
+              |    ${hSql("source", "")} % step AS off
+              |  FROM s1)
+              |SELECT source, doc_id, w FROM s2
+              |WHERE (cum_end - off + step - 1) // step
+              |    > (cum_start - off + step - 1) // step
+              |ORDER BY source, doc_id""".stripMargin)),
+
     // OOV-rate report: per doc the fraction of tokens outside the
     // corpus's top-100 vocabulary, in exact integer ppm — the
     // out-of-vocabulary signal tokenizer/corpus audits track. The

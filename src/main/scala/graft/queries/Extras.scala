@@ -592,6 +592,44 @@ object Extras extends Suite {
       Some("""SELECT event_type, COUNT(*) AS n,
              |  CAST(SUM(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Append-mode windowed aggregation under a watermark: only
+    // FINALIZED windows — whose end is at or below the final
+    // watermark (max event time - delay) — are ever emitted. This is
+    // the late-data-safety contract of a production streaming agg
+    // (results are immutable once emitted; data later than the
+    // watermark can no longer change them), vs x04's complete-mode
+    // which re-emits everything. The oracle replays the finalization
+    // rule relationally: hourly counts kept only for windows closed
+    // by the watermark.
+    Q("x19_window_finalize", (s, d) => {
+      val spark = s
+      val static = Tables.load(s, d, "events")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val agg = stream
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "30 minutes")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_window_final").outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      spark.table("graft_window_final")
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type"), col("n"))
+        .orderBy("start_us", "event_type")
+    },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+             |wm AS (SELECT MAX(us) - 1800000000 AS wm_us FROM ev)
+             |SELECT (us // 3600000000) * 3600000000 AS start_us,
+             |  event_type, COUNT(*) AS n
+             |FROM ev
+             |GROUP BY 1, 2
+             |HAVING start_us + 3600000000 <= (SELECT wm_us FROM wm)
+             |ORDER BY start_us, event_type""".stripMargin))
   )
 }

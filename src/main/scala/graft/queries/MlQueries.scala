@@ -105,7 +105,7 @@ object MlQueries extends Suite {
       max(when(col("dim") === 2, col("cv"))).as("c2"),
       max(when(col("dim") === 3, col("cv"))).as("c3"),
       max(when(col("dim") === 4, col("cv"))).as("c4"))
-    n.join(piv, "cid")
+    n.join(broadcast(piv), "cid") // k <= 8 rows: broadcast at any scale
       .select("cid", "n", "c1", "c2", "c3", "c4").orderBy("cid")
   }
 

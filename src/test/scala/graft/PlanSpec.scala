@@ -143,6 +143,35 @@ class PlanSpec extends SparkSpec {
     assert(nullAware >= 1, p.take(4000))
   }
 
+  test("m02: Lloyd iterations broadcast centroids and assignments") {
+    val p = plan("m02_kmeans_iter3")
+    // every per-iteration join (vs 8x64 centroids, vs n-row
+    // assignment) must be a broadcast — a shuffle join against the
+    // exploded (n x dims) table would shuffle the big side 3x
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "centroid/assignment join fell back to SMJ:\n" + p.take(3000))
+  }
+
+  test("m04: class prior/default tables broadcast; no cartesian blowup") {
+    val p = plan("m04_nb_ppm_text")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the only large join is word-keyed (test words x class-word
+    // table); the class fan-out must stay broadcast
+    assert(!p.contains("CartesianProduct"),
+      "class fan-out planned as CartesianProduct:\n" + p.take(3000))
+  }
+
+  test("a14: weighted sample shuffles once per stratum window") {
+    val p = plan("a14_weighted_sample")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange on source for the prefix-sum windows (the final
+    // orderBy adds a range exchange, not a hash one)
+    assert(hashExchanges === 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(4000)}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
