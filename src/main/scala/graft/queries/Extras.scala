@@ -630,6 +630,42 @@ object Extras extends Suite {
              |FROM ev
              |GROUP BY 1, 2
              |HAVING start_us + 3600000000 <= (SELECT wm_us FROM wm)
-             |ORDER BY start_us, event_type""".stripMargin))
+             |ORDER BY start_us, event_type""".stripMargin)),
+
+    // Native session_window (gap = 30 min) — Catalyst's built-in
+    // sessionization operator, the compose-existing-ops counterpart to
+    // the hand-built lag/cumsum kernel (ops/Sessionize, s02): one
+    // groupBy, no window-function pass, same one-exchange plan. The
+    // oracle replays gap semantics relationally; window.end is
+    // last-event-time + gap by definition.
+    Q("x20_native_session_window", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n"))
+        .orderBy("user_id", "start_us")
+    },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |o AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+             |              IS NULL
+             |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+             |              > 1800000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, MIN(us) AS start_us,
+             |  MAX(us) + 1800000000 AS end_us, COUNT(*) AS n
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }
