@@ -88,8 +88,10 @@ object Text {
     * char-classes and counted quantifiers, which behave identically
     * in Java regex and RE2-family engines — no backrefs, no
     * lookaround — so the operator ports to any engine. The synthetic
-    * corpus contains no PII, so this is ScalaTest-verified on crafted
-    * strings rather than oracle-gated.
+    * corpus contains no PII, so the oracle gate injects deterministic
+    * synthetic emails/phones/IPs per doc and requires the redacted
+    * string to match DuckDB's RE2 replay exactly (a16_pii_redact);
+    * TextOpsSpec covers crafted edge cases besides.
     */
   val RedactPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",

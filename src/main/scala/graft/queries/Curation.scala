@@ -482,6 +482,38 @@ object CurationQueries extends Suite {
              |  CAST((SUM(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
              |    * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
              |FROM w LEFT JOIN vocab ON w.word = vocab.word
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction, oracle-gated: the corpus has no real PII, so
+    // each doc gets a deterministic synthetic email/phone/IP built
+    // from its id, and Text.redact's sequential regexp passes must
+    // produce the identical redacted string in both engines. The
+    // patterns use only char-classes and counted quantifiers, which
+    // match identically under Java regex (backtracking) and RE2
+    // (DuckDB) — the portability contract Text.RedactPatterns
+    // documents, here actually enforced by the hash gate.
+    Q("a16_pii_redact", (s, d) => {
+      val raw = concat(
+        lit("contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-1234 at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 now"))
+      docs(s, d)
+        .select(col("doc_id"), Text.redact(raw).as("redacted"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    'contact u' || doc_id || '@example.com or +1-555-'
+             |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             |      || '-1234 at 10.0.' || (doc_id % 256) || '.7 now' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
 }
