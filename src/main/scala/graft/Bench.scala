@@ -101,7 +101,8 @@ object Bench {
       "s02_sessions", "s04_session_pairs", "s09_funnel", "t03_word_counts",
       "t18_tfidf", "t19_inverted_index", "d18_cms_heavyhitters",
       "d19_bloom_prune", "o51_gap_fill", "x02_streaming_sessions",
-      "x04_tumbling_window", "x05_asof_join")
+      "x04_tumbling_window", "x05_asof_join", "m02_kmeans_iter3",
+      "m04_nb_ppm_text", "a14_weighted_sample", "x20_native_session_window")
     val byName = results.toMap
     val sfName = new java.io.File(sfDir).getName
     // best-effort only: a detail-file failure (read-only cwd, …) must
