@@ -212,6 +212,28 @@ object BdbCatalog {
   def registerFrames(frames: Map[String, DataFrame]): Unit =
     frames.foreach { case (t, df) => mark(t, df).createOrReplaceTempView(t) }
 
+  /** The reference's load test: convert dataGen pipe-CSV to the
+    * parquet layout queries run against, applying the declared schema
+    * at conversion time and the dimension repartition discipline
+    * (small dims to one file for map-side joins, the equivalent of
+    * `bdb_tools/readers.py:133-134`; facts keep their parallelism).
+    * Mirrors `queries/load_test/gpu_bdb_load_test.py:31-92`. Returns
+    * per-table (rows, seconds) so a harness can report conversion
+    * timing the way the reference's load test does.
+    */
+  def loadTest(spark: SparkSession, csvBase: String,
+      parquetBase: String): Seq[(String, Long, Double)] =
+    BdbSchemas.tables.map { t =>
+      val t0 = System.nanoTime()
+      val df0 = spark.read.schema(BdbSchemas.schema(t))
+        .option("sep", "|").option("quote", "")
+        .csv(s"$csvBase/$t")
+      val df = if (BdbSchemas.broadcastDims(t)) df0.coalesce(1) else df0
+      df.write.mode("overwrite").parquet(s"$parquetBase/$t")
+      val n = spark.read.parquet(s"$parquetBase/$t").count()
+      (t, n, (System.nanoTime() - t0) / 1e9)
+    }
+
   private def mark(t: String, df: DataFrame): DataFrame =
     if (BdbSchemas.broadcastDims(t)) broadcast(df) else df
 }

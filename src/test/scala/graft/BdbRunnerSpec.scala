@@ -13,6 +13,29 @@ import graft.bdb.BdbBenchmarkRunner
   */
 class BdbRunnerSpec extends SparkSpec {
 
+  test("loadTest converts pipe-CSV to parquet with schemas intact") {
+    val base = "/root/repo/target/graft-tmp/bdb-csv"
+    val out = "/root/repo/target/graft-tmp/bdb-parquet-lt"
+    // write the fixture as dataGen-style pipe CSV (no quoting)
+    val frames = BdbFixture.frames(spark)
+    frames.foreach { case (t, df) =>
+      df.write.mode("overwrite")
+        .option("sep", "|").option("quote", "")
+        .csv(s"$base/$t")
+    }
+    val report = graft.bdb.BdbCatalog.loadTest(spark, base, out)
+    assert(report.size === 23)
+    report.foreach { case (t, n, secs) =>
+      assert(n === frames(t).count(), s"$t row count drifted")
+      assert(secs >= 0)
+    }
+    // converted layout must be queryable end-to-end
+    graft.bdb.BdbCatalog.registerParquet(spark, out)
+    val q01 = graft.bdb.BdbQueries1
+      .q01(spark, stores = Seq(1, 2, 3, 4, 5), minCount = 0).count()
+    assert(q01 > 0)
+  }
+
   test("BdbBenchmarkRunner times all 30 queries from a parquet layout") {
     val base = "/root/repo/target/graft-tmp/bdb-parquet"
     BdbFixture.frames(spark).foreach { case (t, df) =>
