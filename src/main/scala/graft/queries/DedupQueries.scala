@@ -461,7 +461,10 @@ object DedupQueries extends Suite {
     // (pure joins, engine-portable; exact CC iff graph diameter <= K,
     // identical intermediate labels on both engines regardless).
     Q("d12_dup_groups", (s, d) => {
-      val base = docs(s, d).filter(col("doc_id") < 1000)
+      // full corpus: the edge stage is the df-capped bucketed shingle
+      // join (quadratic only within a bounded bucket), so no doc cap
+      // is needed — same scale shape as d05/d20
+      val base = docs(s, d)
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
       val edges = Dedup.jaccardAllPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
@@ -500,7 +503,7 @@ object DedupQueries extends Suite {
              |    FROM sym e JOIN l${k - 1} l2 ON e.id_2 = l2.doc_id
              |    GROUP BY e.id_1) m USING (doc_id))""".stripMargin
         }.mkString(",\n")
-        s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
+        s"""WITH docs_c AS (SELECT * FROM documents),
            |w AS (
            |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
            |         unnest(string_split(text,' ')) AS word
