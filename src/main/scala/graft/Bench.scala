@@ -54,35 +54,42 @@ object Bench {
     var errors = List.empty[String]
     val attempted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = attempted.flatMap { case (name, fn) =>
-      // A failed attempt's elapsed time is meaningless (fast-fail
-      // would make a broken round look fast) — only successful runs
-      // contribute; a query with zero successes is reported solely in
-      // `failed` and excluded from min/total/sec_per_query.
-      val times = (1 to repeats).flatMap { _ =>
+    // Repeats run as FULL PASSES over the suite (pass 1 all queries,
+    // then pass 2), not back-to-back per query: the host's sporadic
+    // multi-second stall windows span a minute or more, so adjacent
+    // repeats can BOTH land inside one (measured: a min-of-2 query at
+    // 44 s that runs in 0.6 s otherwise). Same-query repeats separated
+    // by a whole pass can't share a stall window.
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (1 to repeats).foreach { _ =>
+      attempted.foreach { case (name, fn) =>
+        // A failed attempt's elapsed time is meaningless (fast-fail
+        // would make a broken round look fast) — only successful runs
+        // contribute; a query with zero successes is reported solely
+        // in `failed` and excluded from min/total/sec_per_query.
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          best.updateWith(name)(o => Some(o.fold(t)(_ min t)))
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           errors ::= s"$name: ${e.getMessage}"
-          None
         } finally {
           // release blocks pinned by cache()/localCheckpoint() inside
           // the query just run: leaving them resident starves later
           // shuffle-heavy queries of execution memory (measured: the
           // uncapped LSH/simhash checkpoints inflated o4x queries up
-          // to 10x later in the suite)
-          // blocking: finish the cleanup before the next query's
-          // timer starts, so unpersist work is never billed to a
-          // neighboring query
+          // to 10x later in the suite); blocking, so unpersist work is
+          // never billed to a neighboring query
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           spark.catalog.clearCache()
         }
       }
-      times.reduceOption(_ min _).map(name -> _)
+    }
+    val results = attempted.flatMap { case (name, _) =>
+      best.get(name).map(name -> _)
     }
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line from that tail — a per-query map over the full
