@@ -666,6 +666,78 @@ object Extras extends Suite {
              |SELECT user_id, MIN(us) AS start_us,
              |  MAX(us) + 1800000000 AS end_us, COUNT(*) AS n
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Streaming near-dup candidate detection: per-document minhash
+    // banding computed STATELESSLY (signature = array_min over salted
+    // hashes of the doc's word set — array expressions, no per-doc
+    // aggregation, so Spark's one-streaming-aggregation limit is
+    // spent on the band rollup), then one streaming groupBy on the
+    // band key. Bands holding >= 2 docs are near-dup candidate
+    // groups, keeper = min doc_id — min/count are order-free, so the
+    // result is deterministic under any micro-batch slicing. Same
+    // banded-LSH shape as the batch d04 pipeline; at scale the
+    // complete-mode rollup becomes append + watermark on arrival
+    // time, with state bounded by distinct band keys in the horizon.
+    Q("x21_streaming_neardup", (s, d) => {
+      val spark = s
+      val static = Tables.load(s, d, "documents")
+      val stream = s.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val K = 8; val RowsPerBand = 2
+      val words = array_distinct(filter(split(col("text"), " "),
+        w => length(w) > 0))
+      val sigs = (0 until K).map(i =>
+        array_min(transform(col("__w"),
+          sh => graft.ops.Text.saltedHash(sh, i))).as(s"sig_$i"))
+      val bands = (0 until K / RowsPerBand).map { b =>
+        val cols = (0 until RowsPerBand)
+          .map(r => col(s"sig_${b * RowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("#", cols: _*)).as("band_hash"))
+      }
+      val banded = stream
+        .select(col("doc_id"), words.as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id") +: sigs: _*)
+        .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+      val agg = banded.groupBy("band_id", "band_hash")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+      graft.streaming.StreamConf.withStatePartitions(s) {
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_stream_neardup").outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      spark.table("graft_stream_neardup")
+        .filter(col("n_docs") >= 2)
+        .orderBy("band_id", "band_hash")
+    }, {
+      val sigCols = (0 until 8).map(i =>
+        s"MIN(CAST('0x' || substr(md5(sh || '|s$i'),1,15) AS BIGINT)) AS sig_$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until 4).map { b =>
+        val a = s"sig_${2 * b}"; val c = s"sig_${2 * b + 1}"
+        s"""SELECT doc_id, $b AS band_id,
+           |  md5(CAST($a AS VARCHAR) || '#' || CAST($c AS VARCHAR)) AS band_hash
+           |FROM sigs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT doc_id,
+              |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS sh
+              |  FROM documents),
+              |sigs AS (
+              |  SELECT doc_id,
+              |    $sigCols
+              |  FROM w GROUP BY doc_id),
+              |bands AS (
+              |$bandSelects
+              |)
+              |SELECT band_id, band_hash, MIN(doc_id) AS keeper_id,
+              |  COUNT(*) AS n_docs
+              |FROM bands GROUP BY band_id, band_hash
+              |HAVING COUNT(*) >= 2
+              |ORDER BY band_id, band_hash""".stripMargin)
+    })
   )
 }
