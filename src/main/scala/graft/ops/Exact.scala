@@ -69,8 +69,15 @@ object Exact {
     * Rounding the final statistic absorbs that last-ulp divergence —
     * same discipline as the reference's 6-significant-digit compare
     * (`bdb_tools/utils.py:449-477`).
+    *
+    * The trailing `+ 0.0` normalizes IEEE negative zero: a slope that
+    * rounds to zero from below is -0.0 in engines that keep the sign
+    * through round() but 0.0 here — numerically equal, byte-hash
+    * different. IEEE -0.0 + 0.0 = 0.0, and null + 0.0 stays null, so
+    * this is semantics-free. Oracle SQL for r6-derived stats carries
+    * the same `+ 0`.
     */
-  private def r6(c: Column): Column = round(c, 6)
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
   /** UNROUNDED sample standard deviation from exact components —
     * bit-identical across engines as long as the decimal sums stay

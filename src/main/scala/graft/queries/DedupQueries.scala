@@ -22,8 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends Suite {
 
-  private val K = 8          // minhash signature length
-  private val RowsPerBand = 2 // → 4 bands
+  /** MinHash signature length and band shape, tuned so the LSH
+    * S-curve matches the 0.9 verify filter: 8 bands x 8 rows gives a
+    * candidate-probability midpoint (1/b)^(1/r) = (1/8)^(1/8) ~ 0.77,
+    * so P(candidate) ~ 99% at j=0.9 but only ~3% at j=0.5. The old
+    * K=8/r=2 shape (midpoint ~0.5) passed 99.9% false candidates to
+    * the verify join — harmless at 5k docs, but candidate volume IS
+    * the job at 10^9 docs. Public because d13's typed-Aggregator
+    * variant must produce the identical signature width.
+    */
+  val MinhashK = 64
+  val MinhashRowsPerBand = 8 // → 8 bands
+
+  private val K = MinhashK
+  private val RowsPerBand = MinhashRowsPerBand
   private val SimBits = 32   // simhash width
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -107,8 +119,8 @@ object DedupQueries extends Suite {
       Some(s"WITH $WordShinglesSql,\n${sigSelect("ws")}\n" +
         "SELECT * FROM sigs ORDER BY doc_id")),
 
-    // D4: full MinHash+LSH near-dup detection: signatures -> 4 bands
-    // of 2 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
+    // D4: full MinHash+LSH near-dup detection: signatures -> 8 bands
+    // of 8 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
     Q("d04_minhash_lsh_neardup", (s, d) => {
       val base = docs(s, d)
       // the shingle set feeds FOUR consumers (signatures, sizes, and
@@ -123,9 +135,10 @@ object DedupQueries extends Suite {
       // rational lands exactly on a 1e-6 boundary (e.g. k/640)
       // minJaccardPct=90: exact size-bound prune before the shingle
       // arrays ever shuffle (necessary condition for the 0.9 filter).
-      // Hashed-sets verify: at the uncapped sf0.1 shape (~5k docs,
-      // 9.2M candidates) the two-pointer merge over sorted hash
-      // arrays beats the (pairs x shingles) explode shuffle ~10x.
+      // Hashed-sets verify: two-pointer merge over sorted hash arrays
+      // instead of the (pairs x shingles) explode shuffle (~10x at the
+      // old loose banding; still wins now that the 8x8 S-curve keeps
+      // candidate volume proportional to true near-dups).
       Dedup.jaccardVerifyHashedSets(cands, sh, "doc_id", minJaccardPct = 90)
         .filter(col("jaccard") >= 0.9)
         .orderBy("id_1", "id_2")
@@ -565,9 +578,10 @@ object DedupQueries extends Suite {
     // D21: MinHash estimator quality — per candidate pair the
     // signature-agreement estimate (matching positions / K) next to
     // the exact Jaccard it approximates. E[est] = J is the identity
-    // LSH relies on; emitting both makes the tradeoff auditable (the
-    // K=8 estimate is coarse — steps of 1/8 — exactly why the verify
-    // pass after banding is not optional at 0.9 thresholds).
+    // LSH relies on; emitting both makes the tradeoff auditable (even
+    // at K=64 the estimate moves in 1/64 steps with stddev
+    // ~sqrt(J(1-J)/64) ~ 0.04 near J=0.9 — why the exact verify pass
+    // after banding is not optional at 0.9 thresholds).
     Q("d21_minhash_est", (s, d) => {
       val base = docs(s, d).filter(col("doc_id") < 1000)
       val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()

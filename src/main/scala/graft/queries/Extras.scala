@@ -462,15 +462,17 @@ object Extras extends Suite {
              |ORDER BY purchase_id, signup_id""".stripMargin)),
 
     // MinHash via the typed Aggregator (one k-long buffer per group) —
-    // same oracle as the k-min-columns form d03.
+    // same oracle as the k-min-columns form d03 (width tracks
+    // DedupQueries.MinhashK so the two stay interchangeable).
     Q("d13_minhash_aggregator", (s, d) => {
       import s.implicits._
-      val agg = udaf(new graft.ops.MinHashAgg(8))
+      val k = DedupQueries.MinhashK
+      val agg = udaf(new graft.ops.MinHashAgg(k))
       val sh = graft.ops.Dedup.wordShingles(
         Tables.load(s, d, "documents"), "doc_id", "text")
       val withSigs = sh.groupBy("doc_id")
         .agg(agg(col("sh")).as("sigs"))
-      (0 until 8).foldLeft(withSigs) { (df, i) =>
+      (0 until k).foldLeft(withSigs) { (df, i) =>
         df.withColumn(s"sig_$i", element_at(col("sigs"), i + 1))
       }.drop("sigs").orderBy("doc_id")
     },

@@ -347,8 +347,9 @@ object MlQueries extends Suite {
               |tr AS (SELECT * FROM pts WHERE (vec_id % 10) <> 0),
               |te AS (SELECT * FROM pts WHERE (vec_id % 10) = 0),
               |st AS (
-              |  SELECT round($slopeRaw, 6) AS slope,
-              |    round(($sy - $slopeRaw * $sx) / $n, 6) AS intercept
+              |  -- "+ 0" normalizes -0.0 -> 0.0 (matches Exact.r6)
+              |  SELECT round($slopeRaw, 6) + 0 AS slope,
+              |    round(($sy - $slopeRaw * $sx) / $n, 6) + 0 AS intercept
               |  FROM tr),
               |scored AS (
               |  SELECT te.y,
