@@ -60,31 +60,63 @@ object Bench {
     // repeats can BOTH land inside one (measured: a min-of-2 query at
     // 44 s that runs in 0.6 s otherwise). Same-query repeats separated
     // by a whole pass can't share a stall window.
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passTimes = scala.collection.mutable
+      .LinkedHashMap[String, List[Double]]()
+    // One timed attempt with the standard post-query hygiene. Returns
+    // the elapsed seconds, or None on failure — a failed attempt's
+    // elapsed time is meaningless (fast-fail would make a broken round
+    // look fast); a query with zero successes is reported solely in
+    // `failed` and excluded from min/total/sec_per_query.
+    def attempt(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        if (!failed.contains(name)) failed ::= name
+        errors ::= s"$name: ${e.getMessage}"
+        None
+      } finally {
+        // release blocks pinned by cache()/localCheckpoint() inside
+        // the query just run: leaving them resident starves later
+        // shuffle-heavy queries of execution memory (measured: the
+        // uncapped LSH/simhash checkpoints inflated o4x queries up
+        // to 10x later in the suite); blocking, so unpersist work is
+        // never billed to a neighboring query
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
+    }
     (1 to repeats).foreach { _ =>
       attempted.foreach { case (name, fn) =>
-        // A failed attempt's elapsed time is meaningless (fast-fail
-        // would make a broken round look fast) — only successful runs
-        // contribute; a query with zero successes is reported solely
-        // in `failed` and excluded from min/total/sec_per_query.
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val t = (System.nanoTime() - t0) / 1e9
-          best.updateWith(name)(o => Some(o.fold(t)(_ min t)))
-        } catch { case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          errors ::= s"$name: ${e.getMessage}"
-        } finally {
-          // release blocks pinned by cache()/localCheckpoint() inside
-          // the query just run: leaving them resident starves later
-          // shuffle-heavy queries of execution memory (measured: the
-          // uncapped LSH/simhash checkpoints inflated o4x queries up
-          // to 10x later in the suite); blocking, so unpersist work is
-          // never billed to a neighboring query
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          spark.catalog.clearCache()
+        attempt(name, fn).foreach { t =>
+          passTimes.updateWith(name)(o => Some(o.getOrElse(Nil) :+ t))
+        }
+      }
+    }
+    val best = passTimes.map { case (n, ts) => n -> ts.min }
+    // Contamination defense: this host has sporadic stall windows that
+    // can span BOTH separated passes (round 4 recorded 92.3 s for a
+    // query that runs in 8.4 s isolated — an 11x lie in the official
+    // artifact). A stall can only inflate, never deflate, so any min
+    // that still looks implausible after min-of-N — >5x the suite
+    // median (floored at 2 s so sub-second noise never triggers it) —
+    // gets one isolated re-run here, after the passes, and the min is
+    // kept. Per-pass times + re-runs land in the detail file so a
+    // contaminated run is diagnosable post-hoc.
+    val rerunLog = scala.collection.mutable.ListBuffer[String]()
+    if (best.nonEmpty) {
+      val sortedMins = best.values.toSeq.sorted
+      val median = sortedMins(sortedMins.size / 2)
+      val threshold = (median * 5).max(2.0)
+      val byNameFn = attempted.toMap
+      best.filter(_._2 > threshold).keys.toSeq.sorted.foreach { name =>
+        attempt(name, byNameFn(name)).foreach { t =>
+          rerunLog += f"RERUN $name%-24s suite=${best(name)}%.3f isolated=$t%.3f s"
+          if (t < best(name)) best(name) = t
         }
       }
     }
@@ -117,7 +149,12 @@ object Bench {
     try {
       val detail = new java.io.PrintWriter(s"bench_detail_$sfName.txt")
       try {
-        results.foreach { case (k, v) => detail.println(f"$k%-28s $v%.3f s") }
+        results.foreach { case (k, v) =>
+          val passes = passTimes.getOrElse(k, Nil)
+            .map(t => f"$t%.3f").mkString(" ")
+          detail.println(f"$k%-28s $v%.3f s  passes=[$passes]")
+        }
+        rerunLog.foreach(detail.println)
         errors.reverse.foreach(e => detail.println(s"FAILED $e"))
       } finally detail.close()
     } catch {

@@ -41,6 +41,7 @@ object Kernels {
     v >>> 4
   }
 
+
   /** Cosine similarity of two float vectors, accumulated in double
     * left-to-right (identical to the zip_with/aggregate composition
     * and the documented DuckDB oracle), rounded to 6 decimals.

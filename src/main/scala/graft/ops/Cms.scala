@@ -38,7 +38,7 @@ class CmsAgg(d: Int, w: Int)
   override def reduce(buf: Array[Long], key: String): Array[Long] = {
     var i = 0
     while (i < d) {
-      // same salt scheme as Text.saltedHash / MinHashAgg: "key|s<i>"
+      // same salt scheme as Text.saltedHash: "key|s<i>"
       val h = Kernels.portableHash60(UTF8String.fromString(s"$key|s$i"))
       buf(i * w + (h % w).toInt) += 1L // h in [0, 2^60): % == pmod
       i += 1

@@ -66,14 +66,63 @@ object Dedup {
       .select(col(id), explode(shingles).as("sh"))
   }
 
-  /** MinHash signatures: k salted portable hashes, min per doc.
-    * One aggregation over the shingle set (map-side partial min).
+  /** Modulus of the minhash affine family — a prime just under 2^31
+    * (the one Spark MLlib's MinHashLSH uses,
+    * `org.apache.spark.ml.feature.MinHashLSH.HASH_PRIME`), so
+    * c_i * h < 2^62: exact in 64-bit integers in ANY engine — DuckDB
+    * BIGINT overflow is an error, not a wrap, so staying under 2^63
+    * is a correctness requirement for the oracle, not a nicety.
     */
-  def minhashSignatures(shingles: DataFrame, id: String, k: Int): DataFrame =
-    shingles.groupBy(col(id))
-      .agg(min(Text.saltedHash(col("sh"), 0)).as("sig_0"),
-        (1 until k).map(i =>
-          min(Text.saltedHash(col("sh"), i)).as(s"sig_$i")): _*)
+  val MinhashPrime = 2038074743L
+
+  /** Deterministic per-function coefficients (c_i odd-ish in
+    * [1, p-1], d_i in [0, p-1]) derived from the portable hash of a
+    * fixed label — no RNG, so engine and oracle agree by
+    * construction.
+    */
+  def minhashCoeffs(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { i =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val c = graft.expressions.Kernels
+        .portableHash60(UTF8String.fromString(s"mh|a|$i")) %
+        (MinhashPrime - 1) + 1
+      val dd = graft.expressions.Kernels
+        .portableHash60(UTF8String.fromString(s"mh|b|$i")) % MinhashPrime
+      (c, dd)
+    }
+
+  /** MinHash signatures: k affine universal hashes off ONE md5 per
+    * shingle, min per doc (map-side partial min).
+    *
+    * Hash family: g_i(x) = (c_i * h + d_i) mod p with h the shingle's
+    * 60-bit portable hash reduced mod p, and per-function constants
+    * from [[minhashCoeffs]] — the same construction as MLlib's
+    * MinHashLSH (`MinHashLSH.hashFunction`). The per-i constants are
+    * what makes band rows independent: a per-SHINGLE linear form
+    * (a + i*b) makes g_i's argmin nearly the same shingle for every i,
+    * so an 8-row band collides whenever ONE row would — measured
+    * 11.3M candidates where J^8-independence predicts ~10^4. A salted-
+    * md5-per-i family is independent too but recomputes the digest k
+    * times per shingle row; at k=64 that WAS the signature cost
+    * (measured 3.3 s of d04's sf0.1 time).
+    *
+    * h lands in its own projection before the aggregate so the digest
+    * runs once per row, not once per aggregate expression (same
+    * inline-lambda hazard as the [[ngrams]] note).
+    */
+  def minhashSignatures(shingles: DataFrame, id: String, k: Int): DataFrame = {
+    val coeffs = minhashCoeffs(k)
+    val h = col("__h")
+    shingles
+      .select(col(id),
+        (Text.portableHash(col("sh")) % MinhashPrime).as("__h"))
+      .groupBy(col(id))
+      .agg(min((h * coeffs(0)._1 + coeffs(0)._2) % MinhashPrime).as("sig_0"),
+        (1 until k).map { i =>
+          min((h * coeffs(i)._1 + coeffs(i)._2) % MinhashPrime)
+            .as(s"sig_$i")
+        }: _*)
+  }
 
   /** LSH band keys: md5 over each band's r signature values.
     * Returns (id, band_id, band_hash) — shuffle-by-band_hash then
@@ -105,11 +154,17 @@ object Dedup {
   def lshCandidatesOnce(sigs: DataFrame, id: String, k: Int,
       rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
+    // materialize once: the banded table feeds 2*nBands join sides
+    // below, and recomputing the upstream signature aggregation per
+    // side is nBands x the whole signature cost (measured 10 s of
+    // d04's sf0.1 time at 8 bands). One row per doc with nBands
+    // hashes — O(corpus) rows, the natural artifact to persist at
+    // any scale.
     val withH = sigs.select(col(id) +: (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
       md5(concat_ws("#", cols: _*)).as(s"bh_$b")
-    }: _*)
+    }: _*).localCheckpoint()
     (0 until nBands).map { j =>
       val noEarlier = (0 until j)
         .map(i => col(s"a.bh_$i") =!= col(s"b.bh_$i"))

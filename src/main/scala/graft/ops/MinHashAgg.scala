@@ -16,12 +16,17 @@ class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
+  // same affine universal-hash family as Dedup.minhashSignatures:
+  // g_i = (c_i * h + d_i) mod p off one md5 digest per shingle
+  private val coeffs = Dedup.minhashCoeffs(k)
+
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val h = Kernels.portableHash60(
+      UTF8String.fromString(shingle)) % Dedup.MinhashPrime
     var i = 0
     while (i < k) {
-      val h = Kernels.portableHash60(
-        UTF8String.fromString(s"$shingle|s$i"))
-      if (h < buf(i)) buf(i) = h
+      val g = (h * coeffs(i)._1 + coeffs(i)._2) % Dedup.MinhashPrime
+      if (g < buf(i)) buf(i) = g
       i += 1
     }
     buf

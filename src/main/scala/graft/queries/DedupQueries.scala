@@ -46,9 +46,7 @@ object DedupQueries extends Suite {
   // ---- shared oracle SQL fragments -------------------------------
 
   /** Portable 60-bit hash of an expression (mirror of
-    * Text.portableHash / saltedHash). */
-  private def hSql(e: String, salt: Int): String =
-    s"CAST('0x' || substr(md5($e || '|s$salt'),1,15) AS BIGINT)"
+    * Text.portableHash). */
   private def hSqlPlain(e: String): String =
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
 
@@ -60,10 +58,45 @@ object DedupQueries extends Suite {
        |  WHERE len(w) > 0)""".stripMargin
   private val WordShinglesSql = wordShinglesSql("documents")
 
+  /** Distinct word-3-gram shingles per doc (mirror of
+    * Dedup.ngramShingles(_, _, _, 3) — same fragment as d05's oracle).
+    * The near-dup pipelines shingle on 3-grams, not single words: the
+    * synthetic corpus has a ~31-word vocabulary, so unigram shingle
+    * sets of RANDOM doc pairs overlap at jaccard ~0.6+ and candidate
+    * volume is O(all pairs) under any banding; the 31^3 3-gram space
+    * puts random-pair jaccard near 0 while true near-dups stay >= 0.9
+    * (the standard shingle-size argument, MMDS ch. 3.2).
+    */
+  private def ngram3ShinglesSql(src: String): String =
+    s"""w AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+       |         unnest(string_split(text,' ')) AS word
+       |  FROM $src),
+       |ws AS (
+       |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+       |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+      .stripMargin
+
+  /** Mirror of Dedup.minhashSignatures' affine universal-hash family:
+    * g_i = (c_i * h + d_i) mod p, h = portable 60-bit hash mod p, with
+    * the same deterministic coefficients (Dedup.minhashCoeffs) inlined
+    * as literals. All values < 2^31 so c_i * h < 2^62 — exact BIGINT
+    * in DuckDB (whose overflow is an error, not a wrap).
+    */
   private def sigSelect(src: String): String = {
-    val cols = (0 until K)
-      .map(i => s"MIN(${hSql("sh", i)}) AS sig_$i").mkString(",\n    ")
-    s"sigs AS (\n  SELECT doc_id,\n    $cols\n  FROM $src GROUP BY doc_id)"
+    val p = graft.ops.Dedup.MinhashPrime
+    val coeffs = graft.ops.Dedup.minhashCoeffs(K)
+    val cols = coeffs.zipWithIndex
+      .map { case ((c, dd), i) => s"MIN((h * $c + $dd) % $p) AS sig_$i" }
+      .mkString(",\n    ")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    $cols
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % $p AS h
+       |        FROM $src)
+       |  GROUP BY doc_id)""".stripMargin
   }
 
   private val BandsSql: String = {
@@ -119,13 +152,17 @@ object DedupQueries extends Suite {
       Some(s"WITH $WordShinglesSql,\n${sigSelect("ws")}\n" +
         "SELECT * FROM sigs ORDER BY doc_id")),
 
-    // D4: full MinHash+LSH near-dup detection: signatures -> 8 bands
-    // of 8 -> bucket-join candidates -> exact-Jaccard verify >= 0.9.
+    // D4: full MinHash+LSH near-dup detection: 3-gram shingles ->
+    // signatures -> 8 bands of 8 -> bucket-join candidates ->
+    // exact-Jaccard verify >= 0.9. (3-grams, not words: see
+    // ngram3ShinglesSql — unigram sets over this corpus's ~31-word
+    // vocabulary make random pairs near-dup candidates.)
     Q("d04_minhash_lsh_neardup", (s, d) => {
       val base = docs(s, d)
       // the shingle set feeds FOUR consumers (signatures, sizes, and
       // both verify sides) — materialize once (see d12 note)
-      val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()
+      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+        .localCheckpoint()
       val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
       // exactly-once candidates: no global distinct over the 2.3x-
       // duplicated pair stream (see lshCandidatesOnce scaladoc)
@@ -143,7 +180,7 @@ object DedupQueries extends Suite {
         .filter(col("jaccard") >= 0.9)
         .orderBy("id_1", "id_2")
     },
-      Some(s"""WITH ${wordShinglesSql("documents")},
+      Some(s"""WITH ${ngram3ShinglesSql("documents")},
               |${sigSelect("ws")},
               |$BandsSql,
               |cand AS (
@@ -584,8 +621,11 @@ object DedupQueries extends Suite {
     // after banding is not optional at 0.9 thresholds).
     Q("d21_minhash_est", (s, d) => {
       val base = docs(s, d).filter(col("doc_id") < 1000)
-      val sh = Dedup.wordShingles(base, "doc_id", "text").localCheckpoint()
-      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+        .localCheckpoint()
+      // four consumers (bands self-join x2, est join x2) — one row
+      // per doc, materialize instead of recomputing the 64-min agg
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", K).localCheckpoint()
       val cands = Dedup.lshCandidates(
         Dedup.lshBands(sigs, "doc_id", K, RowsPerBand), "doc_id")
       val nMatch = (0 until K).map(i =>
@@ -608,7 +648,7 @@ object DedupQueries extends Suite {
           .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""WITH docs_c AS (SELECT * FROM documents WHERE doc_id < 1000),
-           |${wordShinglesSql("docs_c")},
+           |${ngram3ShinglesSql("docs_c")},
            |${sigSelect("ws")},
            |$BandsSql,
            |cand AS (
