@@ -579,15 +579,21 @@ object Extras extends Suite {
         s.conf.get("spark.sql.warehouse.dir"), tbl)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
+      // batch_id rides along so a replayed batch (foreachBatch is
+      // at-least-once on checkpoint recovery) can't double-count: the
+      // read side dedupes on (batch_id, event_type) first — replayed
+      // partials are byte-identical, so keeping one copy is exact.
       val q = stream.writeStream.foreachBatch {
         (batch: DataFrame, batchId: Long) =>
           batch.groupBy("event_type")
             .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+            .withColumn("batch_id", lit(batchId))
             .write.mode(if (batchId == 0L) "overwrite" else "append")
             .saveAsTable(tbl)
       }.start()
       try q.processAllAvailable() finally q.stop()
-      s.table(tbl).groupBy("event_type")
+      s.table(tbl).dropDuplicates("batch_id", "event_type")
+        .groupBy("event_type")
         .agg(sum("n").as("n"), sum("id_sum").as("id_sum"))
         .orderBy("event_type")
     },
@@ -626,7 +632,12 @@ object Extras extends Suite {
         .orderBy("start_us", "event_type")
     },
       Some("""WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
-             |wm AS (SELECT MAX(us) - 1800000000 AS wm_us FROM ev)
+             |-- Spark tracks event-time watermarks in MILLISECONDS:
+             |-- truncate the max event time to ms before subtracting
+             |-- the delay, or a sub-ms component could finalize a
+             |-- boundary window here that Spark keeps open.
+             |wm AS (SELECT (MAX(us) // 1000) * 1000 - 1800000000 AS wm_us
+             |       FROM ev)
              |SELECT (us // 3600000000) * 3600000000 AS start_us,
              |  event_type, COUNT(*) AS n
              |FROM ev

@@ -87,8 +87,11 @@ object MlQueries extends Suite {
       val asg = d2.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "cid")
       // exact floor-division mean (pmod keeps Spark's truncating `div`
-      // aligned with DuckDB's flooring `//` on negative sums)
-      val cn = eq.join(broadcast(asg), "vec_id")
+      // aligned with DuckDB's flooring `//` on negative sums).
+      // No broadcast hint on asg: it has one row per VECTOR, so
+      // broadcasting it caps the supported corpus (unlike the k-row
+      // centroid table); the vec_id equi-join shuffle is linear.
+      val cn = eq.join(asg, "vec_id")
         .groupBy("cid", "dim")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
         .select(col("cid"), col("dim"),
