@@ -1,0 +1,58 @@
+package graft.bdb
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command multi-scale E3 run: synthesize dataGen-style pipe-CSV
+  * at a scale factor, convert it through the load test
+  * (BdbCatalog.loadTest — the reference's CSV→parquet phase,
+  * `gpu_bdb_load_test.py:31-92`), then drive all 30 queries through
+  * the phase-split benchmark runner. Artifacts land under
+  * `<workDir>/sf<sf>/`: `load_test.csv` (per-table rows + seconds)
+  * and `results.csv` (per-query read/main/write/total).
+  *
+  * Usage: BdbScaleRun <workDir> <scaleFactor> [repeats]
+  */
+object BdbScaleRun {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BdbScaleRun <workDir> <sf> [repeats]")
+    val workDir = args(0)
+    val sf = args(1).toDouble
+    val repeats = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bdb-scale-run")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val base = s"$workDir/sf$sf"
+      val t0 = System.nanoTime()
+      BdbDataGen.writeCsv(spark, s"$base/csv", BdbDataGen.Counts(sf))
+      println(f"[bdb-scale] sf$sf datagen: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val report = BdbCatalog.loadTest(spark, s"$base/csv", s"$base/parquet")
+      val lt = "table,rows,seconds" +: report.map { case (t, n, s) =>
+        f"$t,$n,$s%.3f"
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/load_test.csv"),
+        lt.mkString("\n").getBytes("UTF-8"))
+      report.foreach { case (t, n, s) =>
+        println(f"[bdb-scale] load $t: $n rows in $s%.1f s")
+      }
+      // q28 override: the reference's 2^23 hashed feature space sizes
+      // the NB model for a multi-GPU cluster; in ONE 24g JVM the
+      // per-partition dense aggregation buffers (features x classes
+      // doubles x 32 tasks) OOM the heap. 2^18 keeps the identical
+      // pipeline (HashingTF -> IDF -> NaiveBayes) at a model size this
+      // harness can hold — same spirit as BdbRunnerSpec's override.
+      val queries = BdbQueries.all + ("q28" -> ((s: SparkSession) =>
+        BdbQueries2.q28(s, numFeatures = 1 << 18)))
+      BdbBenchmarkRunner.run(spark, s"$base/parquet",
+        s"$base/results.csv", repeats, queries)
+    } finally spark.stop()
+  }
+}

@@ -49,9 +49,16 @@ class BdbRunnerSpec extends SparkSpec {
         ("q28" -> ((s: org.apache.spark.sql.SparkSession) =>
           graft.bdb.BdbQueries2.q28(s, numFeatures = 1 << 16))))
     val lines = scala.io.Source.fromFile(outCsv).getLines().toSeq
-    assert(lines.head === "query,run,seconds,status")
+    assert(lines.head ===
+      "query,run,read_secs,main_secs,write_secs,total_secs,status")
     assert(lines.length === 31) // header + 30 queries x 1 repeat
     val failed = lines.tail.filterNot(_.endsWith(",ok"))
     assert(failed.isEmpty, s"queries errored: $failed")
+    // phase split must account for the total (read + main + write)
+    lines.tail.foreach { l =>
+      val f = l.split(",")
+      val Array(r, m, w, t) = f.slice(2, 6).map(_.toDouble)
+      assert(math.abs(r + m + w - t) < 0.05, s"phase drift: $l")
+    }
   }
 }
