@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions.col
   * and table layout this mirrors; `gpu_bdb_load_test.py:47-92` reads
   * each `<base>/<table>/` dir with sep '|' and no quoting).
   *
-  * Shapes follow the in-memory test fixture (BdbFixture) — the same
-  * modular key-alignment formulas so every query's parameter windows
-  * and join paths are populated — but generated DISTRIBUTED
-  * (spark.range + column expressions, no driver-side row lists) and
-  * scaled: at sf=1 fact rows match TPC-DS sf1 orders of magnitude
-  * (store_sales 2.88M, web_clickstreams 6.48M, inventory 1.17M, ...),
-  * ~1 GB of pipe-CSV total. Returns-to-sales join alignment holds by
-  * construction: store_returns row i carries the same
-  * (ticket_number, item_sk) formula as store_sales row i, and
-  * web_returns row i the same (order_number, item_sk) as web_sales
-  * row i.
+  * This is the single source of truth for the synthetic data's shape:
+  * the test fixture ([[graft.BdbFixture]] — `BdbFixture.frames` =
+  * `frames(spark, Counts(0))`) is these same tables at the floor
+  * cardinalities, so the goldens verify exactly the shapes the scale
+  * benchmark runs. Generation is DISTRIBUTED (spark.range + column
+  * expressions, no driver-side row lists) and scaled: at sf=1 fact
+  * rows match TPC-DS sf1 orders of magnitude (store_sales 2.88M,
+  * web_clickstreams 6.48M, inventory 1.17M, ...), ~1 GB of pipe-CSV.
+  *
+  * Density invariants (the structures the hardest queries exercise,
+  * asserted non-degenerate by BdbShapeSpec):
+  *  - clickstream sessions have 3–6 events 300 s apart, ending in a
+  *    purchase tied to a real web order (q02/q03/q04/q08/q30);
+  *  - store tickets and web orders are 4-line baskets sharing
+  *    date/store/customer, with a recurring hot item pair
+  *    (q01's >50-count pairs) plus stride-13 long-tail items;
+  *  - returns mirror a real sale line 30 days later (q21's
+  *    sale→return→web-rebuy chain joins on identical key formulas).
+  * Keys are uniform (no skew) — a deliberate simplification vs the
+  * TPC dataGen's skewed draws; documented in bench/bdb/BDB_BENCH.md.
   *
   * Usage: BdbDataGen <csvOutBase> <scaleFactor>
   */
@@ -43,7 +52,7 @@ object BdbDataGen {
     val webPages: Long = n(2000, 20)
     val promos: Long = n(300, 10)
     val webSites: Long = n(12, 3)
-    val storeSales: Long = n(2880000, 400)
+    val storeSales: Long = n(2880000, 1200)
     val storeReturns: Long = n(288000, 120)
     val webSales: Long = n(720000, 400)
     val webReturns: Long = n(72000, 100)
@@ -73,6 +82,27 @@ object BdbDataGen {
     s"element_at(${strArr(vs)}, CAST($idx AS INT) + 1)"
 
   private def d2(v: String): String = s"CAST($v AS DECIMAL(7,2))"
+
+  /** Sale-line item for row `off` (0–3) of basket/order `t0`.
+    *
+    * Positions 0–1 draw a "frequently bought together" pair from a
+    * 29-template hot pool (items 1–58, consecutive ids so both sides
+    * share a brand-adjacent category mix): the same pair recurs every
+    * 29 baskets, so q01's pair counts clear its >50 threshold at any
+    * scale where tickets/29 per filter store does. 29 is coprime to
+    * the store count (10/100) — every template reaches every store.
+    * Positions 2–3 are long-tail rows with a stride-13 walk over the
+    * FULL item space (13 is coprime to every items cardinality this
+    * generator emits), so item-probe queries (q24/q27-style) find any
+    * item and category aggregates see the whole catalog.
+    */
+  private def saleItemExpr(t0: String, off: String, items: Long): String =
+    s"""CASE ($off)
+       |  WHEN 0 THEN (($t0 % 29) * 2) % $items + 1
+       |  WHEN 1 THEN (($t0 % 29) * 2 + 1) % $items + 1
+       |  WHEN 2 THEN ($t0 * 13 + 15838) % $items + 1
+       |  ELSE ($t0 * 13 + 23757) % $items + 1
+       |END""".stripMargin.replace("\n", " ")
 
   def frames(spark: SparkSession, c: Counts): Map[String, DataFrame] = {
     def gen(table: String, n: Long, exprs: Seq[String],
@@ -184,66 +214,163 @@ object BdbDataGen {
       "CASE WHEN id * 600 < 43200 THEN 'AM' ELSE 'PM' END",
       "'shift'", "'sub'", "'meal'"), dimParts)
 
+    // --- store channel: 4-line tickets -------------------------------
+    // One ticket = 4 consecutive rows sharing ticket/date/store/
+    // customer (a real basket: q01's pair stage and q21's
+    // sale↔return↔rebuy chain need ≥2 co-located lines). Ticket date
+    // walks the 1460-day calendar with stride 13 (coprime → full
+    // coverage once tickets ≥ 1460, and the fixture's 100 tickets
+    // still reach every query-parameter year).
+    val ssT0 = "(id div 4)"
     val storeSales = gen("store_sales", c.storeSales, Seq(
-      "(id * 3 + 7) % 1460", "(id * 600 % 86400) div 600",
-      s"id % ${c.items} + 1", s"id % ${c.customers} + 1",
+      s"($ssT0 * 13 + 7) % 1460", "id % 144",
+      saleItemExpr(ssT0, "id % 4", c.items),
+      s"$ssT0 % ${c.customers} + 1",
       s"id % ${c.demos} + 1", s"id % ${c.hds} + 1",
-      s"id % ${c.addrs} + 1", s"id % ${c.stores} + 1",
-      s"id % ${c.promos} + 1", "id div 2 + 1", "id % 5 + 1",
+      s"id % ${c.addrs} + 1", s"$ssT0 % ${c.stores} + 1",
+      s"id % ${c.promos} + 1", s"$ssT0 + 1", "id % 5 + 1",
       d2("10"), d2("20"), d2("100 + (id % 120)"), d2("1"), d2("110"),
       d2("10"), d2("120"), d2("8"), d2("2"), d2("110 + (id % 120)"),
       d2("118"), d2("50 + (id % 3000)")), factParts)
 
+    // Return i mirrors sale line j = i*stride: identical (ticket,
+    // item, customer, store) formulas, returned 30 days after the
+    // sale — every return matches a real sale line (q21's equi-join).
+    // Stride is odd-ized so j walks all 4 line positions of a ticket,
+    // and quantities are ticket-keyed so the store and web return of
+    // the same sale week agree in magnitude (q19's ±10% band).
+    val srStride = math.max(1L, c.storeSales / c.storeReturns) | 1L
+    val srJ = s"((id * $srStride) % ${c.storeSales})"
+    val srT0 = s"($srJ div 4)"
     val storeReturns = gen("store_returns", c.storeReturns, Seq(
-      "(id * 3 + 37) % 1460", "id % 144", s"id % ${c.items} + 1",
-      s"id % ${c.customers} + 1", s"id % ${c.demos} + 1",
+      s"($srT0 * 13 + 37) % 1460", "id % 144",
+      saleItemExpr(srT0, s"$srJ % 4", c.items),
+      s"$srT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
-      s"id % ${c.stores} + 1", "id % 3 + 1", "id div 2 + 1",
-      "id % 3 + 1", d2("30"), d2("2"), d2("32"), d2("1"), d2("3"),
+      s"$srT0 % ${c.stores} + 1", "id % 3 + 1", s"$srT0 + 1",
+      s"$srT0 % 3 + 1", d2("30"), d2("2"), d2("32"), d2("1"), d2("3"),
       d2("25"), d2("2"), d2("3"), d2("5")), factParts)
 
+    // --- web channel: 4-line orders, same shapes as store ------------
+    // Sharing saleItemExpr + the t0-keyed customer with store_sales
+    // means a (customer, item) bought in store exists as a web order
+    // for every t0 < webOrders — q21's "re-bought on the web" join has
+    // real matches by construction.
+    val wsT0 = "(id div 4)"
     val webSales = gen("web_sales", c.webSales, Seq(
-      "(id * 3 + 11) % 1460", "(id * 600 % 86400) div 600",
-      "(id * 3 + 11) % 1460 + 2", s"id % ${c.items} + 1",
-      s"id % ${c.customers} + 1", s"id % ${c.demos} + 1",
+      s"($wsT0 * 13 + 11) % 1460", "id % 144",
+      s"($wsT0 * 13 + 11) % 1460 + 2",
+      saleItemExpr(wsT0, "id % 4", c.items),
+      s"$wsT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
-      s"id % ${c.customers} + 1", s"id % ${c.demos} + 1",
+      s"$wsT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
       s"id % ${c.webPages} + 1", s"id % ${c.webSites} + 1", "id % 5 + 1",
       s"id % ${c.warehouses} + 1", s"id % ${c.promos} + 1",
-      "id div 2 + 1", "id % 5 + 1", d2("10"), d2("20"), d2("15"),
+      s"$wsT0 + 1", "id % 5 + 1", d2("10"), d2("20"), d2("15"),
       d2("1"), d2("110"), d2("10"), d2("120"), d2("8"), d2("2"), d2("5"),
       d2("110 + (id % 100)"), d2("118"), d2("120"), d2("125"),
       d2("40 + (id % 2000)")), factParts)
 
+    // Web-return date uses the +37 offset (not ws's +11+30) so the
+    // store and web return of ticket t0 land in the SAME calendar
+    // week — q19's balanced-returns join needs week-aligned sums.
+    val wrStride = math.max(1L, c.webSales / c.webReturns) | 1L
+    val wrJ = s"((id * $wrStride) % ${c.webSales})"
+    val wrT0 = s"($wrJ div 4)"
     val webReturns = gen("web_returns", c.webReturns, Seq(
-      "(id * 5 + 41) % 1460", "id % 144", s"id % ${c.items} + 1",
-      s"id % ${c.customers} + 1", s"id % ${c.demos} + 1",
+      s"($wrT0 * 13 + 37) % 1460", "id % 144",
+      saleItemExpr(wrT0, s"$wrJ % 4", c.items),
+      s"$wrT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
-      s"id % ${c.customers} + 1", s"id % ${c.demos} + 1",
+      s"$wrT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
-      s"id % ${c.webPages} + 1", "id % 3 + 1", "id div 2 + 1",
-      "id % 3 + 1", d2("30"), d2("2"), d2("32"), d2("1"), d2("3"),
+      s"$wrJ % ${c.webPages} + 1", "id % 3 + 1", s"$wrT0 + 1",
+      s"$wrT0 % 3 + 1", d2("30"), d2("2"), d2("32"), d2("1"), d2("3"),
       d2("25"), d2("2"), d2("3"), d2("5")), factParts)
 
+    // --- clickstream: bursty multi-event sessions --------------------
+    // Six consecutive rows form one burst: one user, one day, clicks
+    // 300 s apart (well inside the 3600 s sessionization timeout), so
+    // every session the queries build has 3–6 events. Burst length
+    // varies 3..6 (trailing rows are anonymous NULL-user clicks —
+    // present in real clickstreams, filtered by every session query),
+    // so q04's pages-per-session average is non-trivial. The LAST
+    // active click is the burst's purchase (wcs_sales_sk set, keyed to
+    // a real web order): q03's lag-window sees the preceding views,
+    // q08's boundary sessionization sees review→purchase chains.
+    // A user's next burst lands weeks away (burst ids stride by the
+    // customer count), so bursts never merge into one session.
+    // Pages: two alternating pages per burst → the 5 wp_types cycle
+    // across bursts (q04 gets both abandoned and completed carts;
+    // only ~40% of bursts contain a review page, so q08's split has
+    // both sides). Items: stride-13 walk over the catalog, except
+    // every 7th user is pinned to a single category (i ≡ 2 mod 5) so
+    // per-user category labels (q05) keep both classes.
+    val wsOrders = math.max(1L, c.webSales / 4)
+    val burst = "(id div 6)"
+    val off = "(id % 6)"
+    val blen = s"(3 + $burst % 4)"
+    val user = s"($burst % ${c.customers} + 1)"
+    def clickItem(x: String): String =
+      s"""CASE WHEN $user % 7 = 0
+         |  THEN ($x - $x % 5 + 1) % ${c.items} + 1
+         |  ELSE $x + 1 END""".stripMargin.replace("\n", " ")
+    val viewItem = clickItem(s"((id * 13) % ${c.items})")
+    val buyItem = clickItem(s"(($burst * 13) % ${c.items})")
     val clicks = gen("web_clickstreams", c.clicks, Seq(
-      "(id * 2 + 5) % 1460", "id * 97 % 86400",
-      "CASE WHEN id % 7 = 0 THEN id div 2 + 1 ELSE NULL END",
-      s"id % ${c.items} + 1", s"id % ${c.webPages} + 1",
-      s"id % ${c.customers} + 1"), factParts)
+      s"($burst * 7 + 5) % 1460",
+      s"($burst * 7919) % 82000 + $off * 300",
+      s"CASE WHEN $off = $blen - 1 THEN $burst % $wsOrders + 1 ELSE NULL END",
+      s"CASE WHEN $off = $blen - 1 THEN $buyItem ELSE $viewItem END",
+      s"($burst * 3 + $off % 2) % ${c.webPages} + 1",
+      s"CASE WHEN $off < $blen THEN $user ELSE NULL END"), factParts)
 
+    // Inventory = tracked weekly snapshots + irregular one-off audits.
+    // Tracked cells (every 5th item at warehouses 1–2) get 18 weekly
+    // observations: weeks 0–8 span Jan+Feb 2001 with one quantity
+    // spike per cell per month (q23's monthly cov needs repeated
+    // observations with variance — spike size varies by cell so the
+    // cov≥coefficient filter selects a real subset); weeks 9–17 span
+    // the q22 pivot window (days 94–157) at a stable per-cell level so
+    // before/after ratios sit inside [2/3, 3/2]. Remaining rows are
+    // the one-off audits covering the whole calendar and catalog.
+    val invCells = math.max(1L, (c.items / 5) * 2)
+    val invTracked = math.min(c.inventory, invCells * 18)
+    val invWeek = s"(id div $invCells)"
+    val invCell = s"(id % $invCells)"
     val inventory = gen("inventory", c.inventory, Seq(
-      "(id * 3 + 3) % 1460", s"id % ${c.items} + 1",
-      s"id % ${c.warehouses} + 1", "(id * 13) % 300"), factParts)
+      s"""CASE WHEN id < $invTracked THEN
+            CASE WHEN $invWeek < 9 THEN $invWeek * 7 + 3
+                 ELSE 94 + ($invWeek - 9) * 7 END
+          ELSE (id * 3 + 3) % 1460 END""".replace("\n", " "),
+      s"CASE WHEN id < $invTracked THEN ($invCell div 2) * 5 + 1 " +
+        s"ELSE id % ${c.items} + 1 END",
+      s"CASE WHEN id < $invTracked THEN $invCell % 2 + 1 " +
+        s"ELSE id % ${c.warehouses} + 1 END",
+      s"""CASE WHEN id < $invTracked THEN
+            CASE WHEN $invWeek < 9 THEN
+              CASE WHEN ($invCell + $invWeek) % 4 = 0
+                   THEN 100 + ($invCell % 17) * 100
+                   ELSE 10 + $invCell % 50 END
+            ELSE 80 + $invCell % 40 END
+          ELSE (id * 13) % 300 END""".replace("\n", " ")), factParts)
 
     val reviews = gen("product_reviews", c.reviews, Seq(
       "id + 1",
       "date_format(date_add(DATE'2003-01-01', CAST(id % 700 AS INT)), 'yyyy-MM-dd')",
       "'12:00:00'", "id % 5 + 1", s"id % ${c.items} + 1",
       s"id % ${c.customers} + 1", "id % 200 + 1",
-      // fixture sentences plus a varying tail token so the review
-      // vocabulary grows with the corpus (q28's hashed features)
-      s"concat(${pick(reviewTexts, "id % 5")}, ' topic', id % 97)"),
+      // fixture sentences + a store-name sentence (NEG/POS/neutral mix
+      // so q18's store-mention sentiment scan has real hits) + a
+      // varying tail token so the review vocabulary grows with the
+      // corpus (q28's hashed features)
+      s"concat(${pick(reviewTexts, "id % 5")}, " +
+        "CASE (id % 3) " +
+        s"WHEN 0 THEN concat(' Service at store', id % ${c.stores} + 1, ' was terrible.') " +
+        s"WHEN 1 THEN concat(' The store', id % ${c.stores} + 1, ' team was great.') " +
+        s"ELSE concat(' Bought at store', id % ${c.stores} + 1, '.') END, " +
+        "' topic', id % 97)"),
       factParts)
 
     val marketPrices = gen("item_marketprices", c.items, Seq(
