@@ -7,12 +7,30 @@ import org.apache.spark.sql.SparkSession
   * (BdbCatalog.loadTest — the reference's CSV→parquet phase,
   * `gpu_bdb_load_test.py:31-92`), then drive all 30 queries through
   * the phase-split benchmark runner. Artifacts land under
-  * `<workDir>/sf<sf>/`: `load_test.csv` (per-table rows + seconds)
-  * and `results.csv` (per-query read/main/write/total).
+  * `<workDir>/sf<sf>/`: `load_test.csv` (per-table rows + seconds),
+  * `results.csv` (every pass), `results_summary.csv` (best pass per
+  * query + rows).
+  *
+  * Data-validity gate: every query the generator's shapes imply is
+  * non-empty must return rows > 0 at EVERY scale, or the run fails
+  * (round-5 lesson: q01–q04/q30 silently benchmarked empty pipelines).
+  * Reference-default parameters that probe a specific item (10001)
+  * are rescaled to the catalog's midpoint when the catalog is smaller
+  * than the probe — the reference's defaults assume SF≥1 data.
   *
   * Usage: BdbScaleRun <workDir> <scaleFactor> [repeats]
   */
 object BdbScaleRun {
+
+  /** Queries allowed to be empty: none of the generator's current
+    * shapes leave a query empty at sf≥0.1. (q19's store↔web
+    * balanced-returns band can go empty below that — the fixture's
+    * 120 sampled returns don't week-align — but at benchmark scales
+    * the per-item sums smooth out; keep it gated so a regression in
+    * the returns shapes is caught.)
+    */
+  val mayBeEmpty: Set[String] = Set.empty
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BdbScaleRun <workDir> <sf> [repeats]")
     val workDir = args(0)
@@ -30,8 +48,9 @@ object BdbScaleRun {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val base = s"$workDir/sf$sf"
+      val c = BdbDataGen.Counts(sf)
       val t0 = System.nanoTime()
-      BdbDataGen.writeCsv(spark, s"$base/csv", BdbDataGen.Counts(sf))
+      BdbDataGen.writeCsv(spark, s"$base/csv", c)
       println(f"[bdb-scale] sf$sf datagen: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       val report = BdbCatalog.loadTest(spark, s"$base/csv", s"$base/parquet")
       val lt = "table,rows,seconds" +: report.map { case (t, n, s) =>
@@ -43,16 +62,24 @@ object BdbScaleRun {
       report.foreach { case (t, n, s) =>
         println(f"[bdb-scale] load $t: $n rows in $s%.1f s")
       }
+      // item-probe parameters: reference default 10001 when the
+      // catalog holds it, else the catalog midpoint
+      val probeItem = if (c.items >= 10001L) 10001L else c.items / 2 + 1
       // q28 override: the reference's 2^23 hashed feature space sizes
       // the NB model for a multi-GPU cluster; in ONE 24g JVM the
       // per-partition dense aggregation buffers (features x classes
       // doubles x 32 tasks) OOM the heap. 2^18 keeps the identical
       // pipeline (HashingTF -> IDF -> NaiveBayes) at a model size this
       // harness can hold — same spirit as BdbRunnerSpec's override.
-      val queries = BdbQueries.all + ("q28" -> ((s: SparkSession) =>
-        BdbQueries2.q28(s, numFeatures = 1 << 18)))
+      val queries = BdbQueries.all ++ Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+        "q02" -> (s => BdbQueries1.q02(s, itemSk = probeItem)),
+        "q03" -> (s => BdbQueries1.q03(s, purchasedItem = probeItem)),
+        "q24" -> (s => BdbQueries2.q24(s, itemSk = probeItem)),
+        "q27" -> (s => BdbQueries2.q27(s, itemSk = probeItem)),
+        "q28" -> (s => BdbQueries2.q28(s, numFeatures = 1 << 18)))
       BdbBenchmarkRunner.run(spark, s"$base/parquet",
-        s"$base/results.csv", repeats, queries)
+        s"$base/results.csv", repeats, queries,
+        mustHaveRows = queries.keySet -- mayBeEmpty)
     } finally spark.stop()
   }
 }

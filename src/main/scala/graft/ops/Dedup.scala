@@ -389,26 +389,35 @@ object Dedup {
   def simhashPairsBanded(fp: DataFrame, id: String, bits: Int,
       maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val bandCols = (0 until nBands).map { j =>
+    // Exactly-once emission (the lshCandidatesOnce trick): band j's
+    // equi-join also requires that no band i < j matched, so a pair
+    // agreeing on several bands is emitted only by its first — the
+    // union is distinct BY CONSTRUCTION and the global distinct
+    // exchange over the duplicated candidate stream (the dominant
+    // cost when near-dup clusters are large) disappears. Band keys
+    // are bit slices of the fingerprint, so the "no earlier match"
+    // predicate costs j shift-mask compares per joined row — no extra
+    // columns carried. Candidates only form inside a band-key hash
+    // bucket; each of the nBands joins shuffles the O(corpus)
+    // fingerprint table, never the pair stream.
+    def key(side: String, j: Int) = {
       val lo = j * bits / nBands
       val w = (j + 1) * bits / nBands - lo
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
-          .as("key"))
+      shiftright(col(s"$side.simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }
-    val banded = fp
-      .select(col(id), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(id), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair agreeing on several bands appears once
+    (0 until nBands).map { j =>
+      val noEarlier = (0 until j)
+        .map(i => key("a", i) =!= key("b", i))
+        .foldLeft(lit(true))(_ && _)
+      fp.as("a")
+        .join(fp.as("b"),
+          key("a", j) === key("b", j) &&
+            col(s"a.$id") < col(s"b.$id") && noEarlier)
+        .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }.reduce(_ union _)
   }
 
   /** SimHash fingerprint (`bits`-wide) over token occurrences:

@@ -69,9 +69,14 @@ object DedupQueries extends Suite {
     */
   private def ngram3ShinglesSql(src: String): String =
     s"""w AS (
-       |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-       |         unnest(string_split(text,' ')) AS word
-       |  FROM $src),
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+       |    word
+       |  FROM (
+       |    SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+       |           unnest(string_split(text,' ')) AS word
+       |    FROM $src)
+       |  WHERE len(word) > 0),
        |ws AS (
        |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
@@ -215,14 +220,7 @@ object DedupQueries extends Suite {
         .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
         .orderBy("id_1", "id_2")
     },
-      Some("""WITH w AS (
-             |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-             |         unnest(string_split(text,' ')) AS word
-             |  FROM documents),
-             |ws AS (
-             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
-             |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-             |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      Some(s"""WITH ${ngram3ShinglesSql("documents")},
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
              |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id),
@@ -554,14 +552,7 @@ object DedupQueries extends Suite {
              |    GROUP BY e.id_1) m USING (doc_id))""".stripMargin
         }.mkString(",\n")
         s"""WITH docs_c AS (SELECT * FROM documents),
-           |w AS (
-           |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-           |         unnest(string_split(text,' ')) AS word
-           |  FROM docs_c),
-           |ws AS (
-           |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
-           |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-           |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+           |${ngram3ShinglesSql("docs_c")},
            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
            |common AS (
            |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
@@ -590,14 +581,7 @@ object DedupQueries extends Suite {
         .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
         .orderBy("id_1", "id_2")
     },
-      Some("""WITH w AS (
-             |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-             |         unnest(string_split(text,' ')) AS word
-             |  FROM documents),
-             |ws AS (
-             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
-             |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-             |           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      Some(s"""WITH ${ngram3ShinglesSql("documents")},
              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
              |common AS (
              |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common

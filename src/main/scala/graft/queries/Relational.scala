@@ -335,7 +335,7 @@ object Relational extends Suite {
              |  SELECT l_returnflag,
              |    round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
              |          - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE))
-             |         / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6) AS sd_qty,
+             |         / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6) + 0 AS sd_qty,
              |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean_qty
              |  FROM lineitem GROUP BY l_returnflag
              |) ORDER BY l_returnflag""".stripMargin)),
@@ -368,7 +368,7 @@ object Relational extends Suite {
              |  / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
              |          - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE))
              |         * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-             |            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))), 6)
+             |            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))), 6) + 0
              |  AS corr_qty_price,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
@@ -394,14 +394,14 @@ object Relational extends Suite {
              |  round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
              |   - CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE))
              |  / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0)) * CAST(day AS DECIMAL(18,0))) AS DOUBLE)
-             |     - CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE)), 6) AS slope,
+             |     - CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE)), 6) + 0 AS slope,
              |  round((CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
              |   - ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0)) * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
              |       - CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE))
              |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0)) * CAST(day AS DECIMAL(18,0))) AS DOUBLE)
              |         - CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE) * CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE)))
              |     * CAST(SUM(CAST(day AS DECIMAL(18,0))) AS DOUBLE))
-             |  / CAST(COUNT(*) AS DOUBLE), 6) AS intercept,
+             |  / CAST(COUNT(*) AS DOUBLE), 6) + 0 AS intercept,
              |  COUNT(*) AS n
              |FROM pts GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 

@@ -44,14 +44,16 @@ class BdbRunnerSpec extends SparkSpec {
     val outCsv = s"$base/results.csv"
     // fixture vocabulary is tiny: shrink q28's hashed feature space so
     // the NB model broadcast isn't 200 MB (reference default 2^23)
-    BdbBenchmarkRunner.run(spark, base, outCsv, repeats = 1,
+    val best = BdbBenchmarkRunner.run(spark, base, outCsv, repeats = 1,
       queries = graft.bdb.BdbQueries.all +
         ("q28" -> ((s: org.apache.spark.sql.SparkSession) =>
           graft.bdb.BdbQueries2.q28(s, numFeatures = 1 << 16))))
     val lines = scala.io.Source.fromFile(outCsv).getLines().toSeq
     assert(lines.head ===
-      "query,run,read_secs,main_secs,write_secs,total_secs,status")
-    assert(lines.length === 31) // header + 30 queries x 1 repeat
+      "query,run,read_secs,main_secs,write_secs,total_secs,rows,status")
+    // header + 30 queries x 1 repeat (+ any isolated outlier re-runs)
+    assert(lines.length >= 31)
+    assert(lines.tail.map(_.split(",")(0)).distinct.length === 30)
     val failed = lines.tail.filterNot(_.endsWith(",ok"))
     assert(failed.isEmpty, s"queries errored: $failed")
     // phase split must account for the total (read + main + write)
@@ -60,5 +62,23 @@ class BdbRunnerSpec extends SparkSpec {
       val Array(r, m, w, t) = f.slice(2, 6).map(_.toDouble)
       assert(math.abs(r + m + w - t) < 0.05, s"phase drift: $l")
     }
+    assert(best.size === 30)
+    val summary = scala.io.Source
+      .fromFile(s"$base/results_summary.csv").getLines().toSeq
+    assert(summary.head === "query,best_total_secs,best_main_secs,rows,passes_ok")
+    assert(summary.length === 31)
+  }
+
+  test("mustHaveRows fails the run when a gated query is empty") {
+    val base = "/root/repo/target/graft-tmp/bdb-parquet"
+    // item 10001 does not exist at fixture scale -> q02 returns 0 rows
+    val e = intercept[AssertionError] {
+      BdbBenchmarkRunner.run(spark, base,
+        s"$base/results-gate.csv", repeats = 1,
+        queries = Map("q02" -> ((s: org.apache.spark.sql.SparkSession) =>
+          graft.bdb.BdbQueries1.q02(s, itemSk = 10001L))),
+        mustHaveRows = Set("q02"))
+    }
+    assert(e.getMessage.contains("q02"))
   }
 }
