@@ -223,7 +223,7 @@ object BdbDataGen {
     // still reach every query-parameter year).
     val ssT0 = "(id div 4)"
     val storeSales = gen("store_sales", c.storeSales, Seq(
-      s"($ssT0 * 13 + 7) % 1460", "id % 144",
+      s"($ssT0 * 11 + 7) % 1460", "id % 144",
       saleItemExpr(ssT0, "id % 4", c.items),
       s"$ssT0 % ${c.customers} + 1",
       s"id % ${c.demos} + 1", s"id % ${c.hds} + 1",
@@ -243,7 +243,7 @@ object BdbDataGen {
     val srJ = s"((id * $srStride) % ${c.storeSales})"
     val srT0 = s"($srJ div 4)"
     val storeReturns = gen("store_returns", c.storeReturns, Seq(
-      s"($srT0 * 13 + 37) % 1460", "id % 144",
+      s"($srT0 * 11 + 37) % 1460", "id % 144",
       saleItemExpr(srT0, s"$srJ % 4", c.items),
       s"$srT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
@@ -258,8 +258,8 @@ object BdbDataGen {
     // real matches by construction.
     val wsT0 = "(id div 4)"
     val webSales = gen("web_sales", c.webSales, Seq(
-      s"($wsT0 * 13 + 11) % 1460", "id % 144",
-      s"($wsT0 * 13 + 11) % 1460 + 2",
+      s"($wsT0 * 11 + 11) % 1460", "id % 144",
+      s"($wsT0 * 11 + 11) % 1460 + 2",
       saleItemExpr(wsT0, "id % 4", c.items),
       s"$wsT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",
@@ -279,7 +279,7 @@ object BdbDataGen {
     val wrJ = s"((id * $wrStride) % ${c.webSales})"
     val wrT0 = s"($wrJ div 4)"
     val webReturns = gen("web_returns", c.webReturns, Seq(
-      s"($wrT0 * 13 + 37) % 1460", "id % 144",
+      s"($wrT0 * 11 + 37) % 1460", "id % 144",
       saleItemExpr(wrT0, s"$wrJ % 4", c.items),
       s"$wrT0 % ${c.customers} + 1", s"id % ${c.demos} + 1",
       s"id % ${c.hds} + 1", s"id % ${c.addrs} + 1",

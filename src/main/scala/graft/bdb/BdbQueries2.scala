@@ -520,8 +520,12 @@ object BdbQueries2 {
 }
 
 /** Pluggable NER extractors (reference: spaCy/BERT per partition,
-  * `bdb_tools/q27_utils.py:42-54` / `q27_bert_utils.py` — model choice
-  * explicitly pluggable, output unverified).
+  * `bdb_tools/q27_utils.py:42-54` / `q27_bert_utils.py:28-60` — model
+  * choice explicitly pluggable, output unverified). Two JVM
+  * implementations stand in for the reference's two models: a
+  * recall-oriented capitalization tagger and a precision-oriented
+  * suffix/gazetteer tagger; select by parameter ([[byName]]) or pass
+  * any `String => Seq[String]` to `q27(extractor = ...)`.
   */
 object Ner {
   /** Heuristic default: maximal spans of capitalized tokens. */
@@ -539,5 +543,40 @@ object Ner {
     }
     if (cur.nonEmpty) spans += cur.mkString(" ")
     spans.distinct.toSeq
+  }
+
+  /** Corporate suffix tokens a precision tagger accepts (standalone
+    * "Acme Corp" or fused "MegaMart").
+    */
+  val orgSuffixes: Set[String] =
+    Set("Corp", "Inc", "Co", "Ltd", "LLC", "Mart", "Group", "Labs")
+
+  /** Known-org gazetteer for names no suffix rule catches. Callers
+    * tagging a real corpus pass their own (the reference swaps model
+    * weights the same way).
+    */
+  val defaultGazetteer: Set[String] =
+    Set("StoreOne", "StoreTwo", "MegaMart", "Acme Corp")
+
+  /** Precision-oriented second tagger: keeps a capitalized span only
+    * when it carries a corporate suffix token or hits the gazetteer —
+    * drops the sentence-initial false positives the recall tagger
+    * returns. Output is a subset of [[capitalizedSpans]] by
+    * construction.
+    */
+  def gazetteerOrgs(gazetteer: Set[String] = defaultGazetteer)(
+      sentence: String): Seq[String] =
+    capitalizedSpans(sentence).filter { span =>
+      gazetteer.contains(span) || span.split(" ").exists(t =>
+        orgSuffixes.exists(sfx =>
+          t == sfx || (t.endsWith(sfx) && t.length > sfx.length)))
+    }
+
+  /** Parameter-selectable registry — the q27 harness seam. */
+  def byName(name: String): String => Seq[String] = name match {
+    case "capitalized" => capitalizedSpans
+    case "gazetteer" => gazetteerOrgs()
+    case other => throw new IllegalArgumentException(
+      s"unknown NER extractor '$other' (capitalized | gazetteer)")
   }
 }

@@ -37,7 +37,9 @@ object BdbGolden {
     "q12" -> (() => BdbQueries1.q12(spark)),
     "q13" -> (() => BdbQueries1.q13(spark)),
     "q14" -> (() => BdbQueries1.q14(spark)),
-    "q15" -> (() => BdbQueries1.q15(spark, storeSk = 1)),
+    // store 8: the fixture store whose q15 window has declining
+    // categories (stores 1/6 have all-positive slopes at floor scale)
+    "q15" -> (() => BdbQueries1.q15(spark, storeSk = 8)),
     "q16" -> (() => BdbQueries2.q16(spark)),
     "q17" -> (() => BdbQueries2.q17(spark)),
     "q18" -> (() => BdbQueries2.q18(spark)),

@@ -19,6 +19,21 @@ class BdbQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("q27 seam runs both NER extractors; gazetteer is a precision subset") {
+    ready
+    val cap = BdbQueries2.q27(spark, itemSk = 1).collect()
+    val gaz = BdbQueries2
+      .q27(spark, itemSk = 1, extractor = Ner.byName("gazetteer")).collect()
+    assert(cap.nonEmpty && gaz.nonEmpty)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(2), r.getString(3))
+    assert(gaz.map(key).toSet.subsetOf(cap.map(key).toSet))
+    // genuinely different taggers: the recall tagger also returns
+    // sentence-initial spans the precision tagger drops
+    assert(gaz.map(key).toSet != cap.map(key).toSet)
+    intercept[IllegalArgumentException](Ner.byName("bert"))
+  }
+
   test("q10 with a file-loaded lexicon matches the built-in default") {
     ready
     // write the default lexicon as kit-style one-word-per-line files

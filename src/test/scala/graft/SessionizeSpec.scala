@@ -61,6 +61,36 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("density gate: property corpora and the BDB fixture have multi-event sessions") {
+    // The round-5 regression class: a data-generator drift to
+    // all-singleton sessions makes every sessionization gate pass
+    // vacuously (empty == empty). Assert the corpora the gates run on
+    // actually contain multi-event sessions, so a degenerate
+    // generator FAILS here instead of silently weakening the suite.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val evs = List.fill(40)((1L + rnd.nextInt(3), rnd.nextLong(2000L)))
+      val df = evs.zipWithIndex
+        .map { case ((u, ts), i) => (u, ts, i.toLong) }
+        .toDF("user", "ts", "eid")
+      val sizes = Sessionize.byTimeout(df, "user", "ts", "eid", timeout)
+        .groupBy("user", "session_seq").count()
+        .select("count").as[Long].collect()
+      assert(sizes.exists(_ >= 2), "all-singleton property corpus")
+    }
+    val clicks = BdbFixture.frames(spark)("web_clickstreams")
+      .filter(col("wcs_user_sk").isNotNull)
+      .select(col("wcs_user_sk").as("user"),
+        (col("wcs_click_date_sk") * 86400 + col("wcs_click_time_sk")).as("ts"))
+      .withColumn("eid", monotonically_increasing_id())
+    val sizes = Sessionize.byTimeout(clicks, "user", "ts", "eid", 3600L)
+      .groupBy("user", "session_seq").count()
+    val n = sizes.count()
+    val multi = sizes.filter(col("count") >= 3).count()
+    assert(n > 0 && multi.toDouble / n >= 0.5,
+      s"BDB fixture sessions degenerate: only $multi of $n have >=3 events")
+  }
+
   test("session pairs emit C(n,2) ordered pairs per basket") {
     val df = Seq(
       (1L, 1L, "a"), (1L, 1L, "b"), (1L, 1L, "c"), (1L, 1L, "a"),
