@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.col
   * web_clickstreams 6.48M, inventory 1.17M, ...), ~1 GB of pipe-CSV.
   *
   * Density invariants (the structures the hardest queries exercise,
-  * asserted non-degenerate by BdbShapeSpec):
+  * asserted non-degenerate by SessionizeSpec's density gates):
   *  - clickstream sessions have 3–6 events 300 s apart, ending in a
   *    purchase tied to a real web order (q02/q03/q04/q08/q30);
   *  - store tickets and web orders are 4-line baskets sharing
@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions.col
   *    (q01's >50-count pairs) plus stride-13 long-tail items;
   *  - returns mirror a real sale line 30 days later (q21's
   *    sale→return→web-rebuy chain joins on identical key formulas).
-  * Keys are uniform (no skew) — a deliberate simplification vs the
-  * TPC dataGen's skewed draws; documented in bench/bdb/BDB_BENCH.md.
+  * Keys are uniform (no skew) by default — a deliberate
+  * simplification vs the TPC dataGen's skewed draws; documented in
+  * bench/bdb/BDB_BENCH.md. `clickSkew > 1` opts the CLICKSTREAM's
+  * user assignment into a power-law draw (the hot-key path the
+  * reference hand-repartitions for, `q02_dask_sql.py:46`): burst b's
+  * user is `floor(customers * u^clickSkew)` for a hash-decorrelated
+  * uniform u, so user 1 absorbs ~(1/customers)^(1/clickSkew) of all
+  * bursts (clickSkew=3 at sf1: ~2% of 1.08M bursts ≈ 100k clicks on
+  * one key vs ~10 uniform). Same-day bursts of a hot user merge into
+  * long sessions — the structure AQE's skew-split has to absorb in
+  * the session/pair queries. Goldens and every fixture path use the
+  * default 1.0 (uniform, bit-identical to before the option).
   *
-  * Usage: BdbDataGen <csvOutBase> <scaleFactor>
+  * Usage: BdbDataGen <csvOutBase> <scaleFactor> [clickSkew]
   */
 object BdbDataGen {
 
@@ -104,7 +114,8 @@ object BdbDataGen {
        |  ELSE ($t0 * 13 + 23757) % $items + 1
        |END""".stripMargin.replace("\n", " ")
 
-  def frames(spark: SparkSession, c: Counts): Map[String, DataFrame] = {
+  def frames(spark: SparkSession, c: Counts,
+      clickSkew: Double = 1.0): Map[String, DataFrame] = {
     def gen(table: String, n: Long, exprs: Seq[String],
         parts: Int): (String, DataFrame) = {
       val schema = BdbSchemas.schema(table)
@@ -311,7 +322,15 @@ object BdbDataGen {
     val burst = "(id div 6)"
     val off = "(id % 6)"
     val blen = s"(3 + $burst % 4)"
-    val user = s"($burst % ${c.customers} + 1)"
+    // Uniform round-robin by default; power-law when clickSkew > 1
+    // (u from a Knuth-multiplier hash of the burst id, so adjacent
+    // bursts decorrelate; floor(customers * u^alpha) piles the mass
+    // onto low user ids).
+    val user =
+      if (clickSkew > 1.0)
+        s"(CAST(${c.customers} * pow(($burst * 2654435761L) % 1000003 " +
+          s"/ 1000003.0d, ${clickSkew}d) AS BIGINT) % ${c.customers} + 1)"
+      else s"($burst % ${c.customers} + 1)"
     def clickItem(x: String): String =
       s"""CASE WHEN $user % 7 = 0
          |  THEN ($x - $x % 5 + 1) % ${c.items} + 1
@@ -410,15 +429,17 @@ object BdbDataGen {
     * newline, so the unquoted format round-trips exactly through
     * BdbCatalog's quote-less readers.
     */
-  def writeCsv(spark: SparkSession, csvBase: String, c: Counts): Unit =
-    frames(spark, c).foreach { case (t, df) =>
+  def writeCsv(spark: SparkSession, csvBase: String, c: Counts,
+      clickSkew: Double = 1.0): Unit =
+    frames(spark, c, clickSkew).foreach { case (t, df) =>
       df.write.mode("overwrite")
         .option("sep", "|").option("quote", "")
         .csv(s"$csvBase/$t")
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BdbDataGen <csvOutBase> <scaleFactor>")
+    require(args.length >= 2,
+      "usage: BdbDataGen <csvOutBase> <scaleFactor> [clickSkew]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-bdb-datagen")
@@ -428,7 +449,8 @@ object BdbDataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try writeCsv(spark, args(0), Counts(args(1).toDouble))
+    try writeCsv(spark, args(0), Counts(args(1).toDouble),
+      if (args.length > 2) args(2).toDouble else 1.0)
     finally spark.stop()
   }
 }

@@ -18,7 +18,12 @@ import org.apache.spark.sql.SparkSession
   * are rescaled to the catalog's midpoint when the catalog is smaller
   * than the probe — the reference's defaults assume SF≥1 data.
   *
-  * Usage: BdbScaleRun <workDir> <scaleFactor> [repeats]
+  * A clickSkew > 1 (4th arg) routes the clickstream's user draw
+  * through BdbDataGen's power-law option — the hot-user stress
+  * variant for the session/pair queries (artifacts then land under
+  * `sf<sf>-skew<alpha>/` so uniform runs are never overwritten).
+  *
+  * Usage: BdbScaleRun <workDir> <scaleFactor> [repeats] [clickSkew]
   */
 object BdbScaleRun {
 
@@ -36,6 +41,7 @@ object BdbScaleRun {
     val workDir = args(0)
     val sf = args(1).toDouble
     val repeats = if (args.length > 2) args(2).toInt else 2
+    val clickSkew = if (args.length > 3) args(3).toDouble else 1.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,10 +53,12 @@ object BdbScaleRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val base = s"$workDir/sf$sf"
+      val base =
+        if (clickSkew > 1.0) s"$workDir/sf$sf-skew$clickSkew"
+        else s"$workDir/sf$sf"
       val c = BdbDataGen.Counts(sf)
       val t0 = System.nanoTime()
-      BdbDataGen.writeCsv(spark, s"$base/csv", c)
+      BdbDataGen.writeCsv(spark, s"$base/csv", c, clickSkew)
       println(f"[bdb-scale] sf$sf datagen: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       val report = BdbCatalog.loadTest(spark, s"$base/csv", s"$base/parquet")
       val lt = "table,rows,seconds" +: report.map { case (t, n, s) =>

@@ -91,6 +91,41 @@ class SessionizeSpec extends SparkSpec {
       s"BDB fixture sessions degenerate: only $multi of $n have >=3 events")
   }
 
+  test("clickSkew option concentrates clicks on a hot user, sessions stay dense") {
+    import graft.bdb.BdbDataGen
+    def topShare(skew: Double): (Long, Double) = {
+      val byUser = BdbDataGen
+        .frames(spark, BdbDataGen.Counts(0.0), clickSkew = skew)("web_clickstreams")
+        .filter(col("wcs_user_sk").isNotNull)
+        .groupBy("wcs_user_sk").count()
+        .orderBy(col("count").desc)
+        .select("count").as[Long].collect()
+      (byUser.head, byUser.head.toDouble / byUser.sum)
+    }
+    val (_, uniformShare) = topShare(1.0)
+    val (hotClicks, hotShare) = topShare(3.0)
+    // floor cardinalities: 40 customers — the power-law draw should
+    // give the hottest user ~(1/40)^(1/3) ≈ 29% of bursts vs the
+    // uniform round-robin's ~2.5%
+    assert(hotShare >= 3 * uniformShare && hotShare > 0.1,
+      s"skew draw not skewed: hot=$hotShare uniform=$uniformShare")
+    assert(hotClicks >= 20L)
+    // burst structure survives the skewed assignment: multi-event
+    // sessions still dominate
+    val clicks = BdbDataGen
+      .frames(spark, BdbDataGen.Counts(0.0), clickSkew = 3.0)("web_clickstreams")
+      .filter(col("wcs_user_sk").isNotNull)
+      .select(col("wcs_user_sk").as("user"),
+        (col("wcs_click_date_sk") * 86400 + col("wcs_click_time_sk")).as("ts"))
+      .withColumn("eid", monotonically_increasing_id())
+    val sizes = Sessionize.byTimeout(clicks, "user", "ts", "eid", 3600L)
+      .groupBy("user", "session_seq").count()
+    val n = sizes.count()
+    val multi = sizes.filter(col("count") >= 3).count()
+    assert(n > 0 && multi.toDouble / n >= 0.5,
+      s"skewed fixture sessions degenerate: $multi of $n have >=3 events")
+  }
+
   test("session pairs emit C(n,2) ordered pairs per basket") {
     val df = Seq(
       (1L, 1L, "a"), (1L, 1L, "b"), (1L, 1L, "c"), (1L, 1L, "a"),
