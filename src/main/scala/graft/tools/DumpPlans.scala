@@ -53,6 +53,8 @@ object DumpPlans {
       "WITH RECURSIVE executes as an incremental loop (UnionLoop), not a self-join blowup — iteration count bounded by the hierarchy depth",
     "d04_minhash_lsh_neardup" ->
       "the 100x-critical near-dup shape: one shingle materialization feeds signatures and both verify sides; the banded table is checkpointed once and band joins are equi-joins on band hash (pairs form only inside buckets, volume tracks true near-dups at the 8x8 S-curve); the integer size-bound prune runs before any shingle-array shuffle; AQE splits hot band buckets (AqeSpec)",
+    "d07_simhash_neardup" ->
+      "pigeonhole banding as equi-joins on 16-bit band keys; each surviving pair is emitted EXACTLY ONCE by the first-matching-band predicate (band k requires bands 0..k-1 differ) — no global distinct over the duplicated candidate stream, so dedup cost is zero shuffles instead of one over all candidates",
     "d12_dup_groups" ->
       "iterative min-label propagation with FLAT lineage: the edge list is checkpointed once, each of the 5 rounds is join + groupBy on the node key reusing the same partitioning — no exponential plan growth, exact iff component diameter <= 5 (fixpoint + periodic checkpoints at 100 TB)",
     "g01_pagerank" ->
