@@ -83,14 +83,16 @@ object BdbQueries1 {
       .select(col("wcs_user_sk"), col("wcs_item_sk"), clickTs)
       .withColumn("eid", monotonically_increasing_id())
     val sess = Sessionize.byTimeout(clicks, "wcs_user_sk", "ts", "eid", timeoutSec)
-      .select("wcs_user_sk", "session_seq", "wcs_item_sk").distinct()
-    val hits = sess.filter(col("wcs_item_sk") === itemSk)
-      .select(col("wcs_user_sk").as("hu"), col("session_seq").as("hs"))
-      .distinct()
-    sess.join(hits,
-        col("wcs_user_sk") === col("hu") && col("session_seq") === col("hs"))
-      .filter(col("wcs_item_sk") =!= itemSk)
-      .groupBy(col("wcs_item_sk").as("item_sk_1"))
+    // one aggregation pass instead of distinct + hit-session join-back
+    // (which plans the window sort twice): the per-session item set
+    // carries both the "contains 10001" flag and the co-viewed items,
+    // and the groupBy reuses the sessionization's hash(user) exchange
+    sess.groupBy(col("wcs_user_sk"), col("session_seq"))
+      .agg(collect_set(col("wcs_item_sk")).as("_items"))
+      .filter(array_contains(col("_items"), itemSk))
+      .select(explode(col("_items")).as("item_sk_1"))
+      .filter(col("item_sk_1") =!= itemSk)
+      .groupBy(col("item_sk_1"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("item_sk_1"))
       .limit(limit)
@@ -147,20 +149,20 @@ object BdbQueries1 {
       .select(col("wcs_user_sk"), col("wp_type"), clickTs)
       .withColumn("eid", monotonically_increasing_id())
     val sess = Sessionize.byTimeout(clicks, "wcs_user_sk", "ts", "eid", timeoutSec)
-    val wLast = Window.partitionBy("wcs_user_sk", "session_seq")
-      .orderBy(desc("ts"), desc("eid"))
-    val perSession = sess
-      .filter(col("wp_type").isin("dynamic", "order"))
-      .withColumn("rn", row_number().over(wLast))
-    val abandoned = perSession.filter(col("rn") === 1 &&
-        col("wp_type") === "dynamic")
-      .select(col("wcs_user_sk").as("au"), col("session_seq").as("as_"))
-    val pages = sess.join(abandoned,
-      col("wcs_user_sk") === col("au") && col("session_seq") === col("as_"))
-    pages.agg(
-      (count(lit(1)).cast("double") /
-        countDistinct(col("au"), col("as_"))).as("avg_pages_per_abandoned_session"),
-      countDistinct(col("au"), col("as_")).as("n_abandoned_sessions"))
+    // one aggregation pass instead of a second window + join-back:
+    // per session, count all pages and take the (ts, eid)-max among
+    // 'dynamic'/'order' rows via a struct max ((ts, eid) is unique, so
+    // the lexicographic max is exactly the row_number()=1 row); the
+    // groupBy reuses the sessionization's hash(user) exchange
+    val perSession = sess.groupBy(col("wcs_user_sk"), col("session_seq"))
+      .agg(count(lit(1)).as("pages"),
+        max(when(col("wp_type").isin("dynamic", "order"),
+          struct(col("ts"), col("eid"), col("wp_type")))).as("_last_do"))
+    perSession.filter(col("_last_do.wp_type") === "dynamic")
+      .agg(
+        (sum(col("pages")).cast("double") /
+          count(lit(1))).as("avg_pages_per_abandoned_session"),
+        count(lit(1)).as("n_abandoned_sessions"))
   }
 
   /** q05: logistic regression — probability a visitor is interested in
