@@ -101,6 +101,21 @@ object BdbQueries2 {
       .join(s.table("store").select("s_store_sk", "s_store_name"),
         col("ss_store_sk") === col("s_store_sk"))
       .select(col("s_store_sk"), lower(col("s_store_name")).as("store_name"))
+    // The declining-store name list is an O(#stores) aggregate —
+    // collect it once and compile the names into one Aho-Corasick
+    // automaton (graft.expressions.MultiNeedleMatches): a single
+    // O(sentence-length) pass replaces the needles × sentences
+    // crossJoin of instr probes (the reference builds its per-name
+    // search list driver-side the same way). The collected rows also
+    // seed the name→store_sk dim locally, so the slope subquery runs
+    // exactly once.
+    val storeRows = stores.collect()
+    val names = storeRows.map(_.getString(1)).distinct.sorted
+    val storeDim = {
+      import s.implicits._
+      storeRows.toSeq.map(r => (r.getLong(0), r.getString(1)))
+        .toDF("s_store_sk", "store_name")
+    }
     // reviews mentioning a declining store's name (multi-needle T7)
     val reviews = s.table("product_reviews")
       .filter(col("pr_review_content").isNotNull)
@@ -110,8 +125,11 @@ object BdbQueries2 {
       explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
         .as("sentence"))
       .filter(length(trim(col("sentence"))) > 0)
-    val hits = sentences.crossJoin(broadcast(stores))
-      .filter(expr("instr(sentence, store_name) > 0"))
+    val hits = sentences
+      .withColumn("store_name", explode(
+        graft.expressions.GraftFunctions.multi_needle_matches(
+          col("sentence"), lit(names))))
+      .join(broadcast(storeDim), "store_name")
     // word lists are tiny: compile into a codegen'd OR-of-instr scan
     // (load from the kit files via Text.wordList(s, path) for parity)
     val negHit = negWords.map(wd => expr(s"instr(sentence, '$wd') > 0"))

@@ -57,18 +57,29 @@ object BdbScaleRun {
         if (clickSkew > 1.0) s"$workDir/sf$sf-skew$clickSkew"
         else s"$workDir/sf$sf"
       val c = BdbDataGen.Counts(sf)
-      val t0 = System.nanoTime()
-      BdbDataGen.writeCsv(spark, s"$base/csv", c, clickSkew)
-      println(f"[bdb-scale] sf$sf datagen: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      val report = BdbCatalog.loadTest(spark, s"$base/csv", s"$base/parquet")
-      val lt = "table,rows,seconds" +: report.map { case (t, n, s) =>
-        f"$t,$n,$s%.3f"
-      }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$base/load_test.csv"),
-        lt.mkString("\n").getBytes("UTF-8"))
-      report.foreach { case (t, n, s) =>
-        println(f"[bdb-scale] load $t: $n rows in $s%.1f s")
+      // SPARK_GRAFT_BDB_REUSE=1 re-benchmarks an existing parquet
+      // tree (skips datagen + load test) — for re-timing query-code
+      // changes without paying the generate/convert phases again.
+      // load_test.csv is left as written by the generating run.
+      val reuse = sys.env.get("SPARK_GRAFT_BDB_REUSE").contains("1") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$base/parquet"))
+      if (reuse) {
+        println(s"[bdb-scale] sf$sf: reusing existing $base/parquet")
+      } else {
+        val t0 = System.nanoTime()
+        BdbDataGen.writeCsv(spark, s"$base/csv", c, clickSkew)
+        println(f"[bdb-scale] sf$sf datagen: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val report = BdbCatalog.loadTest(spark, s"$base/csv", s"$base/parquet")
+        val lt = "table,rows,seconds" +: report.map { case (t, n, s) =>
+          f"$t,$n,$s%.3f"
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/load_test.csv"),
+          lt.mkString("\n").getBytes("UTF-8"))
+        report.foreach { case (t, n, s) =>
+          println(f"[bdb-scale] load $t: $n rows in $s%.1f s")
+        }
       }
       // item-probe parameters: reference default 10001 when the
       // catalog holds it, else the catalog midpoint

@@ -214,6 +214,8 @@ object GraftFunctions {
   def unscaled_long(c: Column): Column = toCol(UnscaledLong(toExpr(c)))
   def intersect_count_sorted(a: Column, b: Column): Column =
     toCol(IntersectCountSorted(toExpr(a), toExpr(b)))
+  def multi_needle_matches(text: Column, needles: Column): Column =
+    toCol(MultiNeedleMatches(toExpr(text), toExpr(needles)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {
@@ -221,5 +223,8 @@ object GraftFunctions {
       "portable_hash60", exprs => PortableHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f", exprs => CosineF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_needle_matches",
+      exprs => MultiNeedleMatches(exprs(0), exprs(1)), "built-in")
   }
 }

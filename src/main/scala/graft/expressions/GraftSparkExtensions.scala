@@ -20,5 +20,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f"),
       new ExpressionInfo(classOf[CosineF].getName, "cosine_f"),
       exprs => CosineF(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("multi_needle_matches"),
+      new ExpressionInfo(classOf[MultiNeedleMatches].getName,
+        "multi_needle_matches"),
+      exprs => MultiNeedleMatches(exprs(0), exprs(1))))
   }
 }

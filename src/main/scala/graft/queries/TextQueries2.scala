@@ -351,6 +351,36 @@ object TextQueries2 extends Suite {
     // doc: passage count, duplicated-passage count, exact ppm rate.
     // The passage build is one ordered per-(doc, window) aggregation;
     // the dup set is a fingerprint-keyed count-distinct.
+    // Aho-Corasick multi-needle scan (custom codegen Expression,
+    // graft.expressions.MultiNeedleMatches): which of a literal
+    // needle list occurs in each document, one O(text) pass instead
+    // of needles × rows instr probes. The list is deliberately
+    // nested/overlapping ("tab" ⊂ "table", "park" ⊂ "spark",
+    // "or" ⊂ "sort"/"order", "wind" ⊂ "window") to exercise the
+    // failure/output-link paths; the oracle pins the semantics to
+    // the composed form (list_filter + contains, needle-list order).
+    Q("t24_multi_needle", (s, d) => {
+      val needles = Array("tab", "table", "scan", "can", "spark",
+        "park", "or", "sort", "window", "wind", "merge", "batch",
+        "stream")
+      val m = graft.expressions.GraftFunctions.multi_needle_matches(
+        col("text"), lit(needles))
+      docs(s, d).select(col("doc_id"),
+          array_join(m, ",").as("matched"),
+          size(m).cast("long").as("n_matched"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             |  array_to_string(list_filter(
+             |    ['tab','table','scan','can','spark','park','or','sort',
+             |     'window','wind','merge','batch','stream'],
+             |    n -> contains(text, n)), ',') AS matched,
+             |  CAST(len(list_filter(
+             |    ['tab','table','scan','can','spark','park','or','sort',
+             |     'window','wind','merge','batch','stream'],
+             |    n -> contains(text, n))) AS BIGINT) AS n_matched
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("t23_passage_dedup", (s, d) => {
       val passages = Text.wordsWithPos(docs(s, d), "doc_id", "text")
         .withColumn("wid", expr("(pos - 1) div 10"))

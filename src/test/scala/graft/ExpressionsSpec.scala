@@ -44,6 +44,54 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("multi_needle_matches: crafted nested/overlapping needles") {
+    import spark.implicits._
+    val needles = Array("tab", "table", "or", "sort", "spark", "park",
+      "a", "résumé")
+    val rows = Seq(
+      (1L, "a sorted table for spark"),
+      (2L, "no hits in this text"),
+      (3L, "résumé naïve"),
+      (4L, "tabtabtab"),
+      (5L, "")).toDF("id", "text")
+      .select(col("id"), GraftFunctions.multi_needle_matches(
+        col("text"), lit(needles)).as("m"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(rows(0) === (1L,
+      List("tab", "table", "or", "sort", "spark", "park", "a")))
+    assert(rows(1) === (2L, List.empty[String]))
+    assert(rows(2) === (3L, List("a", "résumé")))
+    assert(rows(3) === (4L, List("tab", "a")))
+    assert(rows(4) === (5L, List.empty[String]))
+  }
+
+  test("multi_needle_matches == filter/instr composed form, corpus-wide") {
+    val needles = Array("tab", "table", "scan", "can", "spark", "park",
+      "or", "sort", "window", "wind", "merge", "batch", "stream", "the")
+    val nl = lit(needles)
+    val mismatches = Tables.load(spark, sf, "documents")
+      .select(
+        GraftFunctions.multi_needle_matches(col("text"), nl).as("native"),
+        filter(nl, n => instr(col("text"), n) > 0).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("multi_needle_matches rejects empty needles and non-literals") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "text")
+    intercept[Exception] {
+      df.select(GraftFunctions.multi_needle_matches(
+        col("text"), lit(Array("a", "")))).collect()
+    }
+    intercept[Exception] {
+      df.select(GraftFunctions.multi_needle_matches(
+        col("text"), array(col("text")))).collect()
+    }
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
