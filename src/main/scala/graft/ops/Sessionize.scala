@@ -61,29 +61,26 @@ object Sessionize {
     * per (user, session), all ordered pairs `item_1 < item_2`.
     *
     * Implemented as ONE aggregation pass — `collect_set` per session,
-    * then an inline higher-order-function expansion of the sorted set
-    * into pairs — instead of the textbook distinct + self-join. The
-    * self-join form plans the sessionized input twice (two window
-    * sorts off a reused exchange) plus a join exchange; this form
-    * reuses the sessionization's hash(user) partitioning for the
-    * groupBy (no new shuffle: ClusteredDistribution(user, session) is
-    * satisfied by HashPartitioning(user)) and the pair expansion is
-    * pure per-row compute. Per-session distinct-item counts are small
-    * (categories / event types), so the collected sets stay tiny; the
-    * quadratic pair output is identical either way.
+    * then the [[graft.expressions.ArrayPairs]] Generator expands the
+    * sorted set into its ordered index pairs — instead of the
+    * textbook distinct + self-join. The self-join form plans the
+    * sessionized input twice (two window sorts off a reused exchange)
+    * plus a join exchange; this form reuses the sessionization's
+    * hash(user) partitioning for the groupBy (no new shuffle:
+    * ClusteredDistribution(user, session) is satisfied by
+    * HashPartitioning(user)) and the pair expansion is pure per-row
+    * compute with no intermediate arrays (the composed
+    * flatten/transform/slice form evaluates interpreted lambdas —
+    * ~2x slower on the pair stage at BDB sf30). Per-session
+    * distinct-item counts are small (categories / event types), so
+    * the collected sets stay tiny; the quadratic pair output is
+    * identical to the self-join's.
     */
   def sessionPairs(sessionized: DataFrame, user: String, session: String,
-      item: String): DataFrame = {
-    val sets = sessionized
+      item: String): DataFrame =
+    sessionized
       .groupBy(col(user), col(session))
       .agg(sort_array(collect_set(col(item))).as("_items"))
-    // element i pairs with every later element: slice is 1-based, so
-    // the partners of 0-based index i start at position i+2
-    val pairs = flatten(transform(col("_items"), (x, i) =>
-      transform(
-        slice(col("_items"), i + lit(2), size(col("_items")) - i - lit(1)),
-        y => struct(x.as("item_1"), y.as("item_2")))))
-    sets.select(explode(pairs).as("_p"))
-      .select(col("_p.item_1").as("item_1"), col("_p.item_2").as("item_2"))
-  }
+      .select(graft.expressions.ArrayPairs.array_pairs(col("_items"))
+        .as(Seq("item_1", "item_2")))
 }

@@ -58,7 +58,11 @@ object DumpPlans {
     "d12_dup_groups" ->
       "iterative min-label propagation with FLAT lineage: the edge list is checkpointed once, each of the 5 rounds is join + groupBy on the node key reusing the same partitioning — no exponential plan growth, exact iff component diameter <= 5 (fixpoint + periodic checkpoints at 100 TB)",
     "g01_pagerank" ->
-      "the co-purchase edge list is built once (localCheckpoint) and each iteration is one join + one aggregation on the node key; rank arithmetic is integer ppm so partial-agg order can't flip bits at any parallelism")
+      "the co-purchase edge list is built once (localCheckpoint) and each iteration is one join + one aggregation on the node key; rank arithmetic is integer ppm so partial-agg order can't flip bits at any parallelism",
+    "s04_session_pairs" ->
+      "pair generation with NO second exchange: the groupBy(user, session) reuses the sessionizer's hashpartitioning(user) (subset-satisfied ClusteredDistribution) and the pair expansion is a per-row Generate over the collected set — the textbook distinct + self-join form plans the window sort twice plus a join exchange",
+    "t24_multi_needle" ->
+      "the Aho-Corasick automaton runs INSIDE whole-stage codegen (one reference-object call per row, MultiNeedleMatches.doGenCode) — needle count drops out of the per-row scan cost, and no crossJoin against the needle list appears anywhere in the plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -92,6 +92,27 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("array_pairs == flatten/transform HOF form, corpus-wide") {
+    import graft.expressions.ArrayPairs.array_pairs
+    val sets = Text.words(Tables.load(spark, sf, "documents"),
+        "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("word"))).as("a"))
+    val native = sets
+      .select(col("doc_id"), array_pairs(col("a")).as(Seq("i1", "i2")))
+    val hof = sets.select(col("doc_id"), explode(
+        flatten(transform(col("a"), (x, i) => transform(
+          slice(col("a"), i + lit(2), size(col("a")) - i - lit(1)),
+          y => struct(x.as("i1"), y.as("i2")))))).as("p"))
+      .select(col("doc_id"), col("p.i1"), col("p.i2"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // degenerate arrays emit nothing, null emits nothing
+    import spark.implicits._
+    val edge = Seq(Seq("x"), Seq.empty[String], null)
+      .toDF("a").select(array_pairs(col("a")).as(Seq("i1", "i2")))
+    assert(edge.count() === 0L)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")

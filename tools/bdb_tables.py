@@ -1,17 +1,18 @@
 #!/usr/bin/env python3
 """Render BDB_BENCH.md's cross-scale tables from bench/bdb CSVs.
 
-Usage: python3 tools/bdb_tables.py [bench/bdb]
+Usage: python3 tools/bdb_tables.py [bench/bdb] [sf1,sf2,...]
 
-Reads <base>/sf{0.1,1.0,3.0,10.0}/results.csv (every pass) and
-prints the per-query minima table, the per-class main-phase sums,
-and the suite totals — so the doc's numbers are regenerated, never
-hand-edited. Minima are per-query across all recorded passes
-(including isolated re-runs), matching results_summary.csv.
+Reads <base>/sf{...}/results.csv (every pass; default scales
+0.1,1.0,3.0,10.0) and prints the per-query minima table, the
+per-class main-phase sums, and the suite totals — so the doc's
+numbers are regenerated, never hand-edited. Minima are per-query
+across all recorded passes (including isolated re-runs), matching
+results_summary.csv. The last two scales feed the top-step ratio
+columns.
 """
 import csv
 import sys
-from collections import defaultdict
 
 SCALES = ["0.1", "1.0", "3.0", "10.0"]
 CLASSES = [
@@ -46,34 +47,42 @@ def load(base, sf):
 
 def main():
     base = sys.argv[1] if len(sys.argv) > 1 else "bench/bdb"
+    scales = sys.argv[2].split(",") if len(sys.argv) > 2 else SCALES
+    hi, lo = scales[-1], scales[-2]
+    step = float(hi) / float(lo)
+
+    def label(sf):
+        return "sf" + (sf[:-2] if sf.endswith(".0") else sf)
+
     total = {}
     mainp = {}
     rows = {}
-    for sf in SCALES:
+    for sf in scales:
         total[sf], mainp[sf], rows[sf] = load(base, sf)
 
-    queries = sorted(total[SCALES[0]])
+    queries = sorted(total[scales[0]])
     print("suite best-pass totals: " + " -> ".join(
-        f"{sum(total[sf].values()):.1f} s" for sf in SCALES))
+        f"{sum(total[sf].values()):.1f} s" for sf in scales))
     print("main-phase only:        " + " -> ".join(
-        f"{sum(mainp[sf].values()):.1f} s" for sf in SCALES))
+        f"{sum(mainp[sf].values()):.1f} s" for sf in scales))
     print()
-    print("| query | sf0.1 | sf1 | sf3 | sf10 | sf10/sf3 "
-          "| sf10/sf3 (main) | rows@sf10 |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| query | " + " | ".join(label(sf) for sf in scales)
+          + f" | {label(hi)}/{label(lo)} | {label(hi)}/{label(lo)} (main) "
+          f"| rows@{label(hi)} |")
+    print("|---|" + "---|" * (len(scales) + 3))
     for q in queries:
-        r = total["10.0"][q] / total["3.0"][q]
-        rm = mainp["10.0"][q] / mainp["3.0"][q] if mainp["3.0"][q] else 0
-        cells = " | ".join(f"{total[sf][q]:.2f}" for sf in SCALES)
+        r = total[hi][q] / total[lo][q]
+        rm = mainp[hi][q] / mainp[lo][q] if mainp[lo][q] else 0
+        cells = " | ".join(f"{total[sf][q]:.2f}" for sf in scales)
         print(f"| {q} | {cells} | {r:.1f} | {rm:.1f} "
-              f"| {rows['10.0'][q]} |")
+              f"| {rows[hi][q]} |")
     print()
-    print("| class | queries | main sf0.1->sf1->sf3->sf10 "
-          "| sf3->sf10 ratio (3.33x data) |")
+    print("| class | queries | main " + "->".join(label(sf) for sf in scales)
+          + f" | {label(lo)}->{label(hi)} ratio ({step:.2f}x data) |")
     print("|---|---|---|---|")
     for name, qs in CLASSES:
-        sums = [sum(mainp[sf][q] for q in qs) for sf in SCALES]
-        ratio = sums[3] / sums[2]
+        sums = [sum(mainp[sf][q] for q in qs) for sf in scales]
+        ratio = sums[-1] / sums[-2]
         print(f"| {name} | {' '.join(qs)} | "
               + " -> ".join(f"{s:.1f}" for s in sums)
               + f" | {ratio:.1f} |")
