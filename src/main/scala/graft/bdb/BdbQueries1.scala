@@ -55,16 +55,17 @@ object BdbQueries1 {
     val items = s.table("item")
       .filter(col("i_category_id").isin(categories: _*))
       .select("i_item_sk")
-    val baskets = s.table("store_sales")
+    // one shuffle on the ticket key (collect_set subsumes the
+    // distinct; ArrayPairs expands the sorted basket) instead of
+    // distinct + self-join, which shuffles the basket table twice
+    s.table("store_sales")
       .filter(col("ss_store_sk").isin(stores: _*))
       .join(broadcast(items), col("ss_item_sk") === col("i_item_sk"))
-      .select("ss_ticket_number", "ss_item_sk").distinct()
-    baskets.alias("a")
-      .join(baskets.alias("b"),
-        col("a.ss_ticket_number") === col("b.ss_ticket_number") &&
-          col("a.ss_item_sk") < col("b.ss_item_sk"))
-      .groupBy(col("a.ss_item_sk").as("item_sk_1"),
-        col("b.ss_item_sk").as("item_sk_2"))
+      .groupBy(col("ss_ticket_number"))
+      .agg(sort_array(collect_set(col("ss_item_sk"))).as("_items"))
+      .select(graft.expressions.ArrayPairs.array_pairs(col("_items"))
+        .as(Seq("item_sk_1", "item_sk_2")))
+      .groupBy(col("item_sk_1"), col("item_sk_2"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > minCount)
       // ref sorts tie keys lexicographically as strings (q01:129-141)

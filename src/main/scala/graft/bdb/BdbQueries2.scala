@@ -499,17 +499,20 @@ object BdbQueries2 {
     */
   def q29(s: SparkSession, limit: Int = 100): DataFrame = {
     val i = s.table("item").select("i_item_sk", "i_category_id", "i_category")
-    val baskets = s.table("web_sales")
+    // one shuffle on the order key instead of distinct + self-join:
+    // the collected set dedupes (id, category) per order, sort_array
+    // orders the structs by i_category_id (first field), and
+    // ArrayPairs emits exactly the a.id < b.id pairs
+    s.table("web_sales")
       .join(broadcast(i), col("ws_item_sk") === col("i_item_sk"))
       .filter(col("i_category_id").isNotNull)
-      .select(col("ws_order_number"), col("i_category_id"), col("i_category"))
-      .distinct()
-    baskets.alias("a")
-      .join(baskets.alias("b"),
-        col("a.ws_order_number") === col("b.ws_order_number") &&
-          col("a.i_category_id") < col("b.i_category_id"))
-      .groupBy(col("a.i_category").as("category_1"),
-        col("b.i_category").as("category_2"))
+      .groupBy(col("ws_order_number"))
+      .agg(sort_array(collect_set(
+        struct(col("i_category_id"), col("i_category")))).as("_cats"))
+      .select(graft.expressions.ArrayPairs.array_pairs(col("_cats"))
+        .as(Seq("c1", "c2")))
+      .groupBy(col("c1.i_category").as("category_1"),
+        col("c2.i_category").as("category_2"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("category_1"), col("category_2"))
       .limit(limit)

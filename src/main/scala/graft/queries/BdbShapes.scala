@@ -349,14 +349,17 @@ object BdbShapes extends Suite {
     // q29: co-purchase pairs on the brand dimension (distinct per
     // order, self-join, top-100; ref: q29_dask_sql.py:33-68).
     Q("b29_brand_pairs", (s, d) => {
-      val b = t(s, d, "lineitem")
+      // one shuffle on the order key (collect_set dedupes brands,
+      // ArrayPairs expands the sorted set — string sort_array order
+      // IS the a.p_brand < b.p_brand condition) instead of
+      // distinct + self-join shuffling the brand table twice
+      t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
-        .select("l_orderkey", "p_brand").distinct()
-      b.alias("a")
-        .join(b.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.p_brand") < col("b.p_brand"))
-        .groupBy(col("a.p_brand").as("brand_1"), col("b.p_brand").as("brand_2"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("_brands"))
+        .select(graft.expressions.ArrayPairs.array_pairs(col("_brands"))
+          .as(Seq("brand_1", "brand_2")))
+        .groupBy(col("brand_1"), col("brand_2"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("brand_1"), col("brand_2"))
         .limit(100)
