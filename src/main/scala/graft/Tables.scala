@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** Catalog over the driver testdata (TESTDATA.md): one parquet file per
   * table under `sfDir`. Mirrors the reference's reader utility
@@ -22,14 +24,53 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as an exact BIGINT instead (DuckDB
-    // equivalent: epoch_ns(ts)). Integer nanos are also the right
-    // currency for deterministic sessionization arithmetic.
+  private def readerConfs(spark: SparkSession): Unit = {
+    // events.parquet has shipped `ts` as both TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across testdata generations. Read NANOS as an
+    // exact BIGINT, and naive MICROS as TimestampType (not NTZ) so
+    // unix_micros() recovers the stored value bit-exactly (session TZ
+    // is UTC everywhere); normalizeTs below folds both into the engine
+    // contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
+
+  /** Engine contract: `events.ts` is BIGINT epoch NANOS — exact
+    * integer arithmetic for sessionization (`ts div 1000` = micros =
+    * DuckDB `epoch_us(ts)`). A timestamp-typed `ts` (current testdata
+    * generation) is converted; a nanos-long `ts` (old generation via
+    * nanosAsLong) passes through untouched.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(f => f.name == "ts" &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+      .fold(df) { f =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    readerConfs(spark)
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The on-file schema (what `readStream.schema(...)` must be handed —
+    * the post-[[normalizeTs]] schema would mis-describe the parquet). */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType = {
+    readerConfs(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet").schema
+  }
+
+  /** Streaming read of one table with the same `ts` normalization as
+    * [[load]]: raw file schema on the source, nanos-long `ts` out.
+    */
+  def loadStream(spark: SparkSession, sfDir: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    normalizeTs(spark.readStream
+      .schema(rawSchema(spark, sfDir, name))
+      .option("pathGlobFilter", s"$name.parquet")
+      .options(options)
+      .parquet(sfDir))
 
   /** Register every table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -124,9 +124,7 @@ object Extras extends Suite {
     // the Structured Streaming surface; session windows are x02).
     Q("x04_tumbling_window", (s, d) => {
       val spark = s
-      val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "events")
       val agg = stream
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
@@ -258,9 +256,7 @@ object Extras extends Suite {
     // bread-and-butter streaming enrichment shape.
     Q("x14_stream_static_join", (s, d) => {
       val spark = s
-      val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "events")
       val dim = Tables.load(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       val agg = stream
@@ -289,8 +285,7 @@ object Extras extends Suite {
       val D = 3; val W = 1024
       val spark = s
       val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "events")
       val cms = udaf(new graft.ops.CmsAgg(D, W))
       val agg = stream.groupBy("event_type")
         .agg(cms(col("user_id").cast("string")).as("cs"))
@@ -338,9 +333,7 @@ object Extras extends Suite {
     // window starts per event and re-aggregates.
     Q("x13_sliding_window", (s, d) => {
       val spark = s
-      val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "events")
       val agg = stream
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
@@ -404,9 +397,7 @@ object Extras extends Suite {
     // under any batching. At scale the state is bounded with
     // dropDuplicatesWithinWatermark.
     Q("x09_streaming_dedup", (s, d) => {
-      val static = Tables.load(s, d, "documents")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "documents")
       graft.streaming.StreamConf.withStatePartitions(s) {
         val q = stream.select(md5(col("text")).as("fp"))
           .dropDuplicates("fp")
@@ -423,9 +414,7 @@ object Extras extends Suite {
     // the preceding hour) — the state-bounded join form; the emitted
     // set equals the batch join once all input is processed.
     Q("x10_stream_stream_join", (s, d) => {
-      val static = Tables.load(s, d, "events")
-      def src = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      def src = Tables.loadStream(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           timestamp_micros(expr("ts div 1000")).as("ets"))
       val signups = src.filter(col("event_type") === "signup")
@@ -566,10 +555,8 @@ object Extras extends Suite {
     // append target is the same pattern's Delta/Iceberg table, with a
     // periodic compaction replacing the on-read merge.
     Q("x18_stream_incremental", (s, d) => {
-      val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1").parquet(d)
+      val stream = Tables.loadStream(s, d, "events",
+        Map("maxFilesPerTrigger" -> "1"))
       val tbl = "x18_partials"
       // reset state from any prior run: drop the catalog entry AND the
       // managed-table location (a previous JVM's directory survives
@@ -613,9 +600,7 @@ object Extras extends Suite {
     // by the watermark.
     Q("x19_window_finalize", (s, d) => {
       val spark = s
-      val static = Tables.load(s, d, "events")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "events")
       val agg = stream
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ets", "30 minutes")
@@ -694,9 +679,7 @@ object Extras extends Suite {
     // time, with state bounded by distinct band keys in the horizon.
     Q("x21_streaming_neardup", (s, d) => {
       val spark = s
-      val static = Tables.load(s, d, "documents")
-      val stream = s.readStream.schema(static.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = Tables.loadStream(s, d, "documents")
       val K = 8; val RowsPerBand = 2
       val words = array_distinct(filter(split(col("text"), " "),
         w => length(w) > 0))

@@ -65,11 +65,7 @@ object StatefulSessionize {
   def sessions(spark: SparkSession, sfDir: String,
       timeoutSec: Long = 3600): DataFrame = {
     import spark.implicits._
-    val static = graft.Tables.load(spark, sfDir, "events")
-    val stream = spark.readStream
-      .schema(static.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = graft.Tables.loadStream(spark, sfDir, "events")
     val evs: Dataset[Ev] = stream
       .select(col("user_id"), expr("ts div 1000").as("tsu"))
       .as[Ev]

@@ -22,11 +22,7 @@ object StreamingSessionize {
     */
   def sessionCounts(spark: SparkSession, sfDir: String,
       gapSeconds: Long = 3600): DataFrame = {
-    val static = graft.Tables.load(spark, sfDir, "events")
-    val stream = spark.readStream
-      .schema(static.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = graft.Tables.loadStream(spark, sfDir, "events")
     val withTs = stream
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
     val agg = withTs

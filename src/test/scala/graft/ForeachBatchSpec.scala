@@ -15,10 +15,8 @@ class ForeachBatchSpec extends SparkSpec {
     val running = scala.collection.mutable.Map.empty[String, Long]
 
     val static = Tables.load(spark, sf, "events")
-    val stream = spark.readStream.schema(static.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(sf)
+    val stream = Tables.loadStream(spark, sf, "events",
+      Map("maxFilesPerTrigger" -> "1"))
 
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
