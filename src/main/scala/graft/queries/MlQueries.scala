@@ -153,7 +153,7 @@ object MlQueries extends Suite {
   // Shared between m04 (confusion matrix) and m05 (metrics).
   // ---------------------------------------------------------------
 
-  private def nbConfusion(s: SparkSession, d: String): DataFrame = {
+  private[queries] def nbConfusion(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
     val trd = base.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .select("doc_id", "lang")
@@ -203,7 +203,7 @@ object MlQueries extends Suite {
   }
 
   /** m04's oracle body WITHOUT the final ORDER BY (reused by m05). */
-  private val nbConfusionSqlBody: String =
+  private[queries] val nbConfusionSqlBody: String =
     """WITH w AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word

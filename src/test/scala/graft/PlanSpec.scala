@@ -172,6 +172,21 @@ class PlanSpec extends SparkSpec {
       s"expected 1 hash exchange, got $hashExchanges:\n${p.take(4000)}")
   }
 
+  test("q10/q12/q18: ETL outputs write unsorted (no global range sort)") {
+    BdbFixture.register(spark)
+    Seq(
+      "q10" -> graft.bdb.BdbQueries1.q10(spark),
+      "q12" -> graft.bdb.BdbQueries1.q12(spark),
+      "q18" -> graft.bdb.BdbQueries2.q18(spark)).foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      // the reference writes ETL results unsorted and verifies
+      // order-insensitively (utils.py:449-477); a global range sort
+      // of a multi-million-row output is pure cost at 100 TB
+      assert(!p.contains("rangepartitioning"),
+        s"$n plans a global sort:\n${p.take(3000)}")
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
