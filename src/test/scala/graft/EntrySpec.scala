@@ -26,7 +26,7 @@ class EntrySpec extends SparkSpec {
   test("query names are unique across suites") {
     import graft.queries._
     val all = Seq(Relational, Sessions, TextQueries, DedupQueries,
-      MlQueries, BdbShapes, Extras, Relational2, TextQueries2,
+      MlQueries, BdbShapes, BdbShapes2, Extras, Relational2, TextQueries2,
       CurationQueries, GraphQueries).flatMap(_.qs.map(_.name))
     assert(all.size === all.distinct.size,
       all.diff(all.distinct).mkString("duplicate names: ", ", ", ""))
