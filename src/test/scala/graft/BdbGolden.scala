@@ -43,7 +43,15 @@ object BdbGolden {
     "q16" -> (() => BdbQueries2.q16(spark)),
     "q17" -> (() => BdbQueries2.q17(spark)),
     "q18" -> (() => BdbQueries2.q18(spark)),
-    "q19" -> (() => BdbQueries2.q19(spark)),
+    // fixture-adapted return weeks: the floor-scale return-date walk
+    // (t0*11+37, t0 < ~100) never reaches the reference-default 2004
+    // weeks, which made the q19 golden vacuously empty (round-7
+    // verdict). These four dates land in weeks 47/69/91/112 where the
+    // fixture's store and web returns week-align with equal quantities
+    // (balanced items 50/26/53/42; item 42's review carries negative
+    // sentences, so the sentiment tail is exercised too).
+    "q19" -> (() => BdbQueries2.q19(spark, returnDates =
+      Seq("2001-11-26", "2002-04-29", "2002-09-30", "2003-02-24"))),
     "q20" -> (() => BdbQueries2.q20(spark)),
     "q21" -> (() => BdbQueries2.q21(spark)),
     "q22" -> (() => BdbQueries2.q22(spark)),
