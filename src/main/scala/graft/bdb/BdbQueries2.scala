@@ -594,11 +594,16 @@ object Ner {
           t == sfx || (t.endsWith(sfx) && t.length > sfx.length)))
     }
 
+  /** Statistical third extractor: the averaged-perceptron tagger
+    * ([[PerceptronNer]]) — learned weights, no hand-coded rule. */
+  def perceptronOrgs: String => Seq[String] = PerceptronNer.orgSpans
+
   /** Parameter-selectable registry — the q27 harness seam. */
   def byName(name: String): String => Seq[String] = name match {
     case "capitalized" => capitalizedSpans
     case "gazetteer" => gazetteerOrgs()
+    case "perceptron" => perceptronOrgs
     case other => throw new IllegalArgumentException(
-      s"unknown NER extractor '$other' (capitalized | gazetteer)")
+      s"unknown NER extractor '$other' (capitalized | gazetteer | perceptron)")
   }
 }

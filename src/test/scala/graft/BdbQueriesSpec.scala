@@ -34,6 +34,36 @@ class BdbQueriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ner.byName("bert"))
   }
 
+  test("q27 perceptron extractor: learned tagger generalizes to unseen orgs") {
+    import graft.bdb.PerceptronNer
+    // held-out names — none appear in the training corpus — in the
+    // contexts the model learned (mid-sentence Aa spans, suffix cues)
+    assert(PerceptronNer.orgSpans("I bought this from Cyberdyne Corp today")
+      .contains("Cyberdyne Corp"))
+    assert(PerceptronNer.orgSpans("the service at ShopRight was terrible")
+      .contains("ShopRight"))
+    // sentence-initial capitalized distractors stay untagged
+    assert(PerceptronNer.orgSpans("Terrible quality, really bad.").isEmpty)
+    assert(PerceptronNer.orgSpans("Average item. Nothing special here?")
+      .forall(s => !Set("Average", "Nothing").contains(s)))
+    // training is deterministic: frozen weights, identical re-tag
+    assert(PerceptronNer.orgSpans("support by Initech LLC was excellent")
+      == PerceptronNer.orgSpans("support by Initech LLC was excellent"))
+    // the full q27 pipeline runs with the statistical tagger and
+    // extracts the fixture's org mentions (never seen in training).
+    // item 3's reviews carry the mid-sentence "Acme Corp" mention —
+    // the context class the model learned; sentence-INITIAL org
+    // mentions (item 1's "StoreOne sold it fast") are genuinely
+    // ambiguous for a learned tagger and not asserted.
+    ready
+    val per = BdbQueries2
+      .q27(spark, itemSk = 3, extractor = Ner.byName("perceptron")).collect()
+    assert(per.nonEmpty)
+    val names = per.map(_.getString(2)).toSet
+    assert(names.exists(_.toLowerCase.contains("acme")),
+      s"perceptron found no fixture orgs, got: $names")
+  }
+
   test("q10 with a file-loaded lexicon matches the built-in default") {
     ready
     // write the default lexicon as kit-style one-word-per-line files
