@@ -70,11 +70,18 @@ object MlQueries extends Suite {
   private val KmIters = 3
 
   private def kmeansIter(s: SparkSession, d: String): DataFrame = {
+    // The exploded (vec, dim, v) table feeds BOTH sides of every Lloyd
+    // step (distance join + recenter join) across all iterations — 6
+    // scans+explodes without reuse. Materialize it ONCE with an eager
+    // localCheckpoint: the d12 discipline for iterative algorithms
+    // (plain .cache() measured slower in this repo — columnar encode
+    // cost), and the lineage stays flat across rounds.
     val eq = embs(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "pos", "x")
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
+      .localCheckpoint()
     val c0 = eq.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
 
@@ -83,9 +90,12 @@ object MlQueries extends Suite {
       val d2 = eq.join(broadcast(c), "dim")
         .groupBy("vec_id", "cid")
         .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-      val asg = d2.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "cid")
+      // argmin with cid tiebreak as a lexicographic struct-min: a hash
+      // aggregate with map-side partials instead of a row_number sort
+      // window — same (d2 asc, cid asc) winner, no per-iteration sort
+      val asg = d2.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("_m"))
+        .select(col("vec_id"), col("_m.cid").as("cid"))
       // exact floor-division mean (pmod keeps Spark's truncating `div`
       // aligned with DuckDB's flooring `//` on negative sums).
       // No broadcast hint on asg: it has one row per VECTOR, so
