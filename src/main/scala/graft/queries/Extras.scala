@@ -129,11 +129,7 @@ object Extras extends Suite {
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_tumbling").outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_tumbling", "complete")
       spark.table("graft_tumbling")
         .select(unix_micros(col("window.start")).as("start_us"),
           col("event_type"), col("n"))
@@ -263,11 +259,7 @@ object Extras extends Suite {
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .groupBy("c_nationkey", "event_type")
         .agg(count(lit(1)).as("n"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_stream_static").outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_stream_static", "complete")
       spark.table("graft_stream_static")
         .orderBy("c_nationkey", "event_type")
     },
@@ -289,11 +281,7 @@ object Extras extends Suite {
       val cms = udaf(new graft.ops.CmsAgg(D, W))
       val agg = stream.groupBy("event_type")
         .agg(cms(col("user_id").cast("string")).as("cs"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_stream_cms").outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_stream_cms", "complete")
       val exact = static.filter(col("user_id") < 20)
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("exact_cnt"))
@@ -338,11 +326,7 @@ object Extras extends Suite {
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_sliding").outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_sliding", "complete")
       spark.table("graft_sliding")
         .select(unix_micros(col("window.start")).as("start_us"),
           col("event_type"), col("n"))
@@ -398,14 +382,10 @@ object Extras extends Suite {
     // dropDuplicatesWithinWatermark.
     Q("x09_streaming_dedup", (s, d) => {
       val stream = Tables.loadStream(s, d, "documents")
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = stream.select(md5(col("text")).as("fp"))
-          .dropDuplicates("fp")
-          .writeStream.format("memory").queryName("graft_stream_dedup")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table("graft_stream_dedup").orderBy("fp")
+      graft.streaming.StreamConf.runToTable(s,
+        stream.select(md5(col("text")).as("fp")).dropDuplicates("fp"),
+        "graft_stream_dedup", "append")
+        .orderBy("fp")
     },
       Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
 
@@ -428,17 +408,14 @@ object Extras extends Suite {
       // 2, not the 4 other streams use: the join keeps TWO stores per
       // partition (one per side), so its per-partition commit cost is
       // double — halving partitions rebalances it (6.3s -> 5.7s)
-      graft.streaming.StreamConf.withStatePartitions(s, 2) {
-        val q = purchases.join(signups,
+      graft.streaming.StreamConf.runToTable(s,
+        purchases.join(signups,
             col("p_user") === col("s_user") &&
               col("s_ts") <= col("p_ts") &&
               col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-          .select("purchase_id", "signup_id")
-          .writeStream.format("memory").queryName("graft_ss_join")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table("graft_ss_join").orderBy("purchase_id", "signup_id")
+          .select("purchase_id", "signup_id"),
+        "graft_ss_join", "append", statePartitions = 2)
+        .orderBy("purchase_id", "signup_id")
     },
       Some("""WITH e AS (
              |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
@@ -570,7 +547,10 @@ object Extras extends Suite {
       // at-least-once on checkpoint recovery) can't double-count: the
       // read side dedupes on (batch_id, event_type) first — replayed
       // partials are byte-identical, so keeping one copy is exact.
-      val q = stream.writeStream.foreachBatch {
+      val ckpt = graft.streaming.StreamConf.ephemeralCheckpoint(tbl)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
         (batch: DataFrame, batchId: Long) =>
           batch.groupBy("event_type")
             .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
@@ -578,7 +558,8 @@ object Extras extends Suite {
             .write.mode(if (batchId == 0L) "overwrite" else "append")
             .saveAsTable(tbl)
       }.start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.StreamConf.dropCheckpoint(ckpt) }
       s.table(tbl).dropDuplicates("batch_id", "event_type")
         .groupBy("event_type")
         .agg(sum("n").as("n"), sum("id_sum").as("id_sum"))
@@ -606,11 +587,7 @@ object Extras extends Suite {
         .withWatermark("ets", "30 minutes")
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_window_final").outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_window_final", "append")
       spark.table("graft_window_final")
         .select(unix_micros(col("window.start")).as("start_us"),
           col("event_type"), col("n"))
@@ -700,11 +677,7 @@ object Extras extends Suite {
         .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
       val agg = banded.groupBy("band_id", "band_hash")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
-      graft.streaming.StreamConf.withStatePartitions(s) {
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_stream_neardup").outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      }
+      graft.streaming.StreamConf.runToTable(s, agg, "graft_stream_neardup", "complete")
       spark.table("graft_stream_neardup")
         .filter(col("n_docs") >= 2)
         .orderBy("band_id", "band_hash")

@@ -73,14 +73,8 @@ object StatefulSessionize {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         fold(timeoutSec * 1000000L))
-    StreamConf.withStatePartitions(spark) {
-      val q = out.writeStream
-        .format("memory").queryName("graft_stateful_sessions")
-        .outputMode("append")
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    latestSessions(spark.table("graft_stateful_sessions"))
+    latestSessions(StreamConf.runToTable(spark, out.toDF(),
+        "graft_stateful_sessions", "append"))
       .orderBy("user_id", "start_us")
   }
 

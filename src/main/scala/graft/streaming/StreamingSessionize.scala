@@ -29,14 +29,7 @@ object StreamingSessionize {
       .groupBy(session_window(col("ets"), s"$gapSeconds seconds"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    StreamConf.withStatePartitions(spark) {
-      val q = agg.writeStream
-        .format("memory").queryName("graft_stream_sessions")
-        .outputMode("complete")
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    spark.table("graft_stream_sessions")
+    StreamConf.runToTable(spark, agg, "graft_stream_sessions", "complete")
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"))
