@@ -514,8 +514,6 @@ object DedupQueries extends Suite {
       // is needed — same scale shape as d05/d20
       val base = docs(s, d)
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
-      val edges = Dedup.jaccardAllPairs(sh, "doc_id")
-        .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
       // The edge list feeds every propagation step: materialize it
       // ONCE with an eager localCheckpoint — the 5 rounds then join
       // against a tiny in-memory edge RDD instead of a 10x-duplicated
@@ -523,9 +521,16 @@ object DedupQueries extends Suite {
       // cluster-scale discipline for iterative algorithms; a plain
       // .cache() measured SLOWER at sf0.1 — columnar encode cost —
       // and ReusedExchange alone left 4.7s vs 2.7s with this).
+      // Checkpoint the DIRECTED half (|E| rows, before the union):
+      // the symmetrized view is then a cheap map over the in-memory
+      // RDD instead of materializing 2|E|, and the edge pipeline is
+      // guaranteed to execute once even where exchange reuse wouldn't
+      // cover both union branches.
+      val edges = Dedup.jaccardAllPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
+        .localCheckpoint()
       val sym = edges.union(
         edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
-        .localCheckpoint()
       var labels = base.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 5) {
         val nbrMin = sym
