@@ -748,6 +748,67 @@ object DedupQueries extends Suite {
               |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
               |  CAST(COALESCE(n_hit, 0) * 100 // 5 AS BIGINT) AS recall_pct
               |FROM q0 LEFT JOIN hits ON q0.q_id = hits.q_id
-              |ORDER BY q0.q_id""".stripMargin))
+              |ORDER BY q0.q_id""".stripMargin)),
+
+    // D23: semantic dedup — cluster-bucketed embedding near-dup in the
+    // style of SemDeDup (Abbas et al., arXiv:2303.09540): k-means-style
+    // cluster assignment confines the quadratic cosine stage to
+    // within-cluster pairs, then a doc is a semantic duplicate if an
+    // earlier (lower-id) doc in ITS cluster is within the cosine
+    // threshold. Centroids are every-61st vector, so K grows with the
+    // corpus and expected cluster size stays bounded: the pair stage is
+    // sum(|c|^2) ~ n*|c| work keyed by cluster id (hash-partitioned,
+    // AQE-splittable on a hot cluster), never all-pairs. At 100 TB the
+    // assignment pass is a broadcast of K centroids over one corpus
+    // scan — the same IVF shape as d10/d22 — and dedup cost scales
+    // linearly in n for fixed cluster size. The reference has no
+    // embedding-level dedup; this is the LLM-pipeline extension.
+    Q("d23_semdedup", (s, d) => {
+      val Tau = 0.45
+      val e = embs(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val wAsg = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+        .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val dups = asg.as("a").join(asg.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("b.vec_id") < col("a.vec_id"))
+        .filter(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+          >= Tau)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1L))
+      asg.join(dups, Seq("vec_id"), "left_outer")
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("is_dup"), lit(0L)).as("n_dups"))
+        .orderBy("cluster")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+              |          WHERE vec_id % 61 = 0),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid, ${cosSql("e", "c")} AS ccos
+              |  FROM e, cents c),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY ccos DESC, cid) AS arn FROM scored)
+              |  WHERE arn = 1),
+              |dups AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM asg a JOIN asg b
+              |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+              |  JOIN e ea ON ea.vec_id = a.vec_id
+              |  JOIN e eb ON eb.vec_id = b.vec_id
+              |  WHERE ${cosSql("ea", "eb")} >= 0.45)
+              |SELECT asg.cid AS cluster,
+              |  COUNT(*) AS n_docs,
+              |  CAST(COALESCE(SUM(CASE WHEN dups.vec_id IS NOT NULL
+              |    THEN 1 END), 0) AS BIGINT) AS n_dups
+              |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

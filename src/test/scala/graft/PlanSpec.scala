@@ -100,6 +100,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("d23: semantic dedup pair stage is an equi-join on cluster id") {
+    // the quadratic cosine stage must be confined to clusters: the
+    // asg-x-asg join keys on cid (hash/sort-merge), never a
+    // CartesianProduct over the corpus. The one nested-loop join in
+    // the plan is the K-centroid broadcast assignment (intentional,
+    // |cents| = n/61).
+    val p = plan("d23_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("cid"), p.take(3000))
+  }
+
   test("x12: binned range join shuffles, no nested-loop join") {
     val p = plan("x12_binned_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
