@@ -368,11 +368,15 @@ object Dedup {
     val guarded = Metrics
       .observeDropped(buckets, "dedup_df_cap", size(col("ids")) > maxDf)
       .filter(size(col("ids")).between(2, maxDf))
+    // ArrayPairs emits the i<j pairs directly — the chained
+    // explode-x-explode form generated |bucket|^2 rows and filtered
+    // half away AFTER materializing them; ids are distinct per bucket
+    // (shingles are per-doc distinct), so sorted-value pairs == the
+    // id_a < id_b join
     guarded
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a").as("id_1"), col("id_b").as("id_2"))
+      .select(graft.expressions.ArrayPairs
+        .array_pairs(sort_array(col("ids"))).as(Seq("id_1", "id_2")))
+      .groupBy(col("id_1"), col("id_2"))
       .agg(count(lit(1)).as("n_common"))
   }
 

@@ -514,21 +514,36 @@ object BdbShapes2 extends Suite {
     // order count, item count, returned-item ratio in exact ppm,
     // returned-value share (ref: queries/q20/gpu_bdb_query_20_dask_sql
     // .py:37-93).
-    Q("b20_return_features", (s, d) =>
-      t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey")
+    Q("b20_return_features", (s, d) => {
+      // pre-aggregate the fact table per order BEFORE the orders join:
+      // the countDistinct(l_orderkey)-over-the-joined-fact form paid a
+      // distinct expansion over every lineitem row; per-order partials
+      // make n_orders a plain count and shrink the join input to one
+      // row per order (decimal sums stay exact through both levels)
+      val perOrder = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
         .agg(
-          countDistinct("l_orderkey").as("n_orders"),
-          count(lit(1)).as("n_items"),
-          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
-          dsum(col("l_extendedprice")).as("total_value"),
+          count(lit(1)).as("_n_items"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .as("_n_returned"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).as("_total"),
           sum(when(col("l_returnflag") === "R",
             col("l_extendedprice").cast("decimal(14,2)")).otherwise(lit(0)))
-            .cast("double").as("returned_value"))
+            .as("_returned"))
+      perOrder
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum("_n_items").as("n_items"),
+          sum("_n_returned").as("n_returned"),
+          sum("_total").cast("double").as("total_value"),
+          sum("_returned").cast("double").as("returned_value"))
         .withColumn("ret_ratio_ppm",
           expr("(n_returned * 1000000) div n_items"))
-        .orderBy("o_custkey"),
+        .orderBy("o_custkey")
+    },
       Some("""SELECT o_custkey,
              |  COUNT(DISTINCT l_orderkey) AS n_orders,
              |  COUNT(*) AS n_items,

@@ -26,20 +26,22 @@ object GraphQueries extends Suite {
     // g01: 5-iteration integer PageRank over brands co-purchased in
     // one order (the b29 pair graph, symmetrized and deduplicated).
     Q("g01_pagerank", (s, d) => {
-      val lp = Tables.load(s, d, "lineitem")
+      // one-shuffle pair generation (the o13/b29 form): collect the
+      // distinct sorted brand set per order, then ArrayPairs emits
+      // src<dst per row — replaces the distinct + self-join shape
+      // (two shuffles + an SMJ over the duplicated basket rows)
+      val e0 = Tables.load(s, d, "lineitem")
         .join(broadcast(Tables.load(s, d, "part")),
           col("l_partkey") === col("p_partkey"))
-        .select("l_orderkey", "p_brand").distinct()
-      val e0 = lp.as("a").join(lp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.p_brand") < col("b.p_brand"))
-        .select(col("a.p_brand").as("src"), col("b.p_brand").as("dst"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("_brands"))
+        .select(graft.expressions.ArrayPairs.array_pairs(col("_brands"))
+          .as(Seq("src", "dst")))
       // the edge list feeds all 5 iterations plus the degree table —
       // materialize once (d12's localCheckpoint discipline) so each
       // iteration joins a flat in-memory table instead of re-running
-      // the lineitem⋈part self-join; at bench scale the cold time is
-      // codegen-bound either way (5.5 s cold / 2.2 s warm at sf0.1),
-      // but at 100 TB the 5x scan re-execution is the real cost
+      // the lineitem⋈part pair generation; at 100 TB the 5x scan
+      // re-execution is the real cost
       val edges = e0.select("src", "dst")
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint()
@@ -110,14 +112,14 @@ object GraphQueries extends Suite {
     // throughout — at scale, partition edges by src and the first two
     // hops co-locate.
     Q("g02_triangles", (s, d) => {
-      val lp = Tables.load(s, d, "lineitem")
+      // same one-shuffle ArrayPairs edge generation as g01
+      val e = Tables.load(s, d, "lineitem")
         .join(broadcast(Tables.load(s, d, "part")),
           col("l_partkey") === col("p_partkey"))
-        .select("l_orderkey", "p_brand").distinct()
-      val e = lp.as("a").join(lp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.p_brand") < col("b.p_brand"))
-        .select(col("a.p_brand").as("u"), col("b.p_brand").as("v"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("_brands"))
+        .select(graft.expressions.ArrayPairs.array_pairs(col("_brands"))
+          .as(Seq("u", "v")))
         .distinct()
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
