@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** TPCx-BB query shapes (SURVEY §2f) instantiated on the testdata
@@ -393,12 +394,19 @@ object BdbShapes extends Suite {
         .agg(dstddevRaw(col("dq")).as("sd"), davg(col("dq")).as("mean"))
         .filter(col("sd").isNotNull)
         .withColumn("cov", col("sd") / col("mean"))
-      stats.as("a").join(stats.as("b"),
-          col("a.l_suppkey") === col("b.l_suppkey") &&
-            col("a.m") + 1 === col("b.m"))
-        .filter(col("a.cov") >= 0.5 && col("b.cov") >= 0.5)
-        .select(col("a.l_suppkey").as("suppkey"), col("a.m").as("m"),
-          col("a.cov").as("cov_m"), col("b.cov").as("cov_m1"))
+      // consecutive-month pairing via lead() instead of a self-join:
+      // (l_suppkey, m) is unique in stats, so lead over the month
+      // order IS the m+1 row when months are consecutive — one window
+      // pass over the aggregate instead of recomputing the two-level
+      // aggregation on both join sides
+      val w = Window.partitionBy("l_suppkey").orderBy("m")
+      stats
+        .withColumn("m_next", lead(col("m"), 1).over(w))
+        .withColumn("cov_next", lead(col("cov"), 1).over(w))
+        .filter(col("m_next") === col("m") + 1 &&
+          col("cov") >= 0.5 && col("cov_next") >= 0.5)
+        .select(col("l_suppkey").as("suppkey"), col("m"),
+          col("cov").as("cov_m"), col("cov_next").as("cov_m1"))
         .orderBy("suppkey", "m")
     },
       Some("""WITH daily AS (

@@ -399,7 +399,11 @@ object MlQueries extends Suite {
     // reductions (q28_utils.py:106-257); here they're two groupBys
     // and a full outer join.
     Q("m05_multiclass_metrics", (s, d) => {
-      val conf = nbConfusion(s, d)
+      // the confusion matrix feeds BOTH the per-true and per-pred
+      // aggregations — materialize the (langs x langs)-row result
+      // once (d12's localCheckpoint discipline) instead of running
+      // the whole NB train+score pipeline on each branch
+      val conf = nbConfusion(s, d).localCheckpoint()
       val tr = conf.groupBy(col("true_lang").as("lang"))
         .agg(sum("n").as("n_true"),
           sum(when(col("true_lang") === col("pred_lang"), col("n"))
