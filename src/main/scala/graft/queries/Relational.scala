@@ -197,12 +197,17 @@ object Relational extends Suite {
     // a < residual, count, HAVING, top-k — the q01/q29 shape
     // (ref: queries/q01/gpu_bdb_query_01.py:49-65, q29_dask_sql.py:58-66).
     Q("o13_basket_pairs", (s, d) => {
-      val b = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      b.alias("a")
-        .join(b.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      // one-shuffle pair generation (the b29/g01 form): the
+      // groupBy(l_orderkey) exchange is the only shuffle before the
+      // pair count; collect_set dedups within the basket and
+      // ArrayPairs emits p1<p2 per row — replaces the
+      // distinct + self-join shape (two shuffles + SMJ)
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("_items"))
+        .select(graft.expressions.ArrayPairs.array_pairs(col("_items"))
+          .as(Seq("p1", "p2")))
+        .groupBy("p1", "p2")
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 3)
         .orderBy(desc("cnt"), col("p1"), col("p2"))
