@@ -100,6 +100,28 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("b01/o13: basket pair generation is one aggregation pass, " +
+      "no self-join") {
+    // the collect_set + ArrayPairs form: the groupBy(basket) exchange
+    // is the only shuffle before the pair count — a SortMergeJoin in
+    // the plan means the two-shuffle distinct+self-join shape came
+    // back
+    for (q <- Seq("b01_item_pairs", "o13_basket_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q self-joins:\n" + p.take(3000))
+      assert(p.contains("arraypairs"), s"$q missing generator:\n" + p.take(3000))
+    }
+  }
+
+  test("b20: per-customer features pre-aggregate per order, no " +
+      "distinct expand") {
+    // countDistinct-over-the-joined-fact would plan an Expand over
+    // every lineitem row; the per-order partial aggregation form has
+    // none
+    val p = plan("b20_return_features")
+    assert(!p.contains("Expand"), p.take(3000))
+  }
+
   test("d23: semantic dedup pair stage is an equi-join on cluster id") {
     // the quadratic cosine stage must be confined to clusters: the
     // asg-x-asg join keys on cid (hash/sort-merge), never a
