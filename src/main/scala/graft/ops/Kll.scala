@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile sketch over Long values — the equal-buffer
+  * deterministic variant of the MRL/KLL family (Manku-Rajagopalan-
+  * Lindsay, SIGMOD'98; Karnin-Lang-Liberty, arXiv:1603.05346):
+  * level h holds items of weight 2^h in a buffer of at most `k`
+  * items; a full level sorts and keeps every second item (alternating
+  * offset per compaction, tracked in the buffer so the sketch is a
+  * pure deterministic function of its insertion/merge order — no RNG,
+  * unlike the randomized-offset KLL), pushing k/2 survivors one level
+  * up. `reduce` is O(1) amortized, `merge` concatenates level-wise
+  * then compacts, and the state is bounded by k * #levels =
+  * O(k log(n/k)) longs however large the input — the property that
+  * lets a 100 TB quantile run as one map-side-combinable aggregation
+  * with constant-size partials instead of a global sort.
+  *
+  * Quantile semantics: smallest value whose cumulative weight reaches
+  * ceil(num*W/den) over the weighted item multiset, with the quantile
+  * given as an exact RATIONAL num/den (the [[HistQuantileAgg]]
+  * discipline — a float q would make the rank depend on whether the
+  * other engine multiplies in decimal or IEEE double). In the EXACT
+  * regime (total inserted n <= k: no compaction ever fires) this is
+  * precisely the discrete rank-ceil(num*n/den) order statistic, which
+  * a SQL oracle reproduces with row_number + integer arithmetic. That
+  * is how [[KllAgg]] is oracle-gated hash-exactly (d24 runs with k
+  * above the largest group so the insert/merge/rank machinery is
+  * verified end-to-end); the approximation regime (n >> k) is
+  * property-tested instead (KllSpec: rank error against sorted truth,
+  * merge-shape invariance within the bound) because compaction order
+  * is not SQL-expressible.
+  *
+  * Buffer layout (flat Array[Long], ExpressionEncoder like
+  * [[MinHashAgg]]/[[CmsAgg]]):
+  * {{{
+  * [0] = k   [1] = L (#levels)
+  * [2        .. 2+L)   per-level item count
+  * [2+L      .. 2+2L)  per-level next compaction offset (0|1)
+  * [2+2L     .. 2+3L)  per-level slab capacity (grown on demand,
+  *                     4096 -> 2x -> ... -> k, so small groups never
+  *                     allocate k-sized slabs)
+  * [2+3L ..)           level slabs, level h at sum(caps(0..h))
+  * }}}
+  */
+class KllAgg(num: Long, den: Long, k: Int = KllAgg.DefaultK)
+    extends Aggregator[Long, Array[Long], Long] {
+  require(num > 0 && num <= den, s"quantile must be in (0,1], got $num/$den")
+  require(k >= 8 && (k & 1) == 0, s"k must be even and >= 8, got $k")
+
+  import KllAgg._
+
+  override def zero: Array[Long] = {
+    val cap0 = math.min(InitialCap, k)
+    val buf = new Array[Long](2 + 3 + cap0) // header + 1 level + slab
+    buf(0) = k
+    buf(1) = 1
+    buf(4) = cap0
+    buf
+  }
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] =
+    insert(buf, v, 1)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a(0) == b(0), "cannot merge KLL sketches with different k")
+    val lb = levels(b)
+    var out = a
+    var h = 0
+    while (h < lb) {
+      val n = count(b, h).toInt
+      val off = slabOff(b, h)
+      var i = 0
+      while (i < n) {
+        out = insert(out, b(off + i), h)
+        i += 1
+      }
+      h += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[Long]): Long = quantile(buf, num, den)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object KllAgg {
+  val DefaultK = 4096
+  private[ops] val InitialCap = 4096
+
+  // ---- flat-buffer accessors --------------------------------------
+  private def levels(b: Array[Long]): Int = b(1).toInt
+  private def count(b: Array[Long], h: Int): Long = b(2 + h)
+  private def parityIdx(b: Array[Long], h: Int): Int = 2 + levels(b) + h
+  private def capIdx(b: Array[Long], h: Int): Int = 2 + 2 * levels(b) + h
+  private def cap(b: Array[Long], h: Int): Long = b(capIdx(b, h))
+  private def slabOff(b: Array[Long], h: Int): Int = {
+    var o = 2 + 3 * levels(b)
+    var i = 0
+    while (i < h) { o += b(capIdx(b, i)).toInt; i += 1 }
+    o
+  }
+
+  /** Insert one item at level h, compacting upward as needed.
+    * Returns the (possibly reallocated) buffer. */
+  private def insert(buf0: Array[Long], v: Long, h: Int): Array[Long] = {
+    var buf = buf0
+    while (h >= levels(buf)) buf = addLevel(buf)
+    if (count(buf, h) == buf(0)) buf = compact(buf, h)
+    else if (count(buf, h) == cap(buf, h)) buf = grow(buf, h)
+    val n = count(buf, h).toInt
+    buf(slabOff(buf, h) + n) = v
+    buf(2 + h) += 1
+    buf
+  }
+
+  /** Sort level h, keep every second item starting at the level's
+    * alternating offset, push survivors up one level. */
+  private def compact(buf0: Array[Long], h: Int): Array[Long] = {
+    var buf = buf0
+    if (h + 1 >= levels(buf)) buf = addLevel(buf)
+    val n = count(buf, h).toInt
+    val off = slabOff(buf, h)
+    java.util.Arrays.sort(buf, off, off + n)
+    val start = buf(parityIdx(buf, h)).toInt
+    buf(parityIdx(buf, h)) ^= 1L
+    val survivors = new Array[Long]((n - start + 1) / 2)
+    var i = start; var j = 0
+    while (i < n) { survivors(j) = buf(off + i); j += 1; i += 2 }
+    buf(2 + h) = 0
+    var s = 0
+    while (s < j) { buf = insert(buf, survivors(s), h + 1); s += 1 }
+    buf
+  }
+
+  private def addLevel(old: Array[Long]): Array[Long] = {
+    val l = levels(old)
+    val cap0 = math.min(InitialCap.toLong, old(0))
+    var slabs = 0L
+    var i = 0
+    while (i < l) { slabs += old(2 + 2 * l + i); i += 1 }
+    val buf = new Array[Long](2 + 3 * (l + 1) + slabs.toInt + cap0.toInt)
+    buf(0) = old(0)
+    buf(1) = l + 1
+    System.arraycopy(old, 2, buf, 2, l)                 // counts
+    System.arraycopy(old, 2 + l, buf, 2 + (l + 1), l)   // parities
+    System.arraycopy(old, 2 + 2 * l, buf, 2 + 2 * (l + 1), l) // caps
+    buf(2 + 3 * (l + 1) - 1) = cap0                     // new level cap
+    System.arraycopy(old, 2 + 3 * l, buf, 2 + 3 * (l + 1), slabs.toInt)
+    buf
+  }
+
+  /** Double level h's slab (up to k). */
+  private def grow(old: Array[Long], h: Int): Array[Long] = {
+    val l = levels(old)
+    val oldCap = old(2 + 2 * l + h).toInt
+    val newCap = math.min(oldCap.toLong * 2, old(0)).toInt
+    var slabs = 0L
+    var i = 0
+    while (i < l) { slabs += old(2 + 2 * l + i); i += 1 }
+    val buf = new Array[Long](old.length + (newCap - oldCap))
+    System.arraycopy(old, 0, buf, 0, 2 + 3 * l)
+    buf(2 + 2 * l + h) = newCap
+    // copy slabs, shifting those above level h
+    var srcOff = 2 + 3 * l
+    var dstOff = 2 + 3 * l
+    i = 0
+    while (i < l) {
+      val c = old(2 + 2 * l + i).toInt
+      System.arraycopy(old, srcOff, buf, dstOff, c)
+      srcOff += c
+      dstOff += (if (i == h) newCap else c)
+      i += 1
+    }
+    buf
+  }
+
+  /** Smallest value whose cumulative weight reaches
+    * ceil(num * W / den) — exact integer rank arithmetic. */
+  private[ops] def quantile(buf: Array[Long], num: Long, den: Long): Long = {
+    val l = levels(buf)
+    var total = 0L
+    var h = 0
+    while (h < l) { total += count(buf, h) << h; h += 1 }
+    if (total == 0) return 0L
+    val target = ((num * total + den - 1) / den).max(1L)
+    // gather (value, weight) pairs and sort by value
+    var m = 0
+    h = 0
+    while (h < l) { m += count(buf, h).toInt; h += 1 }
+    val vals = new Array[Long](m)
+    val wts = new Array[Long](m)
+    val idx = new Array[Int](m)
+    var p = 0
+    h = 0
+    while (h < l) {
+      val n = count(buf, h).toInt
+      val off = slabOff(buf, h)
+      var i = 0
+      while (i < n) { vals(p) = buf(off + i); wts(p) = 1L << h; p += 1; i += 1 }
+      h += 1
+    }
+    var i = 0
+    while (i < m) { idx(i) = i; i += 1 }
+    val order = idx.sortBy(vals(_))
+    var cum = 0L
+    i = 0
+    while (i < m) {
+      cum += wts(order(i))
+      if (cum >= target) return vals(order(i))
+      i += 1
+    }
+    vals(order(m - 1))
+  }
+
+  /** Total retained items — the sketch's actual memory footprint in
+    * values (for tests/diagnostics). */
+  private[graft] def retained(buf: Array[Long]): Int = {
+    var m = 0
+    var h = 0
+    while (h < levels(buf)) { m += count(buf, h).toInt; h += 1 }
+    m
+  }
+}

@@ -504,6 +504,50 @@ object Extras extends Suite {
               |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 19, 20, "p95_cents")}
               |FROM cum GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // MRL/KLL quantile sketch via the typed Aggregator (ops/Kll):
+    // level-buffered, merge-commutative, O(k log(n/k)) state — the
+    // rank-based mergeable quantile next to d15's fixed-bin histogram
+    // (bins need a known value range; the sketch doesn't). Run here in
+    // the EXACT regime (k above the largest group, so no compaction
+    // fires and the answer is the discrete rank-ceil(q*n) order
+    // statistic a SQL oracle reproduces) — that hash-gates the
+    // insert/merge/rank machinery end-to-end; the approximation
+    // regime (k << n, the 100 TB configuration) is property-tested in
+    // KllSpec because compaction order is not SQL-expressible.
+    Q("d24_kll_quantiles", (s, d) => {
+      val K = 1 << 19
+      val p50 = udaf(new graft.ops.KllAgg(1, 2, K))
+      val p90 = udaf(new graft.ops.KllAgg(9, 10, K))
+      val p99 = udaf(new graft.ops.KllAgg(99, 100, K))
+      Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_linestatus").as("ls"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("grp", "ls")
+        .agg(p50(col("cents")).as("p50_cents"),
+          p90(col("cents")).as("p90_cents"),
+          p99(col("cents")).as("p99_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("grp", "ls")
+    },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS grp, l_linestatus AS ls,
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT grp, ls, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY grp, ls ORDER BY cents) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp, ls) AS n
+             |  FROM v)
+             |SELECT grp, ls,
+             |  MAX(CASE WHEN rn = GREATEST((1 * n + 1) // 2, 1)
+             |    THEN cents END) AS p50_cents,
+             |  MAX(CASE WHEN rn = GREATEST((9 * n + 9) // 10, 1)
+             |    THEN cents END) AS p90_cents,
+             |  MAX(CASE WHEN rn = GREATEST((99 * n + 99) // 100, 1)
+             |    THEN cents END) AS p99_cents,
+             |  MAX(n) AS n
+             |FROM r GROUP BY grp, ls ORDER BY grp, ls""".stripMargin)),
+
     // Media dedup BEFORE decode: content-hash dedup on the opaque
     // binary column, so each distinct payload is decoded once and the
     // (expensive at scale) codec fan-out runs on keepers only — the
