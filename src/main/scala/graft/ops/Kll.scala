@@ -63,23 +63,8 @@ class KllAgg(num: Long, den: Long, k: Int = KllAgg.DefaultK)
   override def reduce(buf: Array[Long], v: Long): Array[Long] =
     insert(buf, v, 1)
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    require(a(0) == b(0), "cannot merge KLL sketches with different k")
-    val lb = levels(b)
-    var out = a
-    var h = 0
-    while (h < lb) {
-      val n = count(b, h).toInt
-      val off = slabOff(b, h)
-      var i = 0
-      while (i < n) {
-        out = insert(out, b(off + i), h)
-        i += 1
-      }
-      h += 1
-    }
-    out
-  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KllAgg.mergeBuffers(a, b)
 
   override def finish(buf: Array[Long]): Long = quantile(buf, num, den)
 
@@ -103,6 +88,26 @@ object KllAgg {
     var i = 0
     while (i < h) { o += b(capIdx(b, i)).toInt; i += 1 }
     o
+  }
+
+  /** Level-wise merge of two sketch buffers (same k). */
+  private[graft] def mergeBuffers(a: Array[Long], b: Array[Long])
+      : Array[Long] = {
+    require(a(0) == b(0), "cannot merge KLL sketches with different k")
+    val lb = levels(b)
+    var out = a
+    var h = 0
+    while (h < lb) {
+      val n = count(b, h).toInt
+      val off = slabOff(b, h)
+      var i = 0
+      while (i < n) {
+        out = insert(out, b(off + i), h)
+        i += 1
+      }
+      h += 1
+    }
+    out
   }
 
   /** Insert one item at level h, compacting upward as needed.
@@ -225,4 +230,47 @@ object KllAgg {
     while (h < levels(buf)) { m += count(buf, h).toInt; h += 1 }
     m
   }
+}
+
+/** [[KllAgg]] that returns the sketch STATE instead of a quantile —
+  * the partial-aggregate half of the incremental pattern (x18/x22):
+  * each micro-batch persists its per-group sketch to a state table,
+  * and [[KllMergeAgg]] folds the persisted partials at read time.
+  * Exact under any batch slicing because merge is the same operation
+  * partial aggregation already applies within a batch.
+  */
+class KllSketchAgg(k: Int = KllAgg.DefaultK)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val core = new KllAgg(1, 2, k)
+  override def zero: Array[Long] = core.zero
+  override def reduce(b: Array[Long], v: Long): Array[Long] =
+    core.reduce(b, v)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KllAgg.mergeBuffers(a, b)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Folds serialized [[KllSketchAgg]] partials back into one sketch
+  * and reads a quantile off it (merge-on-read half of x22). The empty
+  * buffer sentinel is a zero-length array (an Aggregator zero must be
+  * a value, and sketches carry their own k in slot 0).
+  */
+class KllMergeAgg(num: Long, den: Long)
+    extends Aggregator[Array[Long], Array[Long], Long] {
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(acc: Array[Long], sketch: Array[Long]): Array[Long] =
+    merge(acc, sketch)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b.clone()   // clone: mergeBuffers mutates its left arg
+    else if (b.isEmpty) a
+    else KllAgg.mergeBuffers(a, b)
+  override def finish(buf: Array[Long]): Long =
+    if (buf.isEmpty) 0L else KllAgg.quantile(buf, num, den)
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

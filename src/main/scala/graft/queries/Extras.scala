@@ -548,6 +548,68 @@ object Extras extends Suite {
              |  MAX(n) AS n
              |FROM r GROUP BY grp, ls ORDER BY grp, ls""".stripMargin)),
 
+    // Streaming quantile maintenance — x18's incremental partial-
+    // aggregate pattern carrying a NON-decomposable statistic: each
+    // micro-batch persists its per-group KLL sketch (KllSketchAgg,
+    // array<bigint>) to the state table; serving merges the partials
+    // (KllMergeAgg) and reads quantiles off the merged sketch. Exact
+    // under any batch slicing because batch-split merge IS the same
+    // operation partial aggregation applies within a batch — so the
+    // oracle is simply the rank statistic over ALL events, however
+    // the stream was sliced. At 100 TB the state table holds
+    // O(k log n) longs per (group, batch), compacted by re-sketching
+    // old partials; quantile serving never rescans the stream.
+    Q("x22_streaming_quantiles", (s, d) => {
+      val K = 1 << 15  // exact regime: > max per-type rows at bench SF
+      val sketch = udaf(new graft.ops.KllSketchAgg(K))
+      val p50 = udaf(new graft.ops.KllMergeAgg(1, 2))
+      val p95 = udaf(new graft.ops.KllMergeAgg(19, 20))
+      val stream = Tables.loadStream(s, d, "events",
+        Map("maxFilesPerTrigger" -> "1"))
+      val tbl = "x22_partials"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val ckpt = graft.streaming.StreamConf.ephemeralCheckpoint(tbl)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .select(col("event_type"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+            .groupBy("event_type")
+            .agg(sketch(col("cents")).as("sk"), count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(if (batchId == 0L) "overwrite" else "append")
+            .saveAsTable(tbl)
+        }.start()
+      try q.processAllAvailable()
+      finally { q.stop(); graft.streaming.StreamConf.dropCheckpoint(ckpt) }
+      s.table(tbl).dropDuplicates("batch_id", "event_type")
+        .groupBy("event_type")
+        .agg(p50(col("sk")).as("p50_cents"), p95(col("sk")).as("p95_cents"),
+          sum("n").as("n"))
+        .orderBy("event_type")
+    },
+      Some("""WITH v AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM v)
+             |SELECT event_type,
+             |  MAX(CASE WHEN rn = GREATEST((1 * n + 1) // 2, 1)
+             |    THEN cents END) AS p50_cents,
+             |  MAX(CASE WHEN rn = GREATEST((19 * n + 19) // 20, 1)
+             |    THEN cents END) AS p95_cents,
+             |  MAX(n) AS n
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Media dedup BEFORE decode: content-hash dedup on the opaque
     // binary column, so each distinct payload is decoded once and the
     // (expensive at scale) codec fan-out runs on keepers only — the

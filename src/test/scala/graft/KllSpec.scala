@@ -98,6 +98,24 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("sketch/merge split (x22 pattern): persisted partials fold to " +
+      "the one-shot answer in the exact regime") {
+    val k = 1 << 14
+    val sketch = udaf(new graft.ops.KllSketchAgg(k))
+    val p50m = udaf(new graft.ops.KllMergeAgg(1, 2))
+    val p50 = udaf(new KllAgg(1, 2, k))
+    val df = spark.range(9000).select(
+      (col("id") % 3).as("grp"),
+      ((col("id") * 1103515245L) % 50000L).as("v"),
+      (col("id") % 5).as("slice")) // 5 "batches"
+    val partials = df.groupBy("grp", "slice").agg(sketch(col("v")).as("sk"))
+    val merged = partials.groupBy("grp").agg(p50m(col("sk")).as("p50"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = df.groupBy("grp").agg(p50(col("v")).as("p50"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged == oneShot)
+  }
+
   test("exact regime in Spark: result invariant to partitioning") {
     val p50 = udaf(new KllAgg(1, 2, 1 << 16))
     val df = spark.range(10000).select(
