@@ -97,15 +97,21 @@ object BdbShapes2 extends Suite {
 
     // q02: top items co-viewed in the same session as a target item
     // (ref: queries/q02/gpu_bdb_query_02_dask_sql.py:44-81, target
-    // item_sk; item 42 here). Both sides of the join derive from one
-    // sessionized frame — the hash(user) exchange is planned once.
+    // item_sk; item 42 here). ONE pass: collect the distinct item set
+    // per session (the aggregation rides the sessionizer's user
+    // partitioning — hash(user) satisfies the (user, session)
+    // clustering, so no second exchange), keep sessions containing
+    // the target, explode the rest. The join formulation re-ran the
+    // whole sessionize pipeline on the target side (filter pushdown
+    // splits the subtrees, so exchange reuse never kicks in) — two
+    // clickstream scans at 100 TB.
     Q("b02_session_coview", (s, d) => {
       val sess = Sessionize.byTimeout(ev(s, d), "user_id", "tsn",
         "event_id", TimeoutNs)
-      val su = sess.select("user_id", "session_seq", "item").distinct()
-      val tgt = su.filter(col("item") === 42)
-        .select("user_id", "session_seq").distinct()
-      su.join(tgt, Seq("user_id", "session_seq"))
+      sess.groupBy("user_id", "session_seq")
+        .agg(collect_set(col("item")).as("_items"))
+        .filter(array_contains(col("_items"), 42))
+        .select(explode(col("_items")).as("item"))
         .filter(col("item") =!= 42)
         .groupBy("item").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("item")).limit(30)

@@ -113,6 +113,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("b02: co-view runs one sessionize pass — single clickstream " +
+      "scan, no self-join") {
+    // the one-pass collect_set form: one events scan, one user-keyed
+    // exchange; the session item-set aggregation rides the
+    // sessionizer's partitioning (hash(user) satisfies the
+    // (user, session) clustering)
+    val p = plan("b02_session_coview")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      "clickstream scanned more than once:\n" + p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    // exactly two exchanges: sessionize (user) + final item count
+    assert(p.sliding("Exchange hash".length)
+      .count(_ == "Exchange hash") == 2, p.take(4000))
+  }
+
   test("b20: per-customer features pre-aggregate per order, no " +
       "distinct expand") {
     // countDistinct-over-the-joined-fact would plan an Expand over
