@@ -185,19 +185,23 @@ object BdbShapes extends Suite {
     // q21: returned then re-bought within 90 days, by nation
     // (ref: queries/q21/..._dask_sql.py:33-109).
     Q("b21_return_rebuy", (s, d) => {
-      val base = lo(s, d)
-        .select(col("o_custkey"), col("l_partkey"), col("l_returnflag"),
-          to_date(col("l_shipdate")).as("ship"))
-      val ret = base.filter(col("l_returnflag") === "R")
+      // one fact scan + one (cust, part) exchange: a RANGE-frame
+      // window (days -90..-1) marks buy rows preceded by a return
+      // within the rebuy window — the ret x buy self-join form
+      // computed the lineitem⋈orders base TWICE and shuffled both
+      // copies; the window form is a single pass, fully codegen'd.
+      // b > r on DATE columns is exactly the [-90, -1) day frame
+      // (same-day pairs are excluded by both).
+      val w = Window.partitionBy("ck", "pk").orderBy("days")
+        .rangeBetween(-90, -1)
+      lo(s, d)
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-          col("ship").as("ret_ship"))
-      val buy = base.filter(col("l_returnflag") =!= "R")
-        .select(col("o_custkey").as("ck2"), col("l_partkey").as("pk2"),
-          col("ship").as("buy_ship"))
-      ret.join(buy,
-          col("ck") === col("ck2") && col("pk") === col("pk2") &&
-            col("buy_ship") > col("ret_ship") &&
-            datediff(col("buy_ship"), col("ret_ship")) <= 90)
+          col("l_returnflag"),
+          datediff(to_date(col("l_shipdate")),
+            to_date(lit("1992-01-01"))).as("days"))
+        .withColumn("ret_near",
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).over(w))
+        .filter(col("l_returnflag") =!= "R" && col("ret_near") === 1)
         .select("ck", "pk").distinct()
         .join(t(s, d, "customer"), col("ck") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")),

@@ -170,19 +170,21 @@ object BdbShapes2 extends Suite {
     // 'click' and that contain no purchase; count + average session
     // size in exact ppm (ref: bdb_tools/q04_utils.py:52-101).
     Q("b04_abandonment", (s, d) => {
-      val sess = Sessionize.byTimeout(ev(s, d), "user_id", "tsn",
-        "event_id", TimeoutNs)
-      val stats = sess.groupBy("user_id", "session_seq")
+      // ONE session aggregation: the last event rides along as
+      // max_by over the (tsn, event_id) total order instead of a
+      // row_number pass joined back (which re-ran the whole
+      // sessionize pipeline on the second consumer — two clickstream
+      // scans). The aggregation reuses the sessionizer's hash(user)
+      // partitioning, so sessionize's exchange is the only shuffle.
+      Sessionize.byTimeout(ev(s, d), "user_id", "tsn",
+          "event_id", TimeoutNs)
+        .groupBy("user_id", "session_seq")
         .agg(count(lit(1)).as("n_events"),
           max(when(col("event_type") === "purchase", 1).otherwise(0))
-            .as("has_purchase"))
-      val last = sess.withColumn("rn", row_number().over(
-          Window.partitionBy("user_id", "session_seq")
-            .orderBy(desc("tsn"), desc("event_id"))))
-        .filter(col("rn") === 1)
-        .select("user_id", "session_seq", "event_type")
-      stats.join(last, Seq("user_id", "session_seq"))
-        .filter(col("event_type") === "click" && col("has_purchase") === 0)
+            .as("has_purchase"),
+          max_by(col("event_type"), struct(col("tsn"), col("event_id")))
+            .as("last_type"))
+        .filter(col("last_type") === "click" && col("has_purchase") === 0)
         .agg(count(lit(1)).as("n_abandoned"),
           expr("(sum(n_events) * 1000000) div count(1)").as("avg_events_ppm"))
     },
