@@ -32,24 +32,42 @@ object Dedup {
   def bagOfWordsKey(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(split(text, " ")))))
 
-  /** Distinct word-level 1-shingles per document. */
+  /** Distinct word-level 1-shingles per document — deduplicated
+    * NARROW (array_distinct before the explode; id is unique per
+    * input row), so no shuffle. */
   def wordShingles(df: DataFrame, id: String, text: String): DataFrame =
-    Text.words(df, id, text).select(col(id), col("word").as("sh")).distinct()
+    df.select(col(id), explode(array_distinct(
+        filter(split(col(text), " "), w => length(w) > 0))).as("sh"))
 
   /** Distinct word n-gram shingles per document — built NARROW from
     * the token array (sequence + transform + element_at), no
-    * positional self-join: zero shuffles before the final distinct.
-    * (The join formulation shuffles the exploded words table n-1
-    * times — 8x slower at 5k docs, catastrophically worse at scale.)
+    * positional self-join, and deduplicated narrow too: ZERO shuffles
+    * end to end. (The join formulation shuffles the exploded words
+    * table n-1 times — 8x slower at 5k docs, catastrophically worse
+    * at scale.)
     */
   def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    ngrams(df, id, text, n).distinct()
+    // per-doc dedup happens NARROW (array_distinct on the shingle
+    // array before the explode): (id, sh) rows come out already
+    // distinct, so no shuffle — the .distinct() formulation paid a
+    // full exchange of the shingle stream, by far the largest
+    // intermediate in the dedup family (id is unique per input row,
+    // so per-doc distinct == global distinct)
+    ngramArrays(df, id, text, n)
+      .select(col(id), explode(array_distinct(col("__sh"))).as("sh"))
 
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
-    * repeats is the signal ([[ngramShingles]] is this + distinct).
+    * repeats is the signal ([[ngramShingles]] is this per-doc
+    * deduplicated).
     */
-  def ngrams(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  def ngrams(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    ngramArrays(df, id, text, n)
+      .select(col(id), explode(col("__sh")).as("sh"))
+
+  /** Per-row shingle ARRAY `__sh` (kept narrow; callers explode). */
+  private def ngramArrays(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
     val words = filter(split(col(text), " "), w => length(w) > 0)
     // Materialize the words array in its OWN projection before the
     // transform: the lambda body references it n times per shingle,
@@ -63,7 +81,7 @@ object Dedup {
     val shingles = transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
     df.select(col(id), words.as("__w"))
-      .select(col(id), explode(shingles).as("sh"))
+      .select(col(id), shingles.as("__sh"))
   }
 
   /** Modulus of the minhash affine family — a prime just under 2^31

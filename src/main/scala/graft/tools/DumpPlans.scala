@@ -62,7 +62,17 @@ object DumpPlans {
     "s04_session_pairs" ->
       "pair generation with NO second exchange: the groupBy(user, session) reuses the sessionizer's hashpartitioning(user) (subset-satisfied ClusteredDistribution) and the pair expansion is a per-row Generate over the collected set — the textbook distinct + self-join form plans the window sort twice plus a join exchange",
     "t24_multi_needle" ->
-      "the Aho-Corasick automaton runs INSIDE whole-stage codegen (one reference-object call per row, MultiNeedleMatches.doGenCode) — needle count drops out of the per-row scan cost, and no crossJoin against the needle list appears anywhere in the plan")
+      "the Aho-Corasick automaton runs INSIDE whole-stage codegen (one reference-object call per row, MultiNeedleMatches.doGenCode) — needle count drops out of the per-row scan cost, and no crossJoin against the needle list appears anywhere in the plan",
+    "d23_semdedup" ->
+      "SemDeDup shape: K-centroid assignment is the one BroadcastNestedLoopJoin (|cents| = n/61) over a single corpus scan; the quadratic cosine stage equi-joins on cluster id — no CartesianProduct, pair volume is sum(|cluster|^2), never n^2",
+    "d24_kll_quantiles" ->
+      "partial_kllagg below the exchange — the O(k log(n/k)) sketch shuffles, not the values; three quantiles ride one aggregation pass (no per-quantile sort, no global sort anywhere)",
+    "b02_session_coview" ->
+      "one-pass co-view: a single clickstream scan and the sessionizer's hash(user) exchange serve the per-session item sets; target filter + explode are per-row — the join formulation re-ran the whole sessionize pipeline on the target side",
+    "b21_return_rebuy" ->
+      "the rebuy window as a RANGE frame (days -90..-1) over one (cust, part) exchange — single fact scan, fully codegen'd, replacing the ret x buy self-join that computed the lineitem⋈orders base twice",
+    "o13_basket_pairs" ->
+      "one aggregation pass: groupBy(order) + collect_set + the ArrayPairs Generator — the basket exchange is the only shuffle before the pair count (the distinct + self-join form paid two shuffles and an SMJ)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

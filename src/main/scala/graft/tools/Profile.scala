@@ -99,6 +99,24 @@ object Profile {
     time("full d04")(
       graft.SparkEntry.queries("d04_minhash_lsh_neardup")(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
+
+    // ---- d05 stage breakdown (round 8: post narrow-dedup) ----
+    val shN = Dedup.ngramShingles(docs, "doc_id", "text", 3)
+    time("d05 shingles (narrow)")(shN.count())
+    val sizesAgg = shN.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    time("d05 sizes groupBy")(sizesAgg.count())
+    val commonB = Dedup.commonCountsFromBuckets(shN, "doc_id", 10000)
+    time("d05 bucket pairs")(commonB.count())
+    time("full d05 again")(
+      graft.SparkEntry.queries("d05_ngram_jaccard")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+
+    // ---- d12 stage breakdown ----
+    time("d12 edges")(Dedup.jaccardAllPairs(shN, "doc_id")
+      .filter(col("jaccard") >= 0.1).count())
+    time("full d12")(
+      graft.SparkEntry.queries("d12_dup_groups")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
