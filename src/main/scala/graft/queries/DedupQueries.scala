@@ -541,6 +541,12 @@ object DedupQueries extends Suite {
           .join(nbrMin, labels("doc_id") === nbrMin("id_1"), "left_outer")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          // eager per-round materialization: each round's join then
+          // probes a flat in-memory table instead of re-planning (and
+          // at cluster scale re-executing) the whole prefix of rounds
+          // — labels is |docs| rows of (id, label), the cheapest thing
+          // in the pipeline to pin
+          .localCheckpoint()
       }
       labels.select(col("doc_id"), col("label").as("group_id"))
         .orderBy("doc_id")
