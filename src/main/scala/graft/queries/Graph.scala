@@ -69,6 +69,10 @@ object GraphQueries extends Suite {
             .groupBy("dst")
             .agg(sum("c").as("cs"))
             .select(col("dst").as("node"), (lit(base) + col("cs")).as("r"))
+            // per-iteration materialization (d12 discipline): each
+            // hop joins a flat |nodes|-row table instead of the
+            // re-planned prefix of all earlier hops
+            .localCheckpoint()
         }
         rank.select(col("node").as("brand"), col("r").as("rank_ppm"))
           .orderBy("brand")
