@@ -48,13 +48,14 @@ object Dedup {
     */
   def ngramShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     // per-doc dedup happens NARROW (array_distinct on the shingle
-    // array before the explode): (id, sh) rows come out already
+    // array INSIDE the explode): (id, sh) rows come out already
     // distinct, so no shuffle — the .distinct() formulation paid a
     // full exchange of the shingle stream, by far the largest
     // intermediate in the dedup family (id is unique per input row,
     // so per-doc distinct == global distinct)
-    ngramArrays(df, id, text, n)
-      .select(col(id), explode(array_distinct(col("__sh"))).as("sh"))
+    withWords(df, id, text)
+      .select(col(id),
+        explode(array_distinct(shingleExpr(n))).as("sh"))
 
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
@@ -62,26 +63,33 @@ object Dedup {
     * deduplicated).
     */
   def ngrams(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    ngramArrays(df, id, text, n)
-      .select(col(id), explode(col("__sh")).as("sh"))
+    withWords(df, id, text)
+      .select(col(id), explode(shingleExpr(n)).as("sh"))
 
-  /** Per-row shingle ARRAY `__sh` (kept narrow; callers explode). */
-  private def ngramArrays(df: DataFrame, id: String, text: String,
-      n: Int): DataFrame = {
-    val words = filter(split(col(text), " "), w => length(w) > 0)
-    // Materialize the words array in its OWN projection before the
-    // transform: the lambda body references it n times per shingle,
-    // and inlined (single-projection) each element_at re-evaluated
-    // the split — O(doc_len) per access, quadratic per doc. Stored as
-    // an attribute it's split once per row (measured 7x on d05 sf0.1).
+  /** (id, __w) projection with the words array MATERIALIZED as an
+    * attribute. The shingle transform's lambda references the array n
+    * times per shingle; if the split is inlined into the lambda
+    * (which CollapseProject does to a words-array column sitting in a
+    * plain Project under a Project), every element_at re-evaluates it
+    * — O(doc_len) per access, quadratic per doc (measured 7x on d05,
+    * and it RETURNED as a 5x a07/a09 regression when an intermediate
+    * array Project was introduced in round 8). A Generate node does
+    * not collapse into its child Project, so [[shingleExpr]] must be
+    * evaluated INSIDE the explode over this projection.
+    */
+  private def withWords(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      filter(split(col(text), " "), w => length(w) > 0).as("__w"))
+
+  /** Shingle-array expression over the materialized `__w` attribute
+    * ([[withWords]]); evaluate only inside a Generate. */
+  private def shingleExpr(n: Int): Column = {
     val w = col("__w")
     // sequence(a, b) descends when b < a -> guard short docs explicitly
     val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val shingles = transform(idx,
+    transform(idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
-    df.select(col(id), words.as("__w"))
-      .select(col(id), shingles.as("__sh"))
   }
 
   /** Modulus of the minhash affine family — a prime just under 2^31

@@ -504,6 +504,98 @@ object Extras extends Suite {
               |  ${graft.ops.HistQuantileAgg.oracleSql(10000L, 19, 20, "p95_cents")}
               |FROM cum GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // KMV bottom-k distinct sketch (ops/Kmv) — the set-operation
+    // estimator next to d14's HLL: bottom-k of a union is bottom-k of
+    // the merged bottom-k's, so the sketch supports the INTERSECTION
+    // estimate HLL cannot give (audience-overlap at 100 TB: one scan,
+    // constant state per group, no distinct-set shuffle). The sketch
+    // is a deterministic function of the portable hash — `ORDER BY hv
+    // LIMIT k` IS the sketch in SQL — so unlike randomized sketches
+    // d25 is hash-gated IN the approximation regime (k=256 << the
+    // ~2000 distinct parts per flag at sf0.01).
+    Q("d25_kmv_overlap", (s, d) => {
+      val K = 256
+      val kmv = udaf(new graft.ops.KmvAgg(K))
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("N", "R"))
+      val sk = li
+        .select(col("l_returnflag").as("g"),
+          graft.ops.Text.portableHash(col("l_partkey").cast("string"))
+            .as("hv"))
+        .groupBy("g").agg(kmv(col("hv")).as("sk"))
+        .groupBy()
+        .agg(max(when(col("g") === "N", col("sk"))).as("sk_n"),
+          max(when(col("g") === "R", col("sk"))).as("sk_r"))
+        .withColumn("union_sk",
+          expr(s"slice(array_sort(array_union(sk_n, sk_r)), 1, $K)"))
+        .withColumn("rho", size(expr(
+          "array_intersect(array_intersect(union_sk, sk_n), sk_r)"))
+          .cast("bigint"))
+        .withColumn("est_n", expr(graft.ops.KmvAgg.estimateSql("sk_n", K)))
+        .withColumn("est_r", expr(graft.ops.KmvAgg.estimateSql("sk_r", K)))
+        .withColumn("est_union",
+          expr(graft.ops.KmvAgg.estimateSql("union_sk", K)))
+        .withColumn("est_inter", expr(
+          "CAST(rho AS DOUBLE) * est_union / CAST(size(union_sk) AS DOUBLE)"))
+      val exact = li
+        .groupBy("l_partkey")
+        .agg(max(when(col("l_returnflag") === "N", 1).otherwise(0)).as("in_n"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_r"))
+        .agg(sum("in_n").as("exact_n"), sum("in_r").as("exact_r"),
+          sum(col("in_n") * col("in_r")).as("exact_inter"))
+      sk.crossJoin(broadcast(exact))
+        .select("est_n", "est_r", "est_union", "rho", "est_inter",
+          "exact_n", "exact_r", "exact_inter")
+    },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT l_returnflag AS g,
+             |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS hv
+             |  FROM lineitem WHERE l_returnflag IN ('N','R')),
+             |kn AS (SELECT hv FROM h WHERE g='N' ORDER BY hv LIMIT 256),
+             |kr AS (SELECT hv FROM h WHERE g='R' ORDER BY hv LIMIT 256),
+             |ku AS (
+             |  SELECT hv FROM (
+             |    SELECT DISTINCT hv FROM (
+             |      SELECT hv FROM kn UNION ALL SELECT hv FROM kr))
+             |  ORDER BY hv LIMIT 256),
+             |stats AS (SELECT
+             |  (SELECT COUNT(*) FROM kn) AS n_n,
+             |  (SELECT MAX(hv) FROM kn) AS hk_n,
+             |  (SELECT COUNT(*) FROM kr) AS n_r,
+             |  (SELECT MAX(hv) FROM kr) AS hk_r,
+             |  (SELECT COUNT(*) FROM ku) AS n_u,
+             |  (SELECT MAX(hv) FROM ku) AS hk_u,
+             |  (SELECT COUNT(*) FROM ku
+             |   WHERE hv IN (SELECT hv FROM kn)
+             |     AND hv IN (SELECT hv FROM kr)) AS rho),
+             |ests AS (SELECT
+             |  CASE WHEN n_n < 256 THEN CAST(n_n AS DOUBLE)
+             |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(hk_n AS DOUBLE) END AS est_n,
+             |  CASE WHEN n_r < 256 THEN CAST(n_r AS DOUBLE)
+             |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(hk_r AS DOUBLE) END AS est_r,
+             |  CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+             |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(hk_u AS DOUBLE) END AS est_union,
+             |  CAST(rho AS BIGINT) AS rho, n_u
+             |  FROM stats),
+             |exact AS (
+             |  SELECT
+             |    CAST(SUM(in_n) AS BIGINT) AS exact_n,
+             |    CAST(SUM(in_r) AS BIGINT) AS exact_r,
+             |    CAST(SUM(in_n * in_r) AS BIGINT) AS exact_inter
+             |  FROM (
+             |    SELECT l_partkey,
+             |      MAX(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS in_n,
+             |      MAX(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS in_r
+             |    FROM lineitem WHERE l_returnflag IN ('N','R')
+             |    GROUP BY l_partkey))
+             |SELECT est_n, est_r, est_union, rho,
+             |  CAST(rho AS DOUBLE) * est_union / CAST(n_u AS DOUBLE) AS est_inter,
+             |  exact_n, exact_r, exact_inter
+             |FROM ests, exact""".stripMargin)),
+
     // MRL/KLL quantile sketch via the typed Aggregator (ops/Kll):
     // level-buffered, merge-commutative, O(k log(n/k)) state — the
     // rank-based mergeable quantile next to d15's fixed-bin histogram

@@ -94,6 +94,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("kmv: sketch is exactly the k smallest distinct values, " +
+      "under any insertion order and split") {
+    val gen = for {
+      vs <- Gen.containerOf[Array, Long](Gen.choose(0L, 300L))
+      k <- Gen.choose(2, 64)
+      cut <- Gen.choose(0, 10)
+    } yield (vs, k, cut)
+    check("kmv-bottomk", Prop.forAll(gen) { case (vs, k, cut) =>
+      val agg = new graft.ops.KmvAgg(k)
+      var buf = agg.zero
+      vs.foreach(v => buf = agg.reduce(buf, v))
+      val expect = vs.distinct.sorted.take(k).toSeq
+      val seq = agg.finish(buf) == expect
+      // arbitrary two-way split + merge gives the identical state
+      val splitAt = if (vs.length == 0) 0 else cut % (vs.length + 1)
+      var a = agg.zero
+      vs.take(splitAt).foreach(v => a = agg.reduce(a, v))
+      var b = agg.zero
+      vs.drop(splitAt).foreach(v => b = agg.reduce(b, v))
+      seq && agg.finish(agg.merge(a, b)) == expect
+    })
+  }
+
   test("kll: state stays bounded under any input (approx regime)") {
     check("bounded-state", Prop.forAll(
       Gen.containerOfN[Array, Long](20000, Gen.choose(Long.MinValue / 2,
