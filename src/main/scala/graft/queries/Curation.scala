@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Bloom, Cms, CmsAgg, Dedup, Split, Text}
+import graft.ops.{Bloom, Cms, CmsAgg, Dedup, Pack, Split, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -514,6 +514,75 @@ object CurationQueries extends Suite {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
              |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
-             |FROM p ORDER BY doc_id""".stripMargin))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: lay documents end-to-end per hash shard and
+    // cut the token stream every 256 tokens — the GPT-style
+    // concatenative packing of a pretraining writer, as a pure
+    // per-shard prefix sum (see ops/Pack.scala for the 100 TB
+    // rationale: shards are the unit of parallelism, no global sort).
+    Q("a17_sequence_pack", (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      Pack.pack(toks, "doc_id", "n_tok", nShards = 8, ctx = 256)
+        .select("doc_id", "shard", "n_tok", "off", "bin")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+              |    CAST(${hSql("CAST(doc_id AS VARCHAR)", "|pack")} % 8
+              |      AS INT) AS shard
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, shard, n_tok,
+              |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+              |  FROM t)
+              |SELECT doc_id, shard, n_tok, off, off // 256 AS bin
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style importance weighting: score each document by how
+    // in-domain its tokens are — per word, the 1e6-scaled share of
+    // its occurrences that come from the target sources; per doc, the
+    // integer mean of its words' shares (Data Selection via
+    // Importance Resampling, hashed-ngram flavor, kept in exact
+    // integer space so the oracle is bit-exact). One word-keyed
+    // aggregate with map-side partials; the (vocab-bounded) score
+    // table broadcasts back onto the token stream — same scale shape
+    // as the a09 LM score.
+    Q("a19_dsir_weight", (s, d) => {
+      val base = docs(s, d).withColumn("is_t",
+        col("source").isin("src0", "src1", "src2", "src3")
+          .cast("long"))
+      val w = base.select(col("doc_id"), col("is_t"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val r = w.groupBy("word")
+        .agg(count(lit(1)).as("c_all"), sum("is_t").as("c_t"))
+        .select(col("word"),
+          expr("(c_t * 1000000) div c_all").as("r_ppm"))
+      w.join(broadcast(r), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(r_ppm) div count(1)").as("dsir_ppm"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN source IN ('src0','src1','src2','src3')
+             |      THEN 1 ELSE 0 END AS is_t,
+             |    w AS word
+             |  FROM (SELECT doc_id, source,
+             |          unnest(string_split(text,' ')) AS w
+             |        FROM documents)
+             |  WHERE len(w) > 0),
+             |r AS (
+             |  SELECT word,
+             |    CAST((SUM(is_t) * 1000000) // COUNT(*) AS BIGINT) AS r_ppm
+             |  FROM w GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_tok,
+             |  CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+             |FROM w JOIN r USING (word)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

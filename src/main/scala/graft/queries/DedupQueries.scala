@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, Text}
+import graft.ops.{Dedup, ScalarQuant, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -815,6 +815,58 @@ object DedupQueries extends Suite {
               |  CAST(COALESCE(SUM(CASE WHEN dups.vec_id IS NOT NULL
               |    THEN 1 END), 0) AS BIGINT) AS n_dups
               |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D26: SQ8 scalar-quantized ANN — the FAISS-SQ idea completing
+    // the ANN family (d09 exact / d10+d16 IVF / d11 RP-LSH / d23
+    // cluster-bucketed): 8-bit per-dim codes against corpus-wide
+    // [min,max] ranges, integer L2 on the codes. 4x denser vectors
+    // → 4x less scan bandwidth at 100 TB; encode is a narrow map
+    // (the dims-row range aggregate broadcasts), search is the same
+    // broadcast-query/one-corpus-scan plan as d09. All integer
+    // arithmetic (1e6-floored inputs), so the oracle replays the
+    // codes and distances bit-exactly. See ops/ScalarQuant.scala.
+    Q("d26_knn_sq8", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val enc = ScalarQuant.encodeAll(e, "embedding")
+        .select("vec_id", "code")
+      val q = enc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+      val wK = Window.partitionBy("q_id")
+        .orderBy(asc("dist"), col("vec_id"))
+      enc.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist",
+          ScalarQuant.codeDist(col("q_code"), col("code")))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          col("rnk"), col("dist"))
+        .orderBy("q_id", "rnk")
+    },
+      Some("""WITH x AS (
+             |  SELECT vec_id, generate_subscripts(embedding,1) AS dim,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+             |      AS BIGINT) AS xi
+             |  FROM embeddings),
+             |r AS (SELECT dim, MIN(xi) AS mn, MAX(xi) AS mx
+             |      FROM x GROUP BY 1),
+             |c AS (
+             |  SELECT vec_id, x.dim,
+             |    CASE WHEN mx = mn THEN 0
+             |         ELSE ((xi - mn) * 255) // (mx - mn) END AS code
+             |  FROM x JOIN r ON x.dim = r.dim),
+             |qd AS (SELECT vec_id AS q_id, dim, code AS q_code
+             |       FROM c WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT qd.q_id, c.vec_id AS n_id,
+             |    CAST(SUM((q_code - code) * (q_code - code)) AS BIGINT)
+             |      AS dist
+             |  FROM qd JOIN c ON qd.dim = c.dim AND c.vec_id <> qd.q_id
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |         ORDER BY dist, n_id) AS rnk FROM sc)
+             |SELECT q_id, n_id, rnk, dist FROM rk WHERE rnk <= 10
+             |ORDER BY q_id, rnk""".stripMargin))
   )
 }
