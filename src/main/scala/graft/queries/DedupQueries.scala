@@ -533,14 +533,19 @@ object DedupQueries extends Suite {
         edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
       var labels = base.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 5) {
-        val nbrMin = sym
+        // one round = min over (own label ∪ neighbor labels): the
+        // neighbor stream UNIONs with the self-labels before a single
+        // groupBy-min — two exchanges per round where the
+        // aggregate-then-left-join form paid three (the extra outer
+        // join back to labels). The self branch keeps isolated docs,
+        // and min(own ∪ neighbors) ≡ the oracle's CASE form
+        // least(own, min(neighbors)).
+        labels = sym
           .join(labels.select(col("doc_id").as("nb"), col("label").as("nb_label")),
             col("id_2") === col("nb"))
-          .groupBy(col("id_1")).agg(min("nb_label").as("nl"))
-        labels = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("id_1"), "left_outer")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .select(col("id_1").as("doc_id"), col("nb_label").as("label"))
+          .union(labels)
+          .groupBy("doc_id").agg(min("label").as("label"))
           // eager per-round materialization: each round's join then
           // probes a flat in-memory table instead of re-planning (and
           // at cluster scale re-executing) the whole prefix of rounds
