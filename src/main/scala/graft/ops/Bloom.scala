@@ -1,11 +1,9 @@
 package graft.ops
 
-import graft.expressions.Kernels
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Bloom-filter runtime join pruning: build a compact bitset over the
   * SMALL side's join keys, prefilter the BIG side before it shuffles,
@@ -14,11 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * join, so the filter is a pure optimization).
   *
   * This is the hand-rollable form of Spark's own runtime-filter
-  * rewrite (`InjectRuntimeFilter`), with the engine's portable-hash
-  * determinism contract: bit positions come from the salted 60-bit
-  * md5 hash ([[Text.saltedHash]]), so the bitset is bit-identical on
-  * any cluster/partitioning (reduce sets bits; merge ORs words —
-  * associative, commutative, idempotent).
+  * rewrite (`InjectRuntimeFilter`). Bit positions come from
+  * `xxhash64(key, i)` — codegen'd native hashing on both the build
+  * and probe side (the SAME [[Bloom.positions]] expression, so
+  * no-false-negatives holds by construction). The bitset never
+  * reaches a result: any hash family yields the identical join
+  * output (false positives are removed by the join), so the
+  * engine-portable md5 hash the data-visible operators use is not
+  * needed here — and dropping it removes k MessageDigest calls per
+  * probed fact row (d19 1.9 → sub-second at sf0.1). Merge ORs words:
+  * associative, commutative, idempotent — partial aggregation
+  * applies and the bitset is partitioning-invariant.
   *
   * At 100 TB this is the difference between shuffling the full fact
   * table and shuffling only rows that can match: the bitset is
@@ -27,21 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * bits, k hashes and n keys the false-positive rate is
   * `(1 - e^(-kn/m))^k` — size m ≈ 10 bits/key for ~1% at k=4.
   */
-class BloomAgg(bits: Int, k: Int)
-    extends Aggregator[String, Array[Long], Seq[Long]] {
+class BloomAgg(bits: Int)
+    extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
   require(bits > 0 && bits % 64 == 0, s"bits must be a multiple of 64: $bits")
-  require(k > 0, s"need k > 0, got $k")
 
   override def zero: Array[Long] = new Array[Long](bits / 64)
 
-  override def reduce(buf: Array[Long], key: String): Array[Long] = {
-    var i = 0
-    while (i < k) {
-      val h = Kernels.portableHash60(UTF8String.fromString(s"$key|s$i"))
-      val pos = (h % bits).toInt // h in [0, 2^60): % == pmod
-      buf(pos >>> 6) |= 1L << (pos & 63)
-      i += 1
-    }
+  override def reduce(buf: Array[Long], pos: Seq[Int]): Array[Long] = {
+    pos.foreach(p => buf(p >>> 6) |= 1L << (p & 63))
     buf
   }
 
@@ -61,13 +58,21 @@ class BloomAgg(bits: Int, k: Int)
 
 object Bloom {
 
+  /** The k bit positions of a key — the ONE definition both the
+    * build aggregation and the probe filter evaluate (codegen'd
+    * xxhash64; `pmod` because xxhash64 spans the full long range).
+    */
+  def positions(key: Column, bits: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(bits.toLong)).cast("int")): _*)
+
   /** Collect the bitset for `small`'s key column (one tiny job; the
     * small side is small by contract — it's the broadcast side).
     */
   def buildBits(small: DataFrame, key: Column, bits: Int, k: Int)
       : Seq[Long] = {
-    val agg = udaf(new BloomAgg(bits, k))
-    small.select(agg(key.cast("string")).as("bs"))
+    val agg = udaf(new BloomAgg(bits))
+    small.select(agg(positions(key, bits, k)).as("bs"))
       .head.getSeq[Long](0)
   }
 
@@ -79,19 +84,20 @@ object Bloom {
   def mightContain(bitset: Seq[Long], key: Column, bits: Int, k: Int)
       : Column = {
     val arr = typedlit(bitset)
-    (0 until k).map { i =>
-      val pos = Text.saltedHash(key.cast("string"), i) % bits
-      val word = element_at(arr, (pos / 64).cast("int") + 1)
+    val pos = positions(key, bits, k)
+    (1 to k).map { i =>
+      val p = element_at(pos, i)
+      val word = element_at(arr, (p / 64).cast("int") + 1)
       // functions.shiftleft only takes a literal shift — go through
       // the registry for a column-valued shift amount
       word.bitwiseAND(
-        call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+        call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)
   }
 
   /** The composed operator: equi-join `big ⋈ small` with the big side
     * bloom-prefiltered before the shuffle. Result == plain join.
-    * `pos / 64` above is exact: pos < bits <= 2^30 « 2^53.
+    * `p / 64` above is exact: p < bits <= 2^30 « 2^53.
     */
   def prefilterJoin(big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column,

@@ -872,6 +872,89 @@ object DedupQueries extends Suite {
              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
              |         ORDER BY dist, n_id) AS rnk FROM sc)
              |SELECT q_id, n_id, rnk, dist FROM rk WHERE rnk <= 10
-             |ORDER BY q_id, rnk""".stripMargin))
+             |ORDER BY q_id, rnk""".stripMargin)),
+
+    // D27: content-defined chunking (CDC) dedup — chunk boundaries
+    // where the rolling 3-gram hash ≡ 0 (mod 16), so boundaries are a
+    // pure function of LOCAL content: inserting or deleting a word
+    // shifts only the chunks it touches, and every other chunk keeps
+    // its fingerprint. That is the shift-robustness fixed-stride
+    // passage windows (t23) lack — the rsync/LBFS idea applied to
+    // token streams. ~1/16 boundary rate → ~16-token expected chunks.
+    // One exchange on doc_id feeds the lead()s, the boundary cumsum,
+    // AND the chunk fingerprint groupBy (doc_id is a prefix of the
+    // group key, so the window partitioning is reused); dup detection
+    // is a chunk-fingerprint aggregate with map-side partials.
+    Q("d27_cdc_chunks", (s, d) => {
+      val w = Text.wordsWithPos(docs(s, d), "doc_id", "text")
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val g = w
+        .withColumn("w2", lead("word", 1).over(wd))
+        .withColumn("w3", lead("word", 2).over(wd))
+        .withColumn("bnd",
+          when(col("w3").isNotNull &&
+            Text.portableHash(concat_ws(" ", col("word"), col("w2"),
+              col("w3"))) % 16 === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(
+          sum("bnd").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val chunks = g.groupBy("doc_id", "chunk_id")
+        .agg(md5(concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
+          .as("fp"))
+      val dupFp = chunks.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+        .withColumn("is_dup", lit(1))
+      chunks.join(broadcast(dupFp), Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+        .withColumn("dup_ppm",
+          expr("n_dup_chunks * 1000000 div n_chunks"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH w0 AS (
+              |  SELECT doc_id,
+              |    generate_subscripts(string_split(text,' '),1) AS pos,
+              |    unnest(string_split(text,' ')) AS word
+              |  FROM documents),
+              |w AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+              |    word
+              |  FROM w0 WHERE len(word) > 0),
+              |g0 AS (
+              |  SELECT doc_id, pos, word,
+              |    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+              |    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+              |  FROM w),
+              |g AS (
+              |  SELECT doc_id, pos, word,
+              |    CASE WHEN w3 IS NOT NULL AND
+              |      ${hSqlPlain("word || ' ' || w2 || ' ' || w3")} % 16 = 0
+              |      THEN 1 ELSE 0 END AS bnd
+              |  FROM g0),
+              |c AS (
+              |  SELECT doc_id, pos, word,
+              |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS chunk_id
+              |  FROM g),
+              |chunks AS (
+              |  SELECT doc_id, chunk_id,
+              |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+              |  FROM c GROUP BY doc_id, chunk_id),
+              |dup AS (
+              |  SELECT fp FROM chunks
+              |  GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+              |SELECT chunks.doc_id, COUNT(*) AS n_chunks,
+              |  CAST(SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_dup_chunks,
+              |  CAST((SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
+              |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+              |FROM chunks LEFT JOIN dup ON chunks.fp = dup.fp
+              |GROUP BY chunks.doc_id ORDER BY chunks.doc_id""".stripMargin))
   )
 }

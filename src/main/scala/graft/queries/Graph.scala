@@ -42,10 +42,15 @@ object GraphQueries extends Suite {
       // iteration joins a flat in-memory table instead of re-running
       // the lineitem⋈part pair generation; at 100 TB the 5x scan
       // re-execution is the real cost
-      val edges = e0.select("src", "dst")
+      val edges0 = e0.select("src", "dst")
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      // fold the (iteration-invariant) out-degree onto each edge row
+      // once — every hop then needs a SINGLE join (edges⋈rank), not
+      // edges⋈rank⋈deg; deg is derived from the already-checkpointed
+      // edge list, so this adds one tiny aggregate, not a re-scan
+      val edges = edges0.join(deg, "src").localCheckpoint()
       // driver-side scalar splice (o29 pattern): node count feeds the
       // integer base constants
       val nNodes = deg.count()
@@ -64,7 +69,6 @@ object GraphQueries extends Suite {
         for (_ <- 1 to 5) {
           rank = edges
             .join(rank, col("src") === col("node"))
-            .join(deg, "src")
             .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
             .groupBy("dst")
             .agg(sum("c").as("cs"))

@@ -165,23 +165,27 @@ object MlQueries extends Suite {
 
   private[queries] def nbConfusion(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val trd = base.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      .select("doc_id", "lang")
-    val ted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select("doc_id", "lang")
-    val trw = Text.words(
-      base.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
-    val tew = Text.words(
-      base.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    val isTest = pmod(col("doc_id"), lit(10)) === 0
+    val trd = base.filter(!isTest).select("doc_id", "lang")
+    val ted = base.filter(isTest).select("doc_id", "lang")
+    // carry lang through the explode: the per-word class label comes
+    // straight off the document row, not from a token-stream join
+    // back to trd/ted (two exchanges saved)
+    val trw = base.filter(!isTest)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val tew = Text.words(base.filter(isTest), "doc_id", "text")
 
     val cls = trd.select("lang").distinct()
     val priors = trd.groupBy("lang").agg(count(lit(1)).as("pc"))
       .crossJoin(broadcast(trd.agg(count(lit(1)).as("dd"))))
       .select(col("lang"), expr("(pc * 1000000) div dd").as("prior_ppm"))
-    val cw = trw.join(trd, "doc_id").groupBy("lang", "word")
-      .agg(count(lit(1)).as("c"))
+    val cw = trw.groupBy("lang", "word").agg(count(lit(1)).as("c"))
     val nc = cw.groupBy("lang").agg(sum("c").as("n_c"))
-    val vocab = trw.agg(countDistinct("word").as("v"))
+    // |vocab| off the (lang x word)-bounded count table, not a
+    // distinct over the full token stream
+    val vocab = cw.agg(countDistinct("word").as("v"))
     val den = cls.join(nc, Seq("lang"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("lang"),
@@ -194,7 +198,7 @@ object MlQueries extends Suite {
 
     val occ = tew.crossJoin(broadcast(cls))
       .join(broadcast(defp), "lang")
-      .join(pw, Seq("lang", "word"), "left")
+      .join(broadcast(pw), Seq("lang", "word"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("p_ppm"), col("def_ppm")).as("ppm"))
     val wsum = occ.groupBy("doc_id", "lang").agg(sum("ppm").as("wsum"))
@@ -204,11 +208,13 @@ object MlQueries extends Suite {
       .join(wsum, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("true_lang"), col("lang"),
         (coalesce(col("wsum"), lit(0L)) + col("prior_ppm")).as("score"))
-    val wp = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("lang"))
-    scores.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") === 1)
-      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+    // argmax with lexical tiebreak as ONE aggregate — minimize
+    // (-score, lang) — instead of a per-doc sort + row_number filter
+    scores
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min_by(col("lang"),
+        struct((-col("score")).as("ns"), col("lang"))).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -540,6 +546,53 @@ object MlQueries extends Suite {
               |SELECT * FROM (
               |$blocks
               |) ORDER BY fold, cid""".stripMargin)
-    })
+    }),
+
+    // M4+: distributed AUC (rank statistic) — the binary-ranking
+    // metric every classifier eval needs, in the SCALABLE
+    // formulation: aggregate to per-score (n_pos, n_neg) counts
+    // first (map-side partials over the full corpus), then the
+    // Mann-Whitney U runs as a window over the DISTINCT-score table,
+    // which is orders of magnitude smaller than the row count — no
+    // global sort of the corpus, unlike the per-row rank() form.
+    // Doubled-U arithmetic keeps tie handling (average ranks) in
+    // exact integers: auc = U/(P*N) with
+    // 2U = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s)).
+    // Label: lang='en'; score: n_chars (a deterministic stand-in for
+    // any model score column).
+    Q("m08_auc", (s, d) => {
+      val scored = docs(s, d).select(
+        col("n_chars").as("score"),
+        (col("lang") === "en").cast("long").as("y"))
+      val perScore = scored.groupBy("score")
+        .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val u2 = perScore
+        .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+            .as("u2"),
+          sum("np").as("p"), sum("nn").as("n"))
+      u2.select(col("p"), col("n"),
+        expr("(u2 * 1000000) div (2 * p * n)").as("auc_ppm"))
+    },
+      Some("""WITH sc AS (
+             |  SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |ps AS (
+             |  SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+             |    CAST(SUM(1 - y) AS BIGINT) AS nn
+             |  FROM sc GROUP BY score),
+             |cum AS (
+             |  SELECT *, COALESCE(SUM(nn) OVER (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cum_nn
+             |  FROM ps)
+             |SELECT CAST(SUM(np) AS BIGINT) AS p,
+             |  CAST(SUM(nn) AS BIGINT) AS n,
+             |  CAST((SUM(np * (2 * cum_nn + nn)) * 1000000)
+             |    // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_ppm
+             |FROM cum""".stripMargin))
   )
 }

@@ -64,9 +64,10 @@ class CurationSpec extends SparkSpec {
   test("bloom bitset merge is partitioning-invariant") {
     val keys = Tables.load(spark, sf, "orders").select(
       col("o_orderkey").cast("string").as("k"))
-    val agg = udaf(new BloomAgg(1 << 14, 4))
+    val agg = udaf(new BloomAgg(1 << 14))
     def bits(parts: Int) = keys.repartition(parts)
-      .agg(agg(col("k")).as("bs")).head.getSeq[Long](0)
+      .agg(agg(Bloom.positions(col("k"), 1 << 14, 4)).as("bs"))
+      .head.getSeq[Long](0)
     assert(bits(1) === bits(17))
   }
 
