@@ -583,6 +583,28 @@ object CurationQueries extends Suite {
              |SELECT doc_id, COUNT(*) AS n_tok,
              |  CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
              |FROM w JOIN r USING (word)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Leakage-safe train/test split: membership is hashed from the
+    // bag-of-words DUP KEY, not the row id — every (near-)duplicate
+    // of a document lands in the same split by construction, so a
+    // test document can never have a training-set twin (the
+    // train/test contamination channel row-id splits leave open).
+    // Same narrow-map scale shape as a05: no shuffle, no dup-group
+    // materialization — co-assignment falls out of hashing the key.
+    Q("a20_leakage_split", (s, d) => {
+      val keyed = docs(s, d).select(col("doc_id"),
+        Dedup.bagOfWordsKey(col("text")).as("k"))
+      Split.assign(keyed, "k", Seq("train" -> 9000, "test" -> 1000),
+          saltName = "lsplit")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN ${hSql(
+                   "md5(array_to_string(list_sort(list_distinct(" +
+                     "string_split(text,' '))),' '))", "|lsplit")}
+              |    % 10000 < 9000 THEN 'train' ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -157,6 +158,67 @@ object GraphQueries extends Suite {
              |  UNION ALL SELECT b FROM tri
              |  UNION ALL SELECT c FROM tri)
              |SELECT brand, COUNT(*) AS n_triangles
-             |FROM corners GROUP BY brand ORDER BY brand""".stripMargin))
+             |FROM corners GROUP BY brand ORDER BY brand""".stripMargin)),
+
+    // g03: connected components of the bag-of-words dup graph by
+    // large-star/small-star contraction (ops/StarCC) — the
+    // O(log n)-round CC that replaces d12's diameter-bounded label
+    // propagation at 100 TB. 2 alternations; fixed-round determinism
+    // (the oracle replays the identical rounds, converged or not —
+    // on this graph the BoW groups are cliques, converged after 1).
+    Q("g03_cc_star", (s, d) => {
+      val base = Tables.load(s, d, "documents")
+      val edges = base
+        .select(col("doc_id"), Dedup.bagOfWordsKey(col("text")).as("k"))
+        .groupBy("k").agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(graft.expressions.ArrayPairs.array_pairs(col("ids"))
+          .as(Seq("u", "v")))
+      val roots = graft.ops.StarCC.components(edges, rounds = 2)
+      base.select("doc_id")
+        .join(roots, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("root"))
+        .orderBy("doc_id")
+    }, {
+      val rounds = (1 to 2).map { r =>
+        s"""sym$r AS (
+           |  SELECT u, v FROM e${r - 1}
+           |  UNION SELECT v AS u, u AS v FROM e${r - 1}),
+           |mn$r AS (
+           |  SELECT u, LEAST(MIN(v), u) AS m FROM sym$r GROUP BY u),
+           |ls$r AS (
+           |  SELECT DISTINCT s.v AS u, m.m AS v
+           |  FROM sym$r s JOIN mn$r m ON s.u = m.u
+           |  WHERE s.v > s.u AND s.v <> m.m),
+           |o$r AS (
+           |  SELECT GREATEST(u, v) AS u, LEAST(u, v) AS v
+           |  FROM ls$r WHERE u <> v),
+           |mns$r AS (SELECT u, MIN(v) AS m FROM o$r GROUP BY u),
+           |e$r AS (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT o.v AS u, m.m AS v
+           |    FROM o$r o JOIN mns$r m ON o.u = m.u
+           |    UNION ALL
+           |    SELECT o.u AS u, m.m AS v
+           |    FROM o$r o JOIN mns$r m ON o.u = m.u) t
+           |  WHERE u <> v)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    md5(array_to_string(list_sort(list_distinct(
+              |      string_split(text,' '))),' ')) AS k
+              |  FROM documents),
+              |e0 AS (
+              |  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+              |  FROM b a JOIN b b2 ON a.k = b2.k AND a.doc_id < b2.doc_id),
+              |$rounds,
+              |roots AS (
+              |  SELECT GREATEST(u, v) AS node, MIN(LEAST(u, v)) AS root
+              |  FROM e2 GROUP BY 1)
+              |SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS root
+              |FROM documents d LEFT JOIN roots r ON d.doc_id = r.node
+              |ORDER BY d.doc_id""".stripMargin)
+    })
   )
 }

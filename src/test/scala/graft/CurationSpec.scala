@@ -71,6 +71,22 @@ class CurationSpec extends SparkSpec {
     assert(bits(1) === bits(17))
   }
 
+  test("leakage-safe split: word-multiset duplicates always co-assign") {
+    import spark.implicits._
+    // same bag of words under reordering/repetition-preserving
+    // permutations -> same BoW key -> same split, for any salt
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "beta gamma alpha"), (4L, "delta alpha")).toDF("doc_id", "text")
+    val keyed = docs.select(col("doc_id"),
+      graft.ops.Dedup.bagOfWordsKey(col("text")).as("k"))
+    val s = Split.assign(keyed, "k", Seq("train" -> 5000, "test" -> 5000),
+        saltName = "lsplit")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s(1L) === s(2L) && s(2L) === s(3L),
+      "reordered duplicates must share a split")
+  }
+
   test("Split.assign: fractions ~honored, deterministic, exhaustive") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Split.assign(docs, "doc_id",

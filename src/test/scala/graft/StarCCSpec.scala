@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.StarCC
+import org.apache.spark.sql.functions._
+
+/** Star-contraction CC against ground truth on graphs where
+  * convergence genuinely takes multiple alternations (chains — the
+  * worst case for min-label propagation), plus invariance checks the
+  * oracle can't express.
+  */
+class StarCCSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rootsOf(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    val e = edges.toDF("u", "v")
+    val r = StarCC.components(e, rounds)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    nodes.map(n => n -> r.getOrElse(n, n)).toMap
+  }
+
+  test("chains, cliques, and singletons resolve to component minima") {
+    // chain 1-2-3-4-5-6-7-8 (depth 7), clique {10,11,12}, edge {20,21},
+    // singleton 30
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+      (10, 11), (11, 12), (10, 12), (20, 21))
+    val nodes = (1L to 8L) ++ Seq(10L, 11L, 12L, 20L, 21L, 30L)
+    val got = rootsOf(edges, nodes, rounds = 4)
+    (1L to 8L).foreach(n => assert(got(n) === 1L, s"node $n"))
+    Seq(10L, 11L, 12L).foreach(n => assert(got(n) === 10L))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got(30L) === 30L)
+  }
+
+  test("star contraction beats diameter: depth-15 chain in 4 rounds") {
+    // label propagation would need 15 hops; each large+small
+    // alternation at least halves star heights
+    val edges = (1L until 16L).map(i => (i, i + 1))
+    val got = rootsOf(edges, 1L to 16L, rounds = 4)
+    (1L to 16L).foreach(n => assert(got(n) === 1L, s"node $n"))
+  }
+
+  test("result is invariant to edge orientation and input partitioning") {
+    val edges = Seq[(Long, Long)]((5, 3), (3, 9), (9, 1), (2, 7))
+    val flipped = edges.map { case (a, b) => (b, a) }
+    val a = StarCC.components(edges.toDF("u", "v"), 3)
+      .orderBy("node").collect().toSeq
+    val b = StarCC.components(flipped.toDF("u", "v").repartition(7), 3)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+}
