@@ -898,10 +898,14 @@ object DedupQueries extends Suite {
         .withColumn("chunk_id", coalesce(
           sum("bnd").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      // the chunk table feeds BOTH the dup-fp aggregate and the
+      // per-doc join — materialize once (d12 discipline) or the
+      // whole window+fingerprint pipeline executes twice
       val chunks = g.groupBy("doc_id", "chunk_id")
         .agg(md5(concat_ws(" ",
           expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
           .as("fp"))
+        .localCheckpoint()
       val dupFp = chunks.groupBy("fp")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("fp")

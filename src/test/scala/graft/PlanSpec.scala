@@ -236,6 +236,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a17: packing is one hash exchange (per-shard prefix sum, no global sort)") {
+    val p = plan("a17_sequence_pack")
+    // one exchange for the shard windows + the final presentation
+    // sort; crucially NO rangepartitioning before the window — the
+    // prefix sum must run per shard, not over a global order
+    val upToSort = p.split("Sort ").head
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(4000)}")
+    assert(!upToSort.contains("rangepartitioning"), p.take(4000))
+  }
+
+  test("d26: SQ8 search broadcasts queries — corpus never shuffles") {
+    val p = plan("d26_knn_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("d27: token pipeline runs once; only chunk-table exchanges remain") {
+    val p = plan("d27_cdc_chunks")
+    // the chunk table is checkpointed, so the final plan must contain
+    // NO token explode (the window+fingerprint pipeline executed
+    // exactly once, into the checkpoint) — both the dup-fp branch and
+    // the per-doc branch read the materialized chunk table
+    assert(!p.contains("Generate"),
+      s"token pipeline re-executes in the final plan:\n${p.take(4000)}")
+    // remaining exchanges move only the ~tokens/16-row chunk table:
+    // (fp,doc) distinct partial, fp dup count, final per-doc agg
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 3,
+      s"expected <=3 hash exchanges, got $hashExchanges:\n${p.take(4000)}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val path = "/root/repo/target/graft-tmp/orders_by_year"
