@@ -424,6 +424,120 @@ object TextQueries2 extends Suite {
              |  CAST((SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
              |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
              |FROM p LEFT JOIN dup ON p.fp = dup.fp
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // T25: BPE tokenizer-training step — two merge iterations as
+    // relational algebra. The corpus collapses to the weighted
+    // VOCABULARY first (one aggregate; everything after is
+    // corpus-size-independent — exactly how real BPE trainers count),
+    // then each iteration is: adjacent-symbol pair counts weighted by
+    // word frequency → argmax merge (count desc, pair asc — total
+    // order) → greedy left-to-right merge application. The merge is
+    // EXACT BPE greedy semantics (overlapping matches resolve
+    // left-first: y·y·y with merge (y,y) → yy·y): Spark applies it as
+    // a fold over the symbol array (narrow, one projection); the
+    // oracle replays it with an islands window (odd positions of each
+    // consecutive-match run) — two independent formulations of the
+    // same contract, reconciled by the hash gate.
+    Q("t25_bpe_merges", (s, d) => {
+      val vocab = Text.words(docs(s, d), "doc_id", "text")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", split(col("word"), ""))
+        .select("word", "cnt", "syms")
+        .localCheckpoint() // tiny (|vocab| rows); feeds both iterations
+
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(col("cnt"),
+            explode(expr(
+              """CASE WHEN size(syms) >= 2
+                 |THEN zip_with(slice(syms, 1, size(syms) - 1),
+                 |              slice(syms, 2, size(syms) - 1),
+                 |              (a, b) -> concat(a, ' ', b))
+                 |ELSE array() END""".stripMargin)).as("pr"))
+          .groupBy("pr").agg(sum("cnt").as("pcnt"))
+
+      def top3(pc: DataFrame, it: Int): DataFrame = {
+        val w = Window.orderBy(desc("pcnt"), asc("pr"))
+        pc.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(lit(it).as("it"), col("rnk"), col("pr"), col("pcnt"))
+      }
+
+      val pc1 = pairCounts(vocab).localCheckpoint()
+      val b1 = pc1.orderBy(desc("pcnt"), asc("pr")).limit(1)
+        .select(substring_index(col("pr"), " ", 1).as("mx"),
+          substring_index(col("pr"), " ", -1).as("my"))
+      // greedy-left merge fold: if the accumulator's last symbol is x
+      // and the current is y, fuse them — the fused token no longer
+      // equals x, so runs resolve left-first like reference BPE
+      val vocab2 = vocab.crossJoin(broadcast(b1))
+        .withColumn("syms", expr(
+          """aggregate(syms, CAST(array() AS array<string>),
+             |  (acc, c) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = mx AND c = my
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |                array(concat(mx, my)))
+             |    ELSE concat(acc, array(c)) END)""".stripMargin))
+        .select("word", "cnt", "syms")
+      val pc2 = pairCounts(vocab2)
+      top3(pc1, 1).unionByName(top3(pc2, 2)).orderBy("it", "rnk")
+    },
+      Some("""WITH v AS (
+             |  SELECT word, COUNT(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text,' ')) AS word
+             |    FROM documents) WHERE len(word) > 0 GROUP BY word),
+             |s1 AS (
+             |  SELECT word, cnt,
+             |    generate_subscripts(string_split(word,''),1) AS pos,
+             |    unnest(string_split(word,'')) AS sym
+             |  FROM v),
+             |pc1 AS (
+             |  SELECT a.sym || ' ' || b.sym AS pr,
+             |    CAST(SUM(a.cnt) AS BIGINT) AS pcnt
+             |  FROM s1 a JOIN s1 b ON a.word = b.word AND b.pos = a.pos + 1
+             |  GROUP BY 1),
+             |b1 AS (SELECT string_split(pr, ' ')[1] AS mx,
+             |              string_split(pr, ' ')[2] AS my
+             |       FROM pc1 ORDER BY pcnt DESC, pr LIMIT 1),
+             |m AS (
+             |  SELECT s.word, s.cnt, s.pos, s.sym,
+             |    CASE WHEN s.sym = b1.mx AND lead(s.sym) OVER
+             |        (PARTITION BY s.word ORDER BY s.pos) = b1.my
+             |      THEN 1 ELSE 0 END AS mm
+             |  FROM s1 s, b1),
+             |isl AS (
+             |  SELECT *, pos - row_number() OVER
+             |      (PARTITION BY word, mm ORDER BY pos) AS grp
+             |  FROM m),
+             |sel AS (
+             |  SELECT *, CASE WHEN mm = 1 AND (row_number() OVER
+             |      (PARTITION BY word, mm, grp ORDER BY pos)) % 2 = 1
+             |    THEN 1 ELSE 0 END AS sel
+             |  FROM isl),
+             |em AS (
+             |  SELECT word, cnt, pos,
+             |    CASE WHEN sel = 1 THEN (SELECT mx || my FROM b1)
+             |         WHEN COALESCE(lag(sel) OVER
+             |           (PARTITION BY word ORDER BY pos), 0) = 1 THEN NULL
+             |         ELSE sym END AS sym
+             |  FROM sel),
+             |s2 AS (
+             |  SELECT word, cnt,
+             |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             |    sym
+             |  FROM em WHERE sym IS NOT NULL),
+             |pc2 AS (
+             |  SELECT a.sym || ' ' || b.sym AS pr,
+             |    CAST(SUM(a.cnt) AS BIGINT) AS pcnt
+             |  FROM s2 a JOIN s2 b ON a.word = b.word AND b.pos = a.pos + 1
+             |  GROUP BY 1),
+             |t1 AS (SELECT 1 AS it, CAST(row_number() OVER
+             |         (ORDER BY pcnt DESC, pr) AS INT) AS rnk, pr, pcnt
+             |       FROM pc1 ORDER BY pcnt DESC, pr LIMIT 3),
+             |t2 AS (SELECT 2 AS it, CAST(row_number() OVER
+             |         (ORDER BY pcnt DESC, pr) AS INT) AS rnk, pr, pcnt
+             |       FROM pc2 ORDER BY pcnt DESC, pr LIMIT 3)
+             |SELECT * FROM t1 UNION ALL SELECT * FROM t2
+             |ORDER BY it, rnk""".stripMargin))
   )
 }

@@ -51,4 +51,28 @@ class TextOpsSpec extends SparkSpec {
       .select("sh").collect().map(_.getString(0)).sorted
     assert(sh.toSeq === Seq("a b", "b c", "c d"))
   }
+
+  test("BPE merge fold is greedy left-to-right on overlapping runs") {
+    // the t25 merge-application lambda, pinned on the cases where
+    // naive string replace diverges from reference BPE
+    val cases = Seq(
+      ("yyyy", "y", "y", Seq("yy", "yy")),   // runs merge left-first
+      ("yyy", "y", "y", Seq("yy", "y")),
+      ("aab", "a", "b", Seq("a", "ab")),     // merge after a non-match
+      ("abab", "a", "b", Seq("ab", "ab")),   // every occurrence merges
+      ("ba", "a", "b", Seq("b", "a")))       // order matters
+    val df = cases.map(c => (c._1, c._2, c._3)).toDF("w", "mx", "my")
+    val out = df.withColumn("m", expr(
+      """aggregate(split(w, ''), CAST(array() AS array<string>),
+        |  (acc, c) -> CASE WHEN size(acc) > 0
+        |      AND element_at(acc, -1) = mx AND c = my
+        |    THEN concat(slice(acc, 1, size(acc) - 1),
+        |                array(concat(mx, my)))
+        |    ELSE concat(acc, array(c)) END)""".stripMargin))
+      .select("w", "m").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    cases.foreach { case (w, _, _, want) =>
+      assert(out(w) === want, s"word $w")
+    }
+  }
 }
