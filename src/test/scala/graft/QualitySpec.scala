@@ -69,17 +69,26 @@ class QualitySpec extends SparkSpec {
 
   test("observation does not spawn extra jobs vs the bare action") {
     val sc = spark.sparkContext
-    def jobs = sc.statusTracker.getJobIdsForGroup(null).length
+    // count jobs in a DEDICATED job group: the default-group count is
+    // perturbed by every other suite sharing this session, and the
+    // status tracker's retained-jobs window evicts old ids mid-test
+    // on long runs (observed as a negative delta)
+    def countJobs(body: => Unit): Int = {
+      val group = s"qualityspec-${java.util.UUID.randomUUID()}"
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
     val df = Tables.load(spark, sf, "orders").select("o_orderkey")
     // baseline: identical write WITHOUT observation
-    val j0 = jobs
-    df.write.format("noop").mode("overwrite").save()
-    val bare = jobs - j0
+    val bare = countJobs {
+      df.write.format("noop").mode("overwrite").save()
+    }
     // observed write must cost the same number of jobs
     val (observed, obs) = Quality.observeCompleteness(df, Seq("o_orderkey"))
-    val j1 = jobs
-    observed.write.format("noop").mode("overwrite").save()
-    val withObs = jobs - j1
+    val withObs = countJobs {
+      observed.write.format("noop").mode("overwrite").save()
+    }
     assert(obs.get("n_rows").asInstanceOf[Long] > 0L)
     assert(withObs === bare,
       s"observation changed job count: $withObs vs $bare")

@@ -41,6 +41,36 @@ class StarCCSpec extends SparkSpec {
     (1L to 16L).foreach(n => assert(got(n) === 1L, s"node $n"))
   }
 
+  test("random graphs match union-find ground truth") {
+    // seeded random graphs (deterministic), roots = component minima
+    // via a plain Scala union-find; log2(n)+2 alternations suffice
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val truth = (0 until n).map { v =>
+        // component root = min node of the component
+        val root = (0 until n).filter(u => find(u) == find(v)).min
+        v.toLong -> root.toLong
+      }.toMap
+      val rounds = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+      val got = rootsOf(edges, (0L until n).toSeq, rounds)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      touched.foreach { v =>
+        assert(got(v) === truth(v), s"seed=$seed node=$v")
+      }
+    }
+  }
+
   test("result is invariant to edge orientation and input partitioning") {
     val edges = Seq[(Long, Long)]((5, 3), (3, 9), (9, 1), (2, 7))
     val flipped = edges.map { case (a, b) => (b, a) }
