@@ -585,6 +585,42 @@ object CurationQueries extends Suite {
              |FROM w JOIN r USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled mixture sampling (multilingual-LM style):
+    // per-language sampling mass ∝ n^(1/2) (T=2), so low-resource
+    // languages are up-weighted relative to proportional sampling —
+    // the standard cure for high-resource dominance. Weights are
+    // floor(sqrt(n)) (IEEE sqrt is correctly rounded, so floor is
+    // engine-identical); target total = half the corpus; per-doc
+    // membership via the salted hash. One tiny aggregate broadcasts
+    // back — the same no-shuffle membership shape as a05/a08.
+    Q("a21_temperature_mix", (s, d) => {
+      val base = docs(s, d)
+      val counts = base.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          floor(sqrt(col("n").cast("double"))).cast("long"))
+      val tot = counts.agg(sum("n").as("nt"), sum("w").as("sw"))
+      val thr = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          expr("((nt div 2) * w * 10000) div (sw * n)").as("thr"))
+      base.join(broadcast(thr), "lang")
+        .filter(Split.bucket(col("doc_id"), "temp") < col("thr"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH c AS (
+              |  SELECT lang, COUNT(*) AS n,
+              |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+              |  FROM documents GROUP BY lang),
+              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+              |             CAST(SUM(w) AS BIGINT) AS sw FROM c),
+              |thr AS (
+              |  SELECT lang, ((nt // 2) * w * 10000) // (sw * n) AS thr
+              |  FROM c, t)
+              |SELECT doc_id, lang
+              |FROM documents JOIN thr USING (lang)
+              |WHERE ${hSql("CAST(doc_id AS VARCHAR)", "|temp")} % 10000 < thr
+              |ORDER BY doc_id""".stripMargin)),
+
     // Leakage-safe train/test split: membership is hashed from the
     // bag-of-words DUP KEY, not the row id — every (near-)duplicate
     // of a document lands in the same split by construction, so a

@@ -593,6 +593,39 @@ object MlQueries extends Suite {
              |  CAST(SUM(nn) AS BIGINT) AS n,
              |  CAST((SUM(np * (2 * cum_nn + nn)) * 1000000)
              |    // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_ppm
-             |FROM cum""".stripMargin))
+             |FROM cum""".stripMargin)),
+
+    // M4+: calibration / reliability bins — mean predicted
+    // probability vs observed positive rate per score decile, the
+    // reliability-diagram aggregation of classifier eval. Score =
+    // n_chars normalized to ppm against the corpus max (deterministic
+    // stand-in for any model-probability column, like m08); one
+    // corpus aggregate + one broadcast-back + one 10-group aggregate
+    // — everything map-side-combinable, all integer ppm.
+    Q("m09_calibration", (s, d) => {
+      val base = docs(s, d).select(
+        col("n_chars"), (col("lang") === "en").cast("long").as("y"))
+      val mx = base.agg(max("n_chars").as("mxc"))
+      base.crossJoin(broadcast(mx))
+        .withColumn("score_ppm", expr("(n_chars * 1000000) div mxc"))
+        .withColumn("bin",
+          least(expr("score_ppm div 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(score_ppm) div count(1)").as("mean_score_ppm"),
+          expr("(sum(y) * 1000000) div count(1)").as("pos_ppm"))
+        .orderBy("bin")
+    },
+      Some("""WITH b AS (
+             |  SELECT n_chars,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    (n_chars * 1000000)
+             |      // (SELECT MAX(n_chars) FROM documents) AS score_ppm
+             |  FROM documents)
+             |SELECT LEAST(score_ppm // 100000, 9) AS bin,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+             |  CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_ppm
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }
