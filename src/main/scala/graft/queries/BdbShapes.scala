@@ -385,7 +385,14 @@ object BdbShapes extends Suite {
     // component stddev per the engine's determinism discipline.
     Q("b23_cov_months", (s, d) => {
       val dt = col("l_shipdate").cast("date")
+      // ONE shuffle total: (suppkey, date) is nearly unique (533k of
+      // 600k rows at sf0.1), so map-side partials save nothing —
+      // pre-partition the pruned scan by suppkey instead, and the
+      // daily agg, the monthly agg AND the consecutive-month window
+      // all run partition-local (suppkey is a subset of every key)
       val daily = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+        .repartition(col("l_suppkey"))
         .groupBy(col("l_suppkey"),
           ((year(dt) - 1992) * 12 + month(dt) - 1).as("m"),
           col("l_shipdate"))

@@ -72,7 +72,17 @@ object DumpPlans {
     "b21_return_rebuy" ->
       "the rebuy window as a RANGE frame (days -90..-1) over one (cust, part) exchange — single fact scan, fully codegen'd, replacing the ret x buy self-join that computed the lineitem⋈orders base twice",
     "o13_basket_pairs" ->
-      "one aggregation pass: groupBy(order) + collect_set + the ArrayPairs Generator — the basket exchange is the only shuffle before the pair count (the distinct + self-join form paid two shuffles and an SMJ)")
+      "one aggregation pass: groupBy(order) + collect_set + the ArrayPairs Generator — the basket exchange is the only shuffle before the pair count (the distinct + self-join form paid two shuffles and an SMJ)",
+    "a17_sequence_pack" ->
+      "GPT-style packing as a per-shard prefix sum: ONE hash exchange on the shard key feeds the window cumsum — no rangepartitioning (a global ordered sort would serialize the corpus); shards are simultaneously the parallelism unit and the training-file unit",
+    "d26_knn_sq8" ->
+      "SQ8 ANN: the dims-row [min,max] aggregate broadcasts back (BroadcastNestedLoopJoin over a 1-row frame), encoding is a narrow map, and the encoded query set broadcasts against one corpus scan — the corpus never shuffles, and the scanned codes are 4x denser than floats",
+    "d27_cdc_chunks" ->
+      "content-defined chunking: the checkpointed chunk table is the ONLY thing later stages touch (no Generate in the final plan — the token window pipeline ran exactly once); dup detection is a fingerprint aggregate with map-side partials",
+    "g03_cc_star" ->
+      "star-contraction CC: each alternation is a node-keyed min aggregate + node-keyed join over the checkpointed edge set — O(log n) rounds total where min-label propagation needs graph-diameter rounds",
+    "b23_cov_months" ->
+      "ONE shuffle: the pruned scan pre-partitions on suppkey, and the daily aggregate, monthly aggregate AND consecutive-month lead() window all run partition-local (suppkey subset-satisfies every downstream distribution; (suppkey,date) is ~unique so map-side partials had nothing to combine anyway)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
