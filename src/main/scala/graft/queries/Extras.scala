@@ -768,6 +768,16 @@ object Extras extends Suite {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Streaming sequence packing: the continuously-ingesting
+    // pretraining writer — per-shard running token offsets carried as
+    // ONE long of state per shard (bounded forever), placements
+    // emitted append-only and never revised. Same parameters and
+    // oracle as batch a17; batch-slicing equivalence asserted in
+    // StreamingSpec. See streaming/StreamingPack.
+    Q("x23_stream_pack", (s, d) =>
+      graft.streaming.StreamingPack.pack(s, d),
+      Some(CurationQueries.oracles("a17_sequence_pack"))),
+
     // Append-mode windowed aggregation under a watermark: only
     // FINALIZED windows — whose end is at or below the final
     // watermark (max event time - delay) — are ever emitted. This is

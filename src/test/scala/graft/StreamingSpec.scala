@@ -123,4 +123,51 @@ class StreamingSpec extends SparkSpec {
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     assert(dropped >= 1L, "late row was not dropped by the watermark")
   }
+
+  test("streaming pack over ordered batches == batch Pack.pack") {
+    import graft.streaming.StreamingPack
+    import graft.streaming.StreamingPack.Doc
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "stream-pack").toString
+    def placeBatch(rows: Seq[(Long, Int, Long)], name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$dir/_$name"
+      rows.toDF("doc_id", "shard", "n_tok").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    // two shards, docs split across two ordered batches (per-shard
+    // arrival order = doc id order, as the contract requires)
+    placeBatch(Seq((1L, 0, 100L), (2L, 1, 300L), (3L, 0, 200L)),
+      "b1", 1000000L)
+    placeBatch(Seq((4L, 0, 50L), (5L, 1, 10L)), "b2", 2000000L)
+
+    val schema = "doc_id long, shard int, n_tok long"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = stream.as[Doc].groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamingPack.fold(256L))
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("stream_pack_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_pack_test")
+      .select("doc_id", "shard", "n_tok", "off", "bin")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    // ground truth: per-shard prefix sums over doc-id order
+    // shard 0: 1(100)@0 bin0, 3(200)@100 bin0, 4(50)@300 bin1
+    // shard 1: 2(300)@0 bin0, 5(10)@300 bin1
+    val want = Set(
+      (1L, 0, 100L, 0L, 0L), (3L, 0, 200L, 100L, 0L),
+      (4L, 0, 50L, 300L, 1L),
+      (2L, 1, 300L, 0L, 0L), (5L, 1, 10L, 300L, 1L))
+    assert(got === want, s"got $got")
+  }
 }
