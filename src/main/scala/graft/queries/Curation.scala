@@ -561,7 +561,11 @@ object CurationQueries extends Suite {
         .agg(count(lit(1)).as("c_all"), sum("is_t").as("c_t"))
         .select(col("word"),
           expr("(c_t * 1000000) div c_all").as("r_ppm"))
-      w.join(broadcast(r), "word")
+      // no broadcast hint: the score table is vocab-sized — AQE
+      // broadcasts it while it fits and falls back to a word-keyed
+      // shuffle join when a 100 TB crawl's long-tail vocab doesn't
+      // (a forced hint would OOM instead of falling back)
+      w.join(r, "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           expr("sum(r_ppm) div count(1)").as("dsir_ppm"))

@@ -426,6 +426,81 @@ object TextQueries2 extends Suite {
              |FROM p LEFT JOIN dup ON p.fp = dup.fp
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // D28: duplicated-SPAN extents — for each doc, the longest run of
+    // CONSECUTIVE duplicated 10-token passages (islands over the
+    // passage-dup flags). t23 reports how much of a doc is
+    // duplicated; this reports how CONTIGUOUS the duplication is —
+    // the remove-the-span signal (one long boilerplate block vs
+    // scattered common phrases) that span-level dedup
+    // (Lee et al., "Deduplicating Training Data...", arXiv:2107.06499)
+    // acts on. Same one-exchange passage machinery as t23; the run
+    // analysis is one more window over the tiny passage table.
+    Q("d28_dup_spans", (s, d) => {
+      val passages = Text.wordsWithPos(docs(s, d), "doc_id", "text")
+        .withColumn("wid", expr("(pos - 1) div 10"))
+        .groupBy("doc_id", "wid")
+        .agg(md5(concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
+          .as("fp"))
+        .localCheckpoint() // feeds the dup aggregate AND the run scan
+      val dupFp = passages.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+        .withColumn("is_dup", lit(1))
+      val flagged = passages
+        .join(broadcast(dupFp), Seq("fp"), "left_outer")
+        .withColumn("dup", col("is_dup").isNotNull)
+      val wIsl = Window.partitionBy("doc_id", "dup").orderBy("wid")
+      val runs = flagged
+        .withColumn("grp", col("wid") - row_number().over(wIsl))
+        .filter(col("dup"))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as("max_dup_run"))
+      flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"))
+        .join(runs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_passages"),
+          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
+             |p AS (
+             |  SELECT doc_id, (pos - 1) // 10 AS wid,
+             |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+             |  FROM w GROUP BY doc_id, (pos - 1) // 10),
+             |dup AS (
+             |  SELECT fp FROM p GROUP BY fp
+             |  HAVING COUNT(DISTINCT doc_id) >= 2),
+             |fl AS (
+             |  SELECT p.doc_id, p.wid,
+             |    CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END AS dup
+             |  FROM p LEFT JOIN dup ON p.fp = dup.fp),
+             |isl AS (
+             |  SELECT doc_id, dup,
+             |    wid - row_number() OVER (PARTITION BY doc_id, dup
+             |      ORDER BY wid) AS grp
+             |  FROM fl),
+             |runs AS (
+             |  SELECT doc_id, MAX(run) AS max_dup_run FROM (
+             |    SELECT doc_id, grp, COUNT(*) AS run
+             |    FROM isl WHERE dup = 1 GROUP BY doc_id, grp)
+             |  GROUP BY doc_id),
+             |np AS (SELECT doc_id, COUNT(*) AS n_passages
+             |       FROM fl GROUP BY doc_id)
+             |SELECT np.doc_id, np.n_passages,
+             |  CAST(COALESCE(runs.max_dup_run, 0) AS BIGINT) AS max_dup_run
+             |FROM np LEFT JOIN runs ON np.doc_id = runs.doc_id
+             |ORDER BY np.doc_id""".stripMargin)),
+
     // T25: BPE tokenizer-training step — two merge iterations as
     // relational algebra. The corpus collapses to the weighted
     // VOCABULARY first (one aggregate; everything after is
