@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for training-data pipelines:
@@ -363,6 +364,42 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("n_common"),
         (col("n_common").cast("double") / col("za.n")).as("c_1in2"),
         (col("n_common").cast("double") / col("zb.n")).as("c_2in1"))
+  }
+
+  /** Prefix-filtered candidate pairs for an EXACT high-threshold
+    * similarity join (AllPairs, Bayardo et al., WWW'07): order every
+    * doc's shingles by ascending document frequency (rarest first —
+    * ties on the shingle string, a total order), keep only the first
+    * `n - ceil(t*n) + 1` as the doc's PREFIX, and bucket-join on
+    * prefix entries alone. Theorem: two sets with Jaccard >= t must
+    * share at least one prefix shingle under any global order — so
+    * verifying exactly on these candidates returns every qualifying
+    * pair, while the pair stream shrinks ~(1-t)^2: at t=0.8 only the
+    * rarest ~20% of each doc's shingles enter buckets, and the
+    * highest-df (biggest-bucket) shingles drop out first. This is the
+    * exact-join complement to LSH (d04, approximate) and to the full
+    * bucket join (d05/d12, needed only for LOW thresholds where
+    * prefixes degenerate). `tPct` in percent for exact integer
+    * arithmetic.
+    */
+  def prefixFilteredCandidates(shingles: DataFrame, id: String,
+      tPct: Int): DataFrame = {
+    require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
+    val docFreq = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))
+    val prefix = shingles
+      .join(docFreq, "sh")
+      .withColumn("rk", row_number().over(wDoc))
+      .join(sizes, id)
+      .filter(col("rk") <=
+        col("n") - expr(s"(($tPct * n) + 99) div 100") + 1)
+      .select(col(id), col("sh"))
+    prefix.groupBy(col("sh")).agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(graft.expressions.ArrayPairs
+        .array_pairs(col("ids")).as(Seq("id_1", "id_2")))
+      .distinct()
   }
 
   /** Common-shingle counts per doc pair via shingle BUCKETS, with a

@@ -874,6 +874,43 @@ object DedupQueries extends Suite {
              |SELECT q_id, n_id, rnk, dist FROM rk WHERE rnk <= 10
              |ORDER BY q_id, rnk""".stripMargin)),
 
+    // D29: EXACT high-threshold similarity join via AllPairs prefix
+    // filtering (Bayardo et al., WWW'07 — see
+    // Dedup.prefixFilteredCandidates): only each doc's rarest ~20%
+    // of shingles (df-ascending prefix at t=0.8) enter buckets, so
+    // the pair stream shrinks ~(1-t)^2 while the result stays
+    // provably complete. The oracle is the plain quadratic Jaccard
+    // join — the result is algorithm-independent, which is exactly
+    // why a sophisticated plan can sit behind a simple gate.
+    // Completes the similarity-join triad: LSH (d04, approximate),
+    // full buckets (d05/d12, low thresholds), prefix filter (d29,
+    // exact high thresholds).
+    Q("d29_allpairs_prefix", (s, d) => {
+      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
+        .localCheckpoint() // feeds df, sizes, prefix, and verify
+      val cands = Dedup.prefixFilteredCandidates(sh, "doc_id", 80)
+      Dedup.jaccardVerifyHashedSets(cands, sh, "doc_id",
+          minJaccardPct = 80)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_1", "id_2")
+    },
+      Some(s"""WITH ${ngram3ShinglesSql("documents")},
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+              |    COUNT(*) AS n_common
+              |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT id_1, id_2,
+              |  CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common)
+              |    AS jaccard
+              |FROM common
+              |JOIN sizes za ON za.doc_id = id_1
+              |JOIN sizes zb ON zb.doc_id = id_2
+              |WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common)
+              |  >= 0.8
+              |ORDER BY id_1, id_2""".stripMargin)),
+
     // D27: content-defined chunking (CDC) dedup — chunk boundaries
     // where the rolling 3-gram hash ≡ 0 (mod 16), so boundaries are a
     // pure function of LOCAL content: inserting or deleting a word

@@ -96,4 +96,28 @@ class DedupSpec extends SparkSpec {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
     assert(r2 > 0.0, "nprobe=2 found nothing")
   }
+
+  test("prefix filtering is exact at t=0.8 and prunes the pair stream") {
+    import org.apache.spark.sql.functions._
+    val sh = Dedup.ngramShingles(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", 3)
+      .localCheckpoint()
+    def qualifying(c: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardVerifyHashedSets(c, sh, "doc_id", minJaccardPct = 80)
+        .filter(col("jaccard") >= 0.8)
+        .select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixCands = Dedup.prefixFilteredCandidates(sh, "doc_id", 80)
+      .localCheckpoint()
+    val fullCands = Dedup.jaccardAllPairs(sh, "doc_id")
+      .select("id_1", "id_2").localCheckpoint()
+    // exactness: verifying the pruned candidates finds the identical
+    // qualifying pair set the full bucket join finds
+    assert(qualifying(prefixCands) === qualifying(fullCands))
+    // and the candidate stream actually shrank (the point of the
+    // algorithm — rarest-20%-of-shingles buckets)
+    val (np, nf) = (prefixCands.count(), fullCands.count())
+    assert(np * 2 < nf,
+      s"prefix candidates $np not meaningfully below full $nf")
+  }
 }
