@@ -589,6 +589,104 @@ object CurationQueries extends Suite {
              |FROM w JOIN r USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // RAG-style overlapping chunking: windows of 20 tokens at stride
+    // 10 (each token belongs to <=2 windows), chunk text emitted per
+    // (doc, window). Narrow per-doc computation — each token emits
+    // its <=2 window memberships and one doc-keyed exchange serves
+    // the per-window string assembly; window count ~ n/stride.
+    Q("a22_rag_chunks", (s, d) => {
+      val w = Text.wordsWithPos(docs(s, d), "doc_id", "text")
+        .withColumn("w1", expr("(pos - 1) div 10"))
+      // second membership: with width = 2x stride every token also
+      // falls inside the PREVIOUS window (when one exists) — position
+      // p <= 10(w1-1)+20 holds for all p with (p-1) div 10 = w1
+      val member = w.select(col("doc_id"), col("pos"), col("word"),
+          col("w1").as("wid"))
+        .unionByName(w.filter(col("w1") >= 1)
+          .select(col("doc_id"), col("pos"), col("word"),
+            (col("w1") - 1).as("wid")))
+      member
+        .groupBy("doc_id", "wid")
+        .agg(count(lit(1)).as("n_tok"),
+          concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"))
+            .as("chunk"))
+        .orderBy("doc_id", "wid")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
+             |member AS (
+             |  SELECT doc_id, pos, word, (pos - 1) // 10 AS wid FROM w
+             |  UNION ALL
+             |  SELECT doc_id, pos, word, (pos - 1) // 10 - 1 AS wid
+             |  FROM w WHERE (pos - 1) // 10 >= 1)
+             |SELECT doc_id, wid, COUNT(*) AS n_tok,
+             |  string_agg(word, ' ' ORDER BY pos) AS chunk
+             |FROM member GROUP BY doc_id, wid
+             |ORDER BY doc_id, wid""".stripMargin)),
+
+    // Packed-bin materialization — the final pretraining-writer step:
+    // token-level placement (global per-shard token index = doc
+    // offset + in-doc position) slices STRADDLING documents across
+    // context windows, then each bin assembles its exact 256-token
+    // stream (emitted as count + fingerprint; a writer would emit the
+    // token ids). Offsets come from the a17 prefix sum; the token
+    // explode joins them doc-keyed and the bin assembly groups by
+    // (shard, bin) — placement never changes once computed, so bins
+    // are write-once shards.
+    Q("a23_pack_emit", (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      val packed = Pack.pack(toks, "doc_id", "n_tok",
+          nShards = 8, ctx = 256)
+        .select("doc_id", "shard", "off")
+      val tokens = Text.wordsWithPos(docs(s, d), "doc_id", "text")
+      tokens.join(packed, "doc_id")
+        .withColumn("idx", col("off") + col("pos") - 1)
+        .withColumn("bin", expr("idx div 256"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_tok"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(idx, word))), x -> x.word)")))
+            .as("fp"))
+        .orderBy("shard", "bin")
+    },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+              |    CAST(${hSql("CAST(doc_id AS VARCHAR)", "|pack")} % 8
+              |      AS INT) AS shard
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, shard,
+              |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+              |  FROM t),
+              |w0 AS (
+              |  SELECT doc_id,
+              |    generate_subscripts(string_split(text,' '),1) AS pos,
+              |    unnest(string_split(text,' ')) AS word
+              |  FROM documents),
+              |w AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+              |    word
+              |  FROM w0 WHERE len(word) > 0),
+              |placed AS (
+              |  SELECT c.shard, w.word, c.off + w.pos - 1 AS idx
+              |  FROM w JOIN c ON w.doc_id = c.doc_id)
+              |SELECT shard, idx // 256 AS bin, COUNT(*) AS n_tok,
+              |  md5(string_agg(word, ' ' ORDER BY idx)) AS fp
+              |FROM placed GROUP BY shard, idx // 256
+              |ORDER BY shard, bin""".stripMargin)),
+
     // Temperature-scaled mixture sampling (multilingual-LM style):
     // per-language sampling mass ∝ n^(1/2) (T=2), so low-resource
     // languages are up-weighted relative to proportional sampling —
