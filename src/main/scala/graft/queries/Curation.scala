@@ -648,9 +648,14 @@ object CurationQueries extends Suite {
       val packed = Pack.pack(toks, "doc_id", "n_tok",
           nShards = 8, ctx = 256)
         .select("doc_id", "shard", "off")
-      val tokens = Text.wordsWithPos(docs(s, d), "doc_id", "text")
-      tokens.join(packed, "doc_id")
-        .withColumn("idx", col("off") + col("pos") - 1)
+      // join at DOC level, then explode: the offset join moves |docs|
+      // rows (one text per row), never the exploded token stream —
+      // exploding first would shuffle every token through the join
+      docs(s, d).join(packed, "doc_id")
+        .select(col("doc_id"), col("shard"), col("off"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .filter(length(col("word")) > 0)
+        .withColumn("idx", col("off") + col("pos0"))
         .withColumn("bin", expr("idx div 256"))
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_tok"),
