@@ -101,4 +101,29 @@ class AqeSpec extends SparkSpec {
         s"AQE did not split the hot band bucket:\n${finalPlan.take(4000)}")
     }
   }
+
+  test("AQE coalesces small post-shuffle partitions at runtime") {
+    // the other half of the AQE story SCALE.md relies on: a
+    // conservative static spark.sql.shuffle.partitions over-partitions
+    // small aggregates, and AQE shrinks them back at runtime — why 32
+    // static partitions are safe for queries whose shuffles are tiny
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+      "spark.sql.shuffle.partitions" -> "32") {
+      val agg = spark.range(0, 100000)
+        .select((col("id") % 50).as("k"))
+        .groupBy("k").count()
+      val n = agg.queryExecution.toRdd.getNumPartitions
+      assert(n < 32,
+        s"AQE did not coalesce the 50-group aggregate below 32 " +
+          s"partitions (got $n)")
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead") ||
+        finalPlan.contains("coalesced"),
+        s"no coalesced shuffle read:\n${finalPlan.take(3000)}")
+    }
+  }
 }
