@@ -707,6 +707,35 @@ object Relational2 extends Suite {
              |  CAST(SUM(amount_cents) AS BIGINT) AS total_cents
              |FROM src GROUP BY category ORDER BY category""".stripMargin)),
 
+    // DSv2 storage partitioning: the clustered scan reports
+    // KeyGroupedPartitioning(user_id) with per-partition keys
+    // (HasPartitionKey), so the per-user aggregate plans WITH NO
+    // EXCHANGE (v2 bucketing) — the bucketed-table contract a
+    // clustered backend (KV hash ranges, bucketed warehouse table)
+    // gives Spark. Exchange absence is asserted in SourcesSpec; this
+    // query hash-gates the results through the same plan.
+    Q("o61_clustered_source", (s, d) => {
+      // left ON for the session (the Tables.readerConfs precedent):
+      // plans lazily, so a scoped restore would disable it again
+      // before execution; the conf only activates for DSv2 scans that
+      // report a partitioning, so it is inert everywhere else
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.SyntheticSource")
+        .option("rows", 100000).option("clusterByUser", "true").load()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("amount_cents").as("total_cents"))
+        .orderBy("user_id")
+    },
+      Some("""WITH src AS (
+             |  SELECT CAST('0x' || substr(md5('e|' || i),1,15) AS BIGINT) % 100
+             |      AS user_id,
+             |    CAST('0x' || substr(md5('e|' || i),1,15) AS BIGINT) % 10000
+             |      AS amount_cents
+             |  FROM generate_series(0, 99999) AS t(i))
+             |SELECT user_id, COUNT(*) AS n,
+             |  CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+             |FROM src GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Recursive CTE (Spark 4 surface): ancestor-chain walk of the
     // part-key decimal hierarchy (each key's parent = key div 10 — a
     // BOM-explosion / org-chart shape). Iteration depth is bounded by

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -47,7 +48,8 @@ class SyntheticSource extends TableProvider {
       properties: java.util.Map[String, String]): Table =
     new SyntheticTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties.getOrDefault("slices", "4").toInt,
+      properties.getOrDefault("clusterByUser", "false").toBoolean)
 }
 
 object SyntheticSource {
@@ -56,6 +58,11 @@ object SyntheticSource {
     StructField("user_id", LongType, nullable = false),
     StructField("amount_cents", LongType, nullable = false),
     StructField("category", StringType, nullable = false)))
+
+  /** user_id of row `i` (the clustered scan's partition key). */
+  private[sources] def userOf(i: Long): Long =
+    graft.expressions.Kernels.portableHash60(
+      UTF8String.fromString(s"e|$i")) % 100
 
   /** Field values of row `i` for the pruned schema. */
   private[sources] def row(i: Long, schema: StructType): InternalRow = {
@@ -70,7 +77,7 @@ object SyntheticSource {
   }
 }
 
-private class SyntheticTable(rows: Long, slices: Int)
+private class SyntheticTable(rows: Long, slices: Int, clustered: Boolean)
     extends Table with SupportsRead {
   require(rows >= 0 && slices > 0)
   override def name(): String = s"synthetic($rows rows, $slices slices)"
@@ -78,10 +85,11 @@ private class SyntheticTable(rows: Long, slices: Int)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices)
+    new SyntheticScanBuilder(rows, slices, clustered)
 }
 
-private class SyntheticScanBuilder(rows: Long, slices: Int)
+private class SyntheticScanBuilder(rows: Long, slices: Int,
+    clustered: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -126,7 +134,8 @@ private class SyntheticScanBuilder(rows: Long, slices: Int)
   }
 
   override def build(): Scan =
-    new SyntheticScan(lo, hi max lo, slices, required)
+    if (clustered) new SyntheticClusteredScan(lo, hi max lo, required)
+    else new SyntheticScan(lo, hi max lo, slices, required)
 }
 
 private case class SyntheticSlice(start: Long, end: Long)
@@ -155,6 +164,62 @@ private class SyntheticReaderFactory(schema: StructType)
     new PartitionReader[InternalRow] {
       private var i = slice.start - 1
       override def next(): Boolean = { i += 1; i < slice.end }
+      override def get(): InternalRow = SyntheticSource.row(i, schema)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** One InputPartition per distinct user_id, declaring its key
+  * ([[HasPartitionKey]]) — models a backend whose data is physically
+  * clustered by user (a KV store's hash ranges, a bucketed table).
+  */
+private case class SyntheticUserSlice(user: Long, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(user)
+}
+
+/** Clustered-by-user scan: reports [[KeyGroupedPartitioning]] on
+  * `user_id`, one partition per user value, each partition declaring
+  * its key — the DSv2 storage-partitioning contract. With
+  * `spark.sql.sources.v2.bucketing.enabled`, Spark then ELIDES the
+  * exchange for aggregations/joins keyed on user_id: the shuffle the
+  * reference pays on every per-user query disappears because the
+  * source already delivers user-complete partitions. The synthetic
+  * stand-in generates each user's rows by scanning its id range and
+  * filtering (|users| x range work — a real clustered backend reads
+  * only its bucket; the PLAN is the point here, and it is asserted
+  * in SourcesSpec).
+  */
+private class SyntheticClusteredScan(lo: Long, hi: Long,
+    schema: StructType) extends Scan with Batch
+    with SupportsReportPartitioning {
+  private val Users = 100L // user_id = hash % 100 (SyntheticSource.row)
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"SyntheticClusteredScan range=[$lo, $hi) users=$Users"
+  override def toBatch: Batch = this
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("user_id")), Users.toInt)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until Users).map(u => SyntheticUserSlice(u, lo, hi)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticClusteredReaderFactory(schema, Users)
+}
+
+private class SyntheticClusteredReaderFactory(schema: StructType,
+    users: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val slice = p.asInstanceOf[SyntheticUserSlice]
+    new PartitionReader[InternalRow] {
+      private var i = slice.lo - 1
+      override def next(): Boolean = {
+        i += 1
+        while (i < slice.hi && SyntheticSource.userOf(i) != slice.user)
+          i += 1
+        i < slice.hi
+      }
       override def get(): InternalRow = SyntheticSource.row(i, schema)
       override def close(): Unit = ()
     }

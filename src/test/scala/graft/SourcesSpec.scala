@@ -81,4 +81,30 @@ class SourcesSpec extends SparkSpec {
     assert(ChecksumSink.result("spec-run").get === ((n, sum)),
       "checksum must be partitioning-independent")
   }
+
+  test("clustered scan elides the aggregation exchange (KeyGroupedPartitioning)") {
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key, "true")
+    try {
+      val clustered = spark.read.format("graft.sources.SyntheticSource")
+        .option("rows", 5000).option("clusterByUser", "true").load()
+        .groupBy("user_id").agg(sum("amount_cents").as("cents"))
+      val plain = load(5000, 4)
+        .groupBy("user_id").agg(sum("amount_cents").as("cents"))
+      // identical results...
+      val a = clustered.orderBy("user_id").collect().toSeq
+      val b = plain.orderBy("user_id").collect().toSeq
+      assert(a === b)
+      // ...but the clustered read's plan has NO exchange before the
+      // aggregate: the source-reported user partitioning satisfies the
+      // aggregation's distribution (the DSv2 bucketed-table contract)
+      val p = clustered.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"clustered aggregate still shuffles:\n${p.take(3000)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
