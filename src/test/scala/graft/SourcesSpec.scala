@@ -107,4 +107,35 @@ class SourcesSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("storage-partitioned join: two clustered scans join with no shuffle") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force the shuffle decision to matter (no broadcast escape)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def clustered(rows: Long) =
+        spark.read.format("graft.sources.SyntheticSource")
+          .option("rows", rows).option("clusterByUser", "true").load()
+      // pre-aggregate each side on the reported key, then join — both
+      // aggregates AND the join ride the source partitioning
+      val left = clustered(4000).groupBy("user_id")
+        .agg(sum("amount_cents").as("l_cents"))
+      val right = clustered(2000).groupBy("user_id")
+        .agg(count(lit(1)).as("r_n"))
+      val joined = left.join(right, "user_id")
+      val got = joined.orderBy("user_id").collect()
+      assert(got.length === 100, s"expected 100 user rows, ${got.length}")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffles:\n${p.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
