@@ -613,6 +613,121 @@ object TextQueries2 extends Suite {
              |         (ORDER BY pcnt DESC, pr) AS INT) AS rnk, pr, pcnt
              |       FROM pc2 ORDER BY pcnt DESC, pr LIMIT 3)
              |SELECT * FROM t1 UNION ALL SELECT * FROM t2
-             |ORDER BY it, rnk""".stripMargin))
+             |ORDER BY it, rnk""".stripMargin)),
+
+    // T26: BPE ENCODE — close the tokenizer loop: apply the two
+    // merges t25 learns back to every document and report the
+    // char-token vs BPE-token counts (the compression the tokenizer
+    // buys). All symbol work happens on the weighted VOCABULARY
+    // (corpus-size-independent); per-word encoded lengths then join
+    // back onto the token stream — the a09/a19 broadcast-back shape.
+    // Spark applies each merge as the t25 fold; the oracle replays it
+    // with the islands-window formulation, twice.
+    Q("t26_bpe_encode", (s, d) => {
+      val w = Text.words(docs(s, d), "doc_id", "text")
+      val vocab = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", split(col("word"), ""))
+        .localCheckpoint()
+
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(col("cnt"), explode(expr(
+            """CASE WHEN size(syms) >= 2
+               |THEN zip_with(slice(syms, 1, size(syms) - 1),
+               |              slice(syms, 2, size(syms) - 1),
+               |              (a, b) -> concat(a, ' ', b))
+               |ELSE array() END""".stripMargin)).as("pr"))
+          .groupBy("pr").agg(sum("cnt").as("pcnt"))
+      def best(pc: DataFrame): DataFrame =
+        pc.orderBy(desc("pcnt"), asc("pr")).limit(1)
+          .select(substring_index(col("pr"), " ", 1).as("mx"),
+            substring_index(col("pr"), " ", -1).as("my"))
+      def applyMerge(v: DataFrame, b: DataFrame): DataFrame =
+        v.crossJoin(broadcast(b))
+          .withColumn("syms", expr(
+            """aggregate(syms, CAST(array() AS array<string>),
+               |  (acc, c) -> CASE WHEN size(acc) > 0
+               |      AND element_at(acc, -1) = mx AND c = my
+               |    THEN concat(slice(acc, 1, size(acc) - 1),
+               |                array(concat(mx, my)))
+               |    ELSE concat(acc, array(c)) END)""".stripMargin))
+          .select("word", "cnt", "syms")
+
+      val v1 = applyMerge(vocab, best(pairCounts(vocab))).localCheckpoint()
+      val v2 = applyMerge(v1, best(pairCounts(v1)))
+      val wordLen = v2.select(col("word"),
+        length(col("word")).as("n_char"), size(col("syms")).as("n_bpe"))
+      w.join(wordLen, "word")
+        .groupBy("doc_id")
+        .agg(sum("n_char").as("n_char_tokens"),
+          sum("n_bpe").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }, {
+      // one greedy-left merge application round in SQL: from symbol
+      // stream `src` (word, cnt, pos, sym) and 1-row merge table `b`
+      // (mx, my) to stream `out`
+      def mergeRound(src: String, b: String, out: String): String =
+        s"""m_$out AS (
+           |  SELECT s.word, s.cnt, s.pos, s.sym,
+           |    CASE WHEN s.sym = $b.mx AND lead(s.sym) OVER
+           |        (PARTITION BY s.word ORDER BY s.pos) = $b.my
+           |      THEN 1 ELSE 0 END AS mm
+           |  FROM $src s, $b),
+           |isl_$out AS (
+           |  SELECT *, pos - row_number() OVER
+           |      (PARTITION BY word, mm ORDER BY pos) AS grp
+           |  FROM m_$out),
+           |sel_$out AS (
+           |  SELECT *, CASE WHEN mm = 1 AND (row_number() OVER
+           |      (PARTITION BY word, mm, grp ORDER BY pos)) % 2 = 1
+           |    THEN 1 ELSE 0 END AS sel
+           |  FROM isl_$out),
+           |em_$out AS (
+           |  SELECT word, cnt, pos,
+           |    CASE WHEN sel = 1 THEN (SELECT mx || my FROM $b)
+           |         WHEN COALESCE(lag(sel) OVER
+           |           (PARTITION BY word ORDER BY pos), 0) = 1 THEN NULL
+           |         ELSE sym END AS sym
+           |  FROM sel_$out),
+           |$out AS (
+           |  SELECT word, cnt,
+           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |    sym
+           |  FROM em_$out WHERE sym IS NOT NULL)""".stripMargin
+      def pcSql(src: String, out: String): String =
+        s"""$out AS (
+           |  SELECT a.sym || ' ' || b.sym AS pr,
+           |    CAST(SUM(a.cnt) AS BIGINT) AS pcnt
+           |  FROM $src a JOIN $src b
+           |    ON a.word = b.word AND b.pos = a.pos + 1
+           |  GROUP BY 1)""".stripMargin
+      def bSql(pc: String, out: String): String =
+        s"""$out AS (SELECT string_split(pr, ' ')[1] AS mx,
+           |              string_split(pr, ' ')[2] AS my
+           |       FROM $pc ORDER BY pcnt DESC, pr LIMIT 1)""".stripMargin
+      Some(s"""WITH wd AS (
+              |  SELECT doc_id, w AS word FROM (
+              |    SELECT doc_id, unnest(string_split(text,' ')) AS w
+              |    FROM documents) WHERE len(w) > 0),
+              |v AS (SELECT word, COUNT(*) AS cnt FROM wd GROUP BY word),
+              |s1 AS (
+              |  SELECT word, cnt,
+              |    generate_subscripts(string_split(word,''),1) AS pos,
+              |    unnest(string_split(word,'')) AS sym
+              |  FROM v),
+              |${pcSql("s1", "pc1")},
+              |${bSql("pc1", "b1")},
+              |${mergeRound("s1", "b1", "s2")},
+              |${pcSql("s2", "pc2")},
+              |${bSql("pc2", "b2")},
+              |${mergeRound("s2", "b2", "s3")},
+              |wl AS (
+              |  SELECT word, len(word) AS n_char, COUNT(*) AS n_bpe
+              |  FROM s3 GROUP BY word)
+              |SELECT doc_id,
+              |  CAST(SUM(n_char) AS BIGINT) AS n_char_tokens,
+              |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+              |FROM wd JOIN wl USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    })
   )
 }
