@@ -268,6 +268,41 @@ object Extras extends Suite {
              |GROUP BY c_nationkey, event_type
              |ORDER BY c_nationkey, event_type""".stripMargin)),
 
+    // Stream-static ANTI join — the streaming decontamination /
+    // blocklist gate: arriving events are dropped when their user is
+    // on a static high-volume ("bot") list, the shape a streaming
+    // ingest pipeline uses to filter against a fixed eval-set or
+    // blocklist fingerprint table. The static side broadcasts (it is
+    // re-planned per micro-batch, so at scale keep it compact or
+    // refreshed via foreachBatch); the anti join is stateless —
+    // nothing accumulates, unlike the stream-stream join.
+    Q("x24_stream_anti_join", (s, d) => {
+      val spark = s
+      val stream = Tables.loadStream(s, d, "events")
+      val bots = Tables.load(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+        .select(col("user_id").as("bot_id"))
+      val agg = stream
+        .join(broadcast(bots), col("user_id") === col("bot_id"),
+          "left_anti")
+        .groupBy("event_type")
+        // no count(distinct): unsupported on streaming aggregations —
+        // the exact id-sum checksum gates the surviving row set instead
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"))
+      graft.streaming.StreamConf.runToTable(s, agg,
+        "graft_stream_anti", "complete")
+      spark.table("graft_stream_anti").orderBy("event_type")
+    },
+      Some("""WITH bots AS (
+             |  SELECT user_id FROM events
+             |  GROUP BY user_id HAVING COUNT(*) >= 100)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+             |FROM events WHERE user_id NOT IN (SELECT user_id FROM bots)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Streaming count-min sketch: the mergeable-sketch Aggregator
     // inside a streaming aggregation — micro-batch partials combine
     // through CmsAgg.merge, so the end-state counters are IDENTICAL
