@@ -505,68 +505,41 @@ object DedupQueries extends Suite {
       }),
 
     // D12: duplicate-GROUP clustering — connected components of the
-    // n-gram near-dup graph via K rounds of min-label propagation
-    // (pure joins, engine-portable; exact CC iff graph diameter <= K,
-    // identical intermediate labels on both engines regardless).
+    // n-gram near-dup graph by large-star/small-star contraction
+    // (ops/StarCC, Kiveris SoCC'14). Min-label propagation needs
+    // graph-DIAMETER rounds (the r8 form ran 5, exact only for
+    // components of diameter <= 5 — boilerplate dup chains at 100 TB
+    // exceed that routinely); star contraction halves component
+    // heights per alternation, so 4 rounds resolve chains past depth
+    // 16 (StarCCSpec) and tens of rounds cover any real corpus. Each
+    // round is the same two shuffle-partitionable primitives (node-
+    // keyed min aggregate + node-keyed join) on an edge set that
+    // SHRINKS toward |V| as stars collapse — unlike propagation,
+    // whose per-round cost stays at |E| forever. Fixed-round
+    // determinism: every emitted edge is a pure function of the
+    // round's input (min over neighborhoods, no ties on distinct
+    // ids), so the oracle replays the identical rounds bit-exactly,
+    // converged or not — same discipline as g01/g03.
     Q("d12_dup_groups", (s, d) => {
       // full corpus: the edge stage is the df-capped bucketed shingle
       // join (quadratic only within a bounded bucket), so no doc cap
-      // is needed — same scale shape as d05/d20
+      // is needed — same scale shape as d05/d20. The star rounds are
+      // one linear pipeline (every stage single-consumer), so the
+      // whole query is one job with no materialization barrier; at
+      // cluster scale pass checkpointEvery to bound recovery depth.
       val base = docs(s, d)
       val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
-      // The edge list feeds every propagation step: materialize it
-      // ONCE with an eager localCheckpoint — the 5 rounds then join
-      // against a tiny in-memory edge RDD instead of a 10x-duplicated
-      // shingle-join lineage, and the lineage itself stays flat (the
-      // cluster-scale discipline for iterative algorithms; a plain
-      // .cache() measured SLOWER at sf0.1 — columnar encode cost —
-      // and ReusedExchange alone left 4.7s vs 2.7s with this).
-      // Checkpoint the DIRECTED half (|E| rows, before the union):
-      // the symmetrized view is then a cheap map over the in-memory
-      // RDD instead of materializing 2|E|, and the edge pipeline is
-      // guaranteed to execute once even where exchange reuse wouldn't
-      // cover both union branches.
       val edges = Dedup.jaccardAllPairs(sh, "doc_id")
-        .filter(col("jaccard") >= 0.1).select("id_1", "id_2")
-        .localCheckpoint()
-      val sym = edges.union(
-        edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
-      var labels = base.select(col("doc_id"), col("doc_id").as("label"))
-      for (_ <- 1 to 5) {
-        // one round = min over (own label ∪ neighbor labels): the
-        // neighbor stream UNIONs with the self-labels before a single
-        // groupBy-min — two exchanges per round where the
-        // aggregate-then-left-join form paid three (the extra outer
-        // join back to labels). The self branch keeps isolated docs,
-        // and min(own ∪ neighbors) ≡ the oracle's CASE form
-        // least(own, min(neighbors)).
-        labels = sym
-          .join(labels.select(col("doc_id").as("nb"), col("label").as("nb_label")),
-            col("id_2") === col("nb"))
-          .select(col("id_1").as("doc_id"), col("nb_label").as("label"))
-          .union(labels)
-          .groupBy("doc_id").agg(min("label").as("label"))
-          // eager per-round materialization: each round's join then
-          // probes a flat in-memory table instead of re-planning (and
-          // at cluster scale re-executing) the whole prefix of rounds
-          // — labels is |docs| rows of (id, label), the cheapest thing
-          // in the pipeline to pin
-          .localCheckpoint()
-      }
-      labels.select(col("doc_id"), col("label").as("group_id"))
+        .filter(col("jaccard") >= 0.1)
+        .select(col("id_1").as("u"), col("id_2").as("v"))
+      val roots = graft.ops.StarCC.components(edges, rounds = 4)
+      base.select("doc_id")
+        .join(roots, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("group_id"))
         .orderBy("doc_id")
     },
       Some {
-        val propagate = (1 to 5).map { k =>
-          s"""l$k AS (
-             |  SELECT l.doc_id,
-             |    CASE WHEN m.nl IS NULL OR l.label <= m.nl
-             |         THEN l.label ELSE m.nl END AS label
-             |  FROM l${k - 1} l LEFT JOIN (
-             |    SELECT e.id_1 AS doc_id, MIN(l2.label) AS nl
-             |    FROM sym e JOIN l${k - 1} l2 ON e.id_2 = l2.doc_id
-             |    GROUP BY e.id_1) m USING (doc_id))""".stripMargin
-        }.mkString(",\n")
         s"""WITH docs_c AS (SELECT * FROM documents),
            |${ngram3ShinglesSql("docs_c")},
            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
@@ -574,16 +547,18 @@ object DedupQueries extends Suite {
            |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
            |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
            |  GROUP BY a.doc_id, b.doc_id),
-           |edges AS (
-           |  SELECT id_1, id_2 FROM common
+           |e0 AS MATERIALIZED (
+           |  SELECT id_1 AS u, id_2 AS v FROM common
            |  JOIN sizes za ON za.doc_id = id_1
            |  JOIN sizes zb ON zb.doc_id = id_2
            |  WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.1),
-           |sym AS (SELECT id_1, id_2 FROM edges
-           |        UNION ALL SELECT id_2, id_1 FROM edges),
-           |l0 AS (SELECT doc_id, doc_id AS label FROM docs_c),
-           |$propagate
-           |SELECT doc_id, label AS group_id FROM l5 ORDER BY doc_id""".stripMargin
+           |${StarSql.rounds(4)},
+           |roots AS (
+           |  SELECT GREATEST(u, v) AS node, MIN(LEAST(u, v)) AS root
+           |  FROM e4 GROUP BY 1)
+           |SELECT d2.doc_id, COALESCE(r.root, d2.doc_id) AS group_id
+           |FROM docs_c d2 LEFT JOIN roots r ON d2.doc_id = r.node
+           |ORDER BY doc_id""".stripMargin
       }),
 
     // D20: asymmetric containment |A∩B|/|A| over 3-gram shingles —

@@ -181,35 +181,13 @@ object GraphQueries extends Suite {
           coalesce(col("root"), col("doc_id")).as("root"))
         .orderBy("doc_id")
     }, {
-      val rounds = (1 to 2).map { r =>
-        s"""sym$r AS (
-           |  SELECT u, v FROM e${r - 1}
-           |  UNION SELECT v AS u, u AS v FROM e${r - 1}),
-           |mn$r AS (
-           |  SELECT u, LEAST(MIN(v), u) AS m FROM sym$r GROUP BY u),
-           |ls$r AS (
-           |  SELECT DISTINCT s.v AS u, m.m AS v
-           |  FROM sym$r s JOIN mn$r m ON s.u = m.u
-           |  WHERE s.v > s.u AND s.v <> m.m),
-           |o$r AS (
-           |  SELECT GREATEST(u, v) AS u, LEAST(u, v) AS v
-           |  FROM ls$r WHERE u <> v),
-           |mns$r AS (SELECT u, MIN(v) AS m FROM o$r GROUP BY u),
-           |e$r AS (
-           |  SELECT DISTINCT u, v FROM (
-           |    SELECT o.v AS u, m.m AS v
-           |    FROM o$r o JOIN mns$r m ON o.u = m.u
-           |    UNION ALL
-           |    SELECT o.u AS u, m.m AS v
-           |    FROM o$r o JOIN mns$r m ON o.u = m.u) t
-           |  WHERE u <> v)""".stripMargin
-      }.mkString(",\n")
+      val rounds = StarSql.rounds(2)
       Some(s"""WITH b AS (
               |  SELECT doc_id,
               |    md5(array_to_string(list_sort(list_distinct(
               |      string_split(text,' '))),' ')) AS k
               |  FROM documents),
-              |e0 AS (
+              |e0 AS MATERIALIZED (
               |  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
               |  FROM b a JOIN b b2 ON a.k = b2.k AND a.doc_id < b2.doc_id),
               |$rounds,

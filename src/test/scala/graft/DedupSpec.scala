@@ -120,4 +120,29 @@ class DedupSpec extends SparkSpec {
     assert(np * 2 < nf,
       s"prefix candidates $np not meaningfully below full $nf")
   }
+
+  test("d12 pipeline: depth-9 near-dup chain resolves to ONE group " +
+    "(past min-label propagation's diameter-5 bound)") {
+    import org.apache.spark.sql.functions._
+    // doc_i = block_i ++ block_{i+1}: consecutive docs share exactly
+    // the 3 word-3-grams interior to the shared block (jaccard
+    // 3/13 ~ 0.23 >= 0.1), docs two apart share nothing — so the dup
+    // graph is the diameter-9 path 0-1-...-9, which 5 rounds of
+    // min-label propagation CANNOT collapse but 4 star alternations do
+    def block(i: Int) = (0 until 5).map(k => s"w${i}x$k").mkString(" ")
+    val docsDf = (0 until 10)
+      .map(i => (i.toLong, block(i) + " " + block(i + 1)))
+      .toDF("doc_id", "text")
+    val sh = Dedup.ngramShingles(docsDf, "doc_id", "text", 3)
+    val edges = Dedup.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.1)
+      .select(col("id_1").as("u"), col("id_2").as("v"))
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === (0L until 9L).map(i => (i, i + 1)).toSet,
+      s"expected the path graph, got $e")
+    val roots = graft.ops.StarCC.components(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 9L).forall(i => roots(i) === 0L),
+      s"chain not fully collapsed: $roots")
+  }
 }
