@@ -127,18 +127,20 @@ object Bench {
     val best = passTimes.map { case (n, ts) => n -> ts.min }
     // Contamination defense: this host has sporadic stall windows that
     // can span BOTH separated passes (round 4 recorded 92.3 s for a
-    // query that runs in 8.4 s isolated — an 11x lie in the official
-    // artifact). A stall can only inflate, never deflate, so any min
-    // that still looks implausible after min-of-N — >5x the suite
-    // median (floored at 2 s so sub-second noise never triggers it) —
-    // gets one isolated re-run here, after the passes, and the min is
-    // kept. Per-pass times + re-runs land in the detail file so a
+    // query that runs in 8.4 s isolated — an 11x lie; round 8 recorded
+    // 2.35 s for s09_funnel, 1.16 s isolated — a 2x lie that slipped
+    // under the original 5x-median threshold). A stall can only
+    // inflate, never deflate, so any min still >2x the suite median
+    // (floored at 1 s so sub-second noise never triggers it) gets one
+    // isolated re-run here, after the passes, and the min is kept —
+    // genuinely expensive queries just get a confirming extra sample.
+    // Per-pass times + re-runs land in the detail file so a
     // contaminated run is diagnosable post-hoc.
     val rerunLog = scala.collection.mutable.ListBuffer[String]()
     if (best.nonEmpty) {
       val sortedMins = best.values.toSeq.sorted
       val median = sortedMins(sortedMins.size / 2)
-      val threshold = (median * 5).max(2.0)
+      val threshold = (median * 2).max(1.0)
       val byNameFn = attempted.toMap
       best.filter(_._2 > threshold).keys.toSeq.sorted.foreach { name =>
         attempt(name, byNameFn(name), recordFailure = false).foreach { t =>
@@ -191,6 +193,14 @@ object Bench {
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         "\"" + h + f"""\":$v%.2f"""))
       .mkString("{", ",", "}")
+    // The same line also goes to a bare file: the driver's tail parse
+    // has failed on logger-prefixed output before, and a plain
+    // single-line JSON file is machine-readable regardless (best
+    // effort — must never cost the round its stdout line).
+    try {
+      val pw = new java.io.PrintWriter(s"bench_last_$sfName.json")
+      try pw.println(jsonLine(results, qs)) finally pw.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     // quiet shutdown: nothing may print after the JSON line or the
     // driver's tail window can lose it. Drain any in-flight stderr
     // (sbt's err pump is asynchronous) before emitting the line.
