@@ -98,12 +98,34 @@ object Bloom {
   /** The composed operator: equi-join `big ⋈ small` with the big side
     * bloom-prefiltered before the shuffle. Result == plain join.
     * `p / 64` above is exact: p < bits <= 2^30 « 2^53.
+    *
+    * No-false-negatives requires the build and probe sides to hash
+    * IDENTICAL bytes for join-equal keys, but xxhash64 is
+    * type-sensitive (int 5 and bigint 5 hash differently), so
+    * differently-typed-but-coercible key columns are normalized to a
+    * common hash type first: both integral → long, mixed numeric →
+    * double (join-equal numerics coerce to the same double), anything
+    * else → string. The JOIN still runs on the original columns —
+    * normalization affects only the bloom's bit positions.
     */
   def prefilterJoin(big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column,
       bits: Int = 1 << 19, k: Int = 4): DataFrame = {
-    val bs = buildBits(small, smallKey, bits, k)
-    big.filter(mightContain(bs, bigKey, bits, k))
+    import org.apache.spark.sql.types._
+    val bigT = big.select(bigKey).schema.head.dataType
+    val smallT = small.select(smallKey).schema.head.dataType
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val (hashBig, hashSmall) =
+      if (bigT == smallT) (bigKey, smallKey)
+      else if (integral(bigT) && integral(smallT))
+        (bigKey.cast("long"), smallKey.cast("long"))
+      else if (bigT.isInstanceOf[NumericType] &&
+          smallT.isInstanceOf[NumericType])
+        (bigKey.cast("double"), smallKey.cast("double"))
+      else (bigKey.cast("string"), smallKey.cast("string"))
+    val bs = buildBits(small, hashSmall, bits, k)
+    big.filter(mightContain(bs, hashBig, bits, k))
       .join(small, bigKey === smallKey)
   }
 }

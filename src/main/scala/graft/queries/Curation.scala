@@ -522,14 +522,21 @@ object CurationQueries extends Suite {
     // per-shard prefix sum (see ops/Pack.scala for the 100 TB
     // rationale: shards are the unit of parallelism, no global sort).
     Q("a17_sequence_pack", (s, d) => {
+      // count NON-EMPTY tokens (irregular spacing would otherwise
+      // count phantom tokens into offsets that a23's filtered token
+      // stream then never emits — offsets and emission must agree on
+      // one tokenization)
       val toks = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tok"))
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .as("n_tok"))
       Pack.pack(toks, "doc_id", "n_tok", nShards = 8, ctx = 256)
         .select("doc_id", "shard", "n_tok", "off", "bin")
         .orderBy("doc_id")
     },
       Some(s"""WITH t AS (
-              |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+              |  SELECT doc_id,
+              |    len(list_filter(string_split(text,' '),
+              |        x -> len(x) > 0)) AS n_tok,
               |    CAST(${hSql("CAST(doc_id AS VARCHAR)", "|pack")} % 8
               |      AS INT) AS shard
               |  FROM documents),
@@ -643,18 +650,25 @@ object CurationQueries extends Suite {
     // (shard, bin) — placement never changes once computed, so bins
     // are write-once shards.
     Q("a23_pack_emit", (s, d) => {
+      // same non-empty tokenization as a17: offsets count exactly the
+      // tokens emitted below, so placement stays gapless under
+      // irregular spacing (the unfiltered-posexplode form indexed by
+      // raw split position and silently skipped the empties' slots)
       val toks = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tok"))
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .as("n_tok"))
       val packed = Pack.pack(toks, "doc_id", "n_tok",
           nShards = 8, ctx = 256)
         .select("doc_id", "shard", "off")
       // join at DOC level, then explode: the offset join moves |docs|
       // rows (one text per row), never the exploded token stream —
-      // exploding first would shuffle every token through the join
+      // exploding first would shuffle every token through the join.
+      // The empty-word filter runs NARROW on the array before the
+      // posexplode, so positions come out renumbered.
       docs(s, d).join(packed, "doc_id")
         .select(col("doc_id"), col("shard"), col("off"),
-          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
-        .filter(length(col("word")) > 0)
+          posexplode(filter(split(col("text"), " "),
+            w => length(w) > 0)).as(Seq("pos0", "word")))
         .withColumn("idx", col("off") + col("pos0"))
         .withColumn("bin", expr("idx div 256"))
         .groupBy("shard", "bin")
@@ -665,7 +679,9 @@ object CurationQueries extends Suite {
         .orderBy("shard", "bin")
     },
       Some(s"""WITH t AS (
-              |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+              |  SELECT doc_id,
+              |    len(list_filter(string_split(text,' '),
+              |        x -> len(x) > 0)) AS n_tok,
               |    CAST(${hSql("CAST(doc_id AS VARCHAR)", "|pack")} % 8
               |      AS INT) AS shard
               |  FROM documents),

@@ -196,9 +196,16 @@ object MlQueries extends Suite {
     val defp = den.select(col("lang"),
       expr("1000000 div den").as("def_ppm"))
 
+    // no broadcast hint on pw: the smoothed-probability table is
+    // (classes x vocab)-sized — bigger than the vocab-sized table a19
+    // deliberately leaves unhinted. AQE broadcasts it while it fits
+    // and falls back to a (lang, word)-keyed shuffle join when a
+    // 100 TB crawl's long-tail vocab doesn't (a forced hint would OOM
+    // instead of falling back). cls/defp/priors stay hinted: they are
+    // class-count-bounded, size-invariant in the corpus.
     val occ = tew.crossJoin(broadcast(cls))
       .join(broadcast(defp), "lang")
-      .join(broadcast(pw), Seq("lang", "word"), "left")
+      .join(pw, Seq("lang", "word"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("p_ppm"), col("def_ppm")).as("ppm"))
     val wsum = occ.groupBy("doc_id", "lang").agg(sum("ppm").as("wsum"))

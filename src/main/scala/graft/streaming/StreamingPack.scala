@@ -21,25 +21,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the total token count of the documents before it in its shard, so
   * any batch slicing that preserves per-shard arrival order yields
   * the identical packing as the one-shot batch operator — asserted
-  * against [[graft.ops.Pack.pack]] in StreamingSpec.
+  * against [[graft.ops.Pack.pack]] in StreamingSpec. The fold
+  * ENFORCES that contract rather than trusting the caller's file
+  * layout: state carries the highest doc id already placed per shard,
+  * and an arrival at or below it (a later micro-batch delivering an
+  * earlier document — e.g. maxFilesPerTrigger over files whose
+  * modification-time order disagrees with doc order) fails the query
+  * instead of silently emitting a packing that diverges from the
+  * batch operator.
   */
 object StreamingPack {
 
   case class Doc(doc_id: Long, shard: Int, n_tok: Long)
-  case class ShardState(nextOff: Long)
+  case class ShardState(nextOff: Long, maxDocId: Long)
   case class Placed(doc_id: Long, shard: Int, n_tok: Long,
       off: Long, bin: Long)
 
   def fold(ctx: Long)(shard: Int, docs: Iterator[Doc],
       state: GroupState[ShardState]): Iterator[Placed] = {
     val sorted = docs.toSeq.sortBy(_.doc_id)
-    var off = state.getOption.map(_.nextOff).getOrElse(0L)
+    val st = state.getOption.getOrElse(ShardState(0L, Long.MinValue))
+    sorted.headOption.filter(_.doc_id <= st.maxDocId).foreach { d =>
+      throw new IllegalStateException(
+        s"StreamingPack shard $shard: doc ${d.doc_id} arrived after " +
+          s"doc ${st.maxDocId} was already placed — the source is not " +
+          "delivering per-shard doc_id order; its packing would " +
+          "diverge from the batch operator")
+    }
+    var off = st.nextOff
     val out = sorted.map { d =>
       val o = off
       off += d.n_tok
       Placed(d.doc_id, shard, d.n_tok, o, o / ctx)
     }
-    state.update(ShardState(off))
+    state.update(ShardState(off,
+      sorted.lastOption.map(_.doc_id).getOrElse(st.maxDocId)))
     out.iterator
   }
 
@@ -55,7 +71,10 @@ object StreamingPack {
         col("doc_id"),
         (Text.portableHash(concat(col("doc_id").cast("string"),
           lit("|pack"))) % nShards).cast("int").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // same non-empty tokenization as a17/a23 (offsets must count
+        // exactly what the pack writer would emit)
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_tok"))
       .as[Doc]
     val placed = docs.groupByKey(_.shard)
       .flatMapGroupsWithState(

@@ -61,6 +61,19 @@ class CurationSpec extends SparkSpec {
     assert(viaBloom === plain)
   }
 
+  test("prefilterJoin: mixed int/bigint key types lose no join rows") {
+    import spark.implicits._
+    // int-typed probe keys vs long-typed build keys: xxhash64 hashes
+    // the two types differently, so without hash-type normalization
+    // build/probe bit positions diverge -> silent false negatives
+    val big = (1 to 2000).map(i => (i, s"r$i")).toDF("k", "payload")
+    val small = Seq(5L, 700L, 1999L).toDF("sk")
+    val got = Bloom.prefilterJoin(big, small, col("k"), col("sk"),
+        bits = 1 << 12, k = 4)
+      .select("k").collect().map(_.getInt(0)).toSet
+    assert(got === Set(5, 700, 1999), s"rows dropped or added: $got")
+  }
+
   test("bloom bitset merge is partitioning-invariant") {
     val keys = Tables.load(spark, sf, "orders").select(
       col("o_orderkey").cast("string").as("k"))

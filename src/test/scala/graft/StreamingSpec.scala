@@ -170,4 +170,32 @@ class StreamingSpec extends SparkSpec {
       (2L, 1, 300L, 0L, 0L), (5L, 1, 10L, 300L, 1L))
     assert(got === want, s"got $got")
   }
+
+  test("streaming pack FAILS (not silently diverges) on out-of-order arrival") {
+    import graft.streaming.StreamingPack
+    import graft.streaming.StreamingPack.{Doc, ShardState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    // batch 1 places docs 1,3; batch 2 delivers doc 2 late — a source
+    // whose file order disagrees with doc order. The contract is
+    // enforcement, not trust: the fold must throw.
+    import org.apache.spark.api.java.Optional
+    val s1 = TestGroupState.create[ShardState](
+      optionalState = Optional.empty[ShardState](),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    StreamingPack.fold(256L)(0,
+      Iterator(Doc(1L, 0, 10L), Doc(3L, 0, 10L)), s1).toList
+    val carried = TestGroupState.create[ShardState](
+      optionalState = Optional.of(s1.get),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      StreamingPack.fold(256L)(0, Iterator(Doc(2L, 0, 10L)), carried).toList
+    }
+    assert(e.getMessage.contains("doc_id order"), e.getMessage)
+  }
 }
