@@ -468,10 +468,26 @@ object BdbQueries2 {
   /** q28: naive bayes sentiment classifier on reviews (90/10 modulo
     * split, alpha=0.001, labels from rating: 1-2 NEG / 3 NEUT / 4-5
     * POS). Ref: q28_dask_sql.py:33-66, q28_utils.py:73-82.
+    *
+    * Multinomial NB over the 2^23-bucket hashed feature space
+    * (q28_utils.py:36), computed SPARSE: the model is a
+    * (label, bucket)-keyed count table — only buckets that actually
+    * occur materialize, with map-side partial aggregation — instead
+    * of MLlib NaiveBayes's dense per-class aggregation buffers
+    * (classes x numFeatures doubles PER TASK, which OOM'd a 24 g
+    * single-JVM harness at 2^23 and forced a de-rated 2^18 scale
+    * run). The NB math is MLlib's exactly — theta = log((ct + a) /
+    * (tot_c + a*numFeatures)), prior = log((docs_c + a) /
+    * (docs + a*numClasses)), argmax with lowest-label tiebreak —
+    * asserted against MLlib NaiveBayes on identical vectors in
+    * BdbQueriesSpec. The bucket function is SQL hash() (codegen'd
+    * murmur3_32 seed 42) mod numFeatures; ml.HashingTF's murmur3
+    * variant differs in tail bytes, as does the reference's own
+    * sklearn/cuML vectorizer — the hashed-trick family, not one
+    * hash's collisions, is the contract.
     */
   def q28(s: SparkSession, numFeatures: Int = 1 << 23): DataFrame = {
-    import org.apache.spark.ml.classification.NaiveBayes
-    import org.apache.spark.ml.feature.HashingTF
+    val alpha = 0.001
     val labeled = s.table("product_reviews")
       .filter(col("pr_review_content").isNotNull &&
         col("pr_review_rating").isNotNull)
@@ -479,18 +495,55 @@ object BdbQueries2 {
         when(col("pr_review_rating") <= 2, 0.0)
           .when(col("pr_review_rating") === 3, 1.0).otherwise(2.0))
       .withColumn("words", split(lower(col("pr_review_content")), "[^a-z']+"))
-    // reference default 2^23 (q28_utils.py:36); the NB model is dense
-    // (classes x numFeatures doubles, ~200 MB at 2^23) — small runs
-    // should pass a vocabulary-sized power of two instead
-    val feats = new HashingTF().setInputCol("words").setOutputCol("features")
-      .setNumFeatures(numFeatures).transform(labeled)
-    val train = feats.filter(pmod(col("pr_review_sk"), lit(10)) =!= 0)
-    val test = feats.filter(pmod(col("pr_review_sk"), lit(10)) === 0)
-    val model = new NaiveBayes().setSmoothing(0.001)
-      .setModelType("multinomial").fit(train)
-    val pred = model.transform(test)
-    pred.groupBy(col("label").as("true_label"),
-      col("prediction").as("pred_label"))
+      .select("pr_review_sk", "label", "words")
+    val isTest = pmod(col("pr_review_sk"), lit(10)) === 0
+    // token stream with HashingTF's bucket function; one occurrence
+    // row per token (tf folds into the count/sum aggregates below).
+    // Empty split artifacts stay IN, as they do for HashingTF's input.
+    def toks(df: DataFrame): DataFrame = df
+      .select(col("pr_review_sk"), col("label"),
+        explode(col("words")).as("word"))
+      .withColumn("b", pmod(hash(col("word")), lit(numFeatures)))
+
+    val train = labeled.filter(!isTest)
+    // sparse model: per-(label, bucket) token counts; per-label
+    // totals and doc counts are class-bounded (3 rows)
+    val cb = toks(train).groupBy("label", "b")
+      .agg(count(lit(1)).as("ct"))
+    val ctot = cb.groupBy("label").agg(sum("ct").as("tot"))
+    val theta = cb.join(broadcast(ctot), "label")
+      .select(col("label").as("c"), col("b"),
+        log((col("ct") + alpha) / (col("tot") + alpha * numFeatures))
+          .as("lp"))
+    // default log-prob for buckets unseen in a class (ct = 0)
+    val defLp = ctot.select(col("label").as("c"),
+      log(lit(alpha) / (col("tot") + alpha * numFeatures)).as("def_lp"))
+    val nDocs = train.groupBy().agg(count(lit(1)).as("nd"))
+    val priors = train.groupBy("label").agg(count(lit(1)).as("dc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label").as("c"),
+        log((col("dc") + alpha) / (col("nd") + alpha * 3)).as("lprior"))
+    val classes = priors.select("c")
+
+    // scoring: every test token scores against every class; theta
+    // joins (c, b)-keyed with NO broadcast hint — the table is
+    // (classes x touched-buckets)-sized, so AQE broadcasts while it
+    // fits and falls back to a shuffle join when it doesn't
+    val scored = toks(labeled.filter(isTest))
+      .withColumnRenamed("label", "true_label")
+      .crossJoin(broadcast(classes))
+      .join(theta, Seq("c", "b"), "left")
+      .join(broadcast(defLp), "c")
+      .groupBy(col("pr_review_sk"), col("true_label"), col("c"))
+      .agg(sum(coalesce(col("lp"), col("def_lp"))).as("ll"))
+      .join(broadcast(priors), "c")
+      .select(col("pr_review_sk"), col("true_label"), col("c"),
+        (col("ll") + col("lprior")).as("score"))
+    // argmax with lowest-label tiebreak (MLlib's argmax semantics)
+    scored.groupBy(col("pr_review_sk"), col("true_label"))
+      .agg(min_by(col("c"),
+        struct((-col("score")).as("ns"), col("c"))).as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
       .orderBy("true_label", "pred_label")
   }

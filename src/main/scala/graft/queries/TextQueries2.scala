@@ -728,6 +728,39 @@ object TextQueries2 extends Suite {
               |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
               |FROM wd JOIN wl USING (word)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    })
+    }),
+
+    // T27: the learned (averaged-perceptron) NER behind the q27 seam,
+    // oracle-gated on its gazetteer-verifiable subset: every part
+    // name, capitalized into the org slot of a context template the
+    // tagger was trained on shapes like ("the service at <Org> was
+    // terrible"), must be extracted EXACTLY — no missed mentions, no
+    // spurious spans from the lowercase context. The oracle replays
+    // the construction (it knows which span the tagger must find);
+    // generalization to genuinely unseen orgs + contexts stays
+    // asserted sbt-side (BdbQueriesSpec). The tagger runs
+    // per-partition over the frozen once-per-JVM weight map — the
+    // reference's load-model-once-per-worker discipline
+    // (bdb_tools/q27_utils.py:31-39).
+    Q("t27_perceptron_ner", (s, d) => {
+      import s.implicits._
+      val cap = concat_ws(" ", transform(split(col("p_name"), " "),
+        w => concat(upper(substring(w, 1, 1)),
+          substring(w, 2, Int.MaxValue))))
+      val sent = Tables.load(s, d, "part")
+        .select(col("p_partkey"),
+          concat(lit("the service at "), cap, lit(" was terrible"))
+            .as("sentence"))
+      sent.as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (pk, snt) =>
+          graft.bdb.PerceptronNer.orgSpans(snt).map(sp => (pk, sp))
+        }
+      }.toDF("p_partkey", "org_span")
+        .orderBy("p_partkey", "org_span")
+    },
+      Some("""SELECT p_partkey,
+             |  array_to_string(list_transform(string_split(p_name, ' '),
+             |    x -> upper(x[1]) || x[2:]), ' ') AS org_span
+             |FROM part ORDER BY p_partkey, org_span""".stripMargin))
   )
 }

@@ -11,6 +11,55 @@ class BdbQueriesSpec extends SparkSpec {
 
   private lazy val ready: Unit = BdbFixture.register(spark)
 
+  test("q28 sparse NB == MLlib NaiveBayes on identical hashed features") {
+    import org.apache.spark.sql.functions._
+    // the sparse (label, bucket) model must reproduce MLlib's
+    // multinomial NB exactly (same smoothing, priors, argmax
+    // tiebreak) when both see the same feature vectors — build MLlib
+    // vectors from q28's own bucket function and compare confusion
+    // matrices
+    ready
+    val n = 1 << 12
+    val labeled = spark.table("product_reviews")
+      .filter(col("pr_review_content").isNotNull &&
+        col("pr_review_rating").isNotNull)
+      .withColumn("label",
+        when(col("pr_review_rating") <= 2, 0.0)
+          .when(col("pr_review_rating") === 3, 1.0).otherwise(2.0))
+      .withColumn("words",
+        split(lower(col("pr_review_content")), "[^a-z']+"))
+    val toks = labeled.select(col("pr_review_sk"), col("label"),
+        explode(col("words")).as("word"))
+      .withColumn("b", pmod(hash(col("word")), lit(n)))
+    val vecs = toks.groupBy("pr_review_sk", "label", "b")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("pr_review_sk", "label")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("b"), col("tf"))))).as("m"))
+      .collect().map { r =>
+        val m = r.getMap[Int, Long](2)
+        (r.getLong(0), r.getDouble(1), org.apache.spark.ml.linalg.Vectors
+          .sparse(n, m.keys.toArray.sorted,
+            m.keys.toArray.sorted.map(k => m(k).toDouble)))
+      }
+    val df = spark.createDataFrame(vecs.toSeq)
+      .toDF("sk", "label", "features")
+    val model = new org.apache.spark.ml.classification.NaiveBayes()
+      .setSmoothing(0.001).setModelType("multinomial")
+      .fit(df.filter(pmod(col("sk"), lit(10)) =!= 0))
+    val mlConf = model.transform(df.filter(pmod(col("sk"), lit(10)) === 0))
+      .groupBy(col("label").as("true_label"),
+        col("prediction").as("pred_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    val sparseConf = BdbQueries2.q28(spark, numFeatures = n)
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(sparseConf === mlConf)
+    assert(sparseConf.nonEmpty)
+  }
+
   test("q01 pair semantics on fixture: pairs share a ticket") {
     ready
     val rows = BdbQueries1
