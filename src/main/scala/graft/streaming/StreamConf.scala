@@ -13,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   * real cluster size it to the executor count like any shuffle.
   */
 object StreamConf {
+  /** Bench knob: SPARK_GRAFT_STATE_PARTS overrides the x-series state
+    * partition count (for measuring the store-count/parallelism
+    * tradeoff without a rebuild). */
+  private val statePartsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
+
   def withStatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, statePartsOverride.getOrElse(n).toString)
     try body finally s.conf.set(key, prev)
   }
 
