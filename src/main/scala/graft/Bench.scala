@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the testdata ships ONE parquet file per table; at the default
+      // 128 MB split size every scan is a single task no matter how
+      // many cores the box has. 8 MB splits the row-grouped files
+      // across the executor threads (a real cluster reading many-file
+      // tables tunes this to its own file sizes instead).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8388608"))
       .getOrCreate()
     // ERROR (not WARN) from the very start: streaming queries emit a
     // burst of WARN lines (AQE-disabled, checkpoint cleanup, job-group
