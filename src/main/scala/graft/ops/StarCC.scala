@@ -58,19 +58,23 @@ object StarCC {
   /** Small-star: orient every edge max→min; for every node u,
     * connect u and each of its smaller neighbors to
     * m(u) = min(smaller neighbors). Deduplicates (closes the
-    * alternation).
+    * alternation) unless `dedup = false` — duplicates never change
+    * any round's emitted SET or the final min aggregate, so the LAST
+    * round of [[components]] skips the exchange and lets the closing
+    * groupBy-min absorb them.
     */
-  def smallStar(edges: DataFrame): DataFrame = {
+  def smallStar(edges: DataFrame, dedup: Boolean = true): DataFrame = {
     val o = edges.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-    o.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+    val out = o
+      .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
       .select(explode(array(
         struct(col("v").as("u"), col("m").as("v")),
         struct(col("u").as("u"), col("m").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    if (dedup) out.distinct() else out
   }
 
   /** `rounds` alternations of large+small star. Every stage consumes
@@ -85,15 +89,23 @@ object StarCC {
     * vertex set with root=self for isolated nodes.
     */
   def components(edges: DataFrame, rounds: Int,
-      checkpointEvery: Int = 0): DataFrame = {
-    var e = edges.filter(col("u") =!= col("v")).distinct()
+      checkpointEvery: Int = 0,
+      distinctInput: Boolean = true): DataFrame = {
+    // callers whose edge stream is distinct by construction (a
+    // groupBy-keyed pair aggregate, like d12's) pass
+    // distinctInput = false and skip one exchange of the FULL edge
+    // set — duplicates would be harmless anyway (window minima and
+    // per-round distincts absorb them), the flag is purely cost.
+    var e = edges.filter(col("u") =!= col("v"))
+    if (distinctInput) e = e.distinct()
     for (r <- 1 to rounds) {
-      e = smallStar(largeStar(e))
+      e = smallStar(largeStar(e), dedup = r < rounds)
       if (checkpointEvery > 0 && r % checkpointEvery == 0)
         e = e.localCheckpoint()
     }
     // converged edges are (child, root); a node can still appear on
     // both sides mid-convergence, so take the min root per node
+    // (this aggregate also absorbs the last round's skipped dedup)
     e.select(greatest(col("u"), col("v")).as("node"),
         least(col("u"), col("v")).as("r"))
       .groupBy("node").agg(min("r").as("root"))

@@ -532,7 +532,9 @@ object DedupQueries extends Suite {
       val edges = Dedup.jaccardAllPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.1)
         .select(col("id_1").as("u"), col("id_2").as("v"))
-      val roots = graft.ops.StarCC.components(edges, rounds = 4)
+      // edges are distinct by construction (pair-keyed aggregate)
+      val roots = graft.ops.StarCC.components(edges, rounds = 4,
+        distinctInput = false)
       base.select("doc_id")
         .join(roots, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"),

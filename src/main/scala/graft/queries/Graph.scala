@@ -174,7 +174,9 @@ object GraphQueries extends Suite {
         .filter(size(col("ids")) >= 2)
         .select(graft.expressions.ArrayPairs.array_pairs(col("ids"))
           .as(Seq("u", "v")))
-      val roots = graft.ops.StarCC.components(edges, rounds = 2)
+      // pairs are unique by construction (one k-group per doc)
+      val roots = graft.ops.StarCC.components(edges, rounds = 2,
+        distinctInput = false)
       base.select("doc_id")
         .join(roots, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"),
