@@ -973,6 +973,61 @@ object DedupQueries extends Suite {
               |  CAST((SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)
               |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
               |FROM chunks LEFT JOIN dup ON chunks.fp = dup.fp
-              |GROUP BY chunks.doc_id ORDER BY chunks.doc_id""".stripMargin))
+              |GROUP BY chunks.doc_id ORDER BY chunks.doc_id""".stripMargin)),
+
+    // D30: PQ-coded ANN (Jegou TPAMI'11, ops/Pq): corpus encoded to
+    // M=8 sub-codes by a NARROW codegen'd argmin over a literal
+    // codebook (no join, no shuffle — one scan encodes 100 TB), then
+    // searched with asymmetric distance: the query's 128-entry
+    // codeword-distance lookup table broadcasts and each corpus
+    // vector costs 8 integer adds. Completes the quantization ladder
+    // brute (d09) -> SQ8 (d26) -> IVF (d10/d16) -> PQ; exact integer
+    // micro-units end to end so the oracle replays bit-identically.
+    Q("d30_knn_pq", (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val codes = graft.ops.Pq.encode(e, "vec_id", "embedding")
+      val lut = graft.ops.Pq.adcTable(
+        e.filter(col("vec_id") < 10), "vec_id", "embedding")
+      val wK = Window.partitionBy("q_id")
+        .orderBy(asc("adc"), col("vec_id"))
+      codes.join(broadcast(lut),
+          codes("s") === lut("s") && codes("code") === lut("c") &&
+            codes("vec_id") =!= lut("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum("d2").as("adc"))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          col("rnk"), col("adc"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH cb(s, c, j, w) AS (VALUES ${graft.ops.Pq.codebookSql}),
+              |eq AS (
+              |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS d0,
+              |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+              |      AS BIGINT) AS v
+              |  FROM embeddings),
+              |sq AS (SELECT vec_id, d0 // 8 AS s, d0 % 8 AS j, v FROM eq),
+              |dist AS MATERIALIZED (
+              |  SELECT sq.vec_id, sq.s, cb.c,
+              |    CAST(SUM((sq.v - cb.w) * (sq.v - cb.w)) AS BIGINT) AS d2
+              |  FROM sq JOIN cb ON cb.s = sq.s AND cb.j = sq.j
+              |  GROUP BY 1, 2, 3),
+              |codes AS (
+              |  SELECT vec_id, s, c AS code FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+              |      ORDER BY d2, c) AS rn FROM dist) WHERE rn = 1),
+              |lut AS (SELECT vec_id AS q_id, s, c, d2 FROM dist
+              |        WHERE vec_id < 10),
+              |adc AS (
+              |  SELECT lut.q_id, codes.vec_id AS n_id,
+              |    CAST(SUM(lut.d2) AS BIGINT) AS adc
+              |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.code
+              |    AND codes.vec_id <> lut.q_id
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |         ORDER BY adc, n_id) AS rnk FROM adc)
+              |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin))
   )
 }

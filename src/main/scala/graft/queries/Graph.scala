@@ -74,10 +74,12 @@ object GraphQueries extends Suite {
             .groupBy("dst")
             .agg(sum("c").as("cs"))
             .select(col("dst").as("node"), (lit(base) + col("cs")).as("r"))
-            // per-iteration materialization (d12 discipline): each
-            // hop joins a flat |nodes|-row table instead of the
-            // re-planned prefix of all earlier hops
-            .localCheckpoint()
+          // NO per-round materialization: each rank is consumed
+          // exactly once (by the next round's join) and the edge side
+          // is the checkpointed RDD, so all 5 hops run as ONE linear
+          // job — the StarCC lesson; checkpoints are for
+          // multi-consumer stages, and each cost ~1.5 s of fixed
+          // materialization at sf0.1
         }
         rank.select(col("node").as("brand"), col("r").as("rank_ppm"))
           .orderBy("brand")

@@ -145,4 +145,33 @@ class DedupSpec extends SparkSpec {
     assert((1L to 9L).forall(i => roots(i) === 0L),
       s"chain not fully collapsed: $roots")
   }
+
+  test("PQ: encode shape/determinism; identical vectors share codes; " +
+    "self-ADC is the per-subspace minimum") {
+    import graft.ops.Pq
+    val v = (0 until 64).map(i => (i * 7 % 13) / 26.0f - 0.25f).toArray
+    val w = (0 until 64).map(i => (i * 5 % 11) / 22.0f - 0.25f).toArray
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val codes = Pq.encode(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length === 3 * Pq.M)
+    assert(codes.forall { case (_, s, c) =>
+      s >= 0 && s < Pq.M && c >= 0 && c < Pq.K })
+    // identical input -> identical codes (and invariant to partitioning)
+    val c1 = codes.filter(_._1 == 1L).map(x => (x._2, x._3)).sorted
+    val c2 = codes.filter(_._1 == 2L).map(x => (x._2, x._3)).sorted
+    assert(c1 === c2)
+    val reparted = Pq.encode(df.repartition(5), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(reparted === codes.sorted)
+    // ADC(q -> same-vector corpus entry) == sum over subspaces of the
+    // MINIMUM codeword distance — the tightest ADC any entry can get
+    val lut = Pq.adcTable(df.filter(col("vec_id") === 1L),
+      "vec_id", "embedding").collect()
+      .map(r => ((r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val minSum = (0 until Pq.M).map { s =>
+      (0 until Pq.K).map(c => lut((s, c))).min }.sum
+    val selfAdc = c1.map { case (s, c) => lut((s, c)) }.sum
+    assert(selfAdc === minSum)
+  }
 }
