@@ -56,9 +56,9 @@ object DumpPlans {
     "d07_simhash_neardup" ->
       "pigeonhole banding as equi-joins on 16-bit band keys; each surviving pair is emitted EXACTLY ONCE by the first-matching-band predicate (band k requires bands 0..k-1 differ) — no global distinct over the duplicated candidate stream, so dedup cost is zero shuffles instead of one over all candidates",
     "d12_dup_groups" ->
-      "iterative min-label propagation with FLAT lineage: the edge list is checkpointed once, each of the 5 rounds is join + groupBy on the node key reusing the same partitioning — no exponential plan growth, exact iff component diameter <= 5 (fixpoint + periodic checkpoints at 100 TB)",
+      "star-contraction CC as ONE LINEAR JOB: 4 large/small-star alternations, each a one-pass explode symmetrize + window min (one node-keyed exchange per star) + round-closing distinct — exact at ANY component depth, no per-round materialization (every stage single-consumer; checkpointEvery bounds recovery depth at cluster scale)",
     "g01_pagerank" ->
-      "the co-purchase edge list is built once (localCheckpoint) and each iteration is one join + one aggregation on the node key; rank arithmetic is integer ppm so partial-agg order can't flip bits at any parallelism",
+      "the co-purchase edge list is built once (localCheckpoint — it feeds all 5 hops); each rank is consumed exactly once so the 5 join+aggregate hops run as one linear job with no per-round checkpoints; rank arithmetic is integer ppm so partial-agg order can't flip bits at any parallelism",
     "s04_session_pairs" ->
       "pair generation with NO second exchange: the groupBy(user, session) reuses the sessionizer's hashpartitioning(user) (subset-satisfied ClusteredDistribution) and the pair expansion is a per-row Generate over the collected set — the textbook distinct + self-join form plans the window sort twice plus a join exchange",
     "t24_multi_needle" ->
@@ -79,6 +79,8 @@ object DumpPlans {
       "SQ8 ANN: the dims-row [min,max] aggregate broadcasts back (BroadcastNestedLoopJoin over a 1-row frame), encoding is a narrow map, and the encoded query set broadcasts against one corpus scan — the corpus never shuffles, and the scanned codes are 4x denser than floats",
     "d27_cdc_chunks" ->
       "content-defined chunking: the checkpointed chunk table is the ONLY thing later stages touch (no Generate in the final plan — the token window pipeline ran exactly once); dup detection is a fingerprint aggregate with map-side partials",
+    "d30_knn_pq" ->
+      "PQ ANN: corpus encoding is a NARROW codegen'd argmin over the literal codebook (no join anywhere before the code stream), and the query-side 128-entry ADC lookup table broadcasts (BroadcastHashJoin) — the corpus never shuffles until the per-query top-k aggregate over 8-code rows",
     "g03_cc_star" ->
       "star-contraction CC: each alternation is a node-keyed min aggregate + node-keyed join over the checkpointed edge set — O(log n) rounds total where min-label propagation needs graph-diameter rounds",
     "b23_cov_months" ->
