@@ -1028,6 +1028,114 @@ object DedupQueries extends Suite {
               |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               |         ORDER BY adc, n_id) AS rnk FROM adc)
               |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // D31: PQ with a TRAINED codebook — per-subspace k-means in the
+    // m02 integer-Lloyd discipline (2 unrolled iterations, exact
+    // micro-unit arithmetic, floor-division recentering), seeded from
+    // the first K vectors' subvectors. ALL 8 subspaces train in ONE
+    // set of keyed aggregates (s rides the group keys): assignment is
+    // a broadcast-centroid join + (vec_id, s, c)-keyed partial-agg
+    // distance + struct-min argmin; recentering is a (s, c, j)-keyed
+    // exact mean. The same dist stage then serves final encoding AND
+    // the query-side ADC lookup table — corpus shuffles only on its
+    // own keys with a K-bounded row multiplier, linear at any scale.
+    Q("d31_knn_pq_trained", (s, d) => {
+      val eq = embs(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"),
+          (col("pos") / 8).cast("int").as("s"),
+          (col("pos") % 8).cast("int").as("j"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("v"))
+        // feeds every Lloyd stage (4 dist joins + 2 recenters) —
+        // materialize once, the m02 discipline
+        .localCheckpoint()
+      def dist(cent: DataFrame): DataFrame = eq
+        .join(broadcast(cent), Seq("s", "j"))
+        .groupBy("vec_id", "s", "c")
+        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("d2"))
+      def assign(cent: DataFrame): DataFrame = dist(cent)
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d2"), col("c"))).as("_m"))
+        .select(col("vec_id"), col("s"), col("_m.c").as("c"))
+      def recenter(asg: DataFrame): DataFrame = eq
+        .join(asg, Seq("vec_id", "s"))
+        .groupBy("s", "c", "j")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("s"), col("c"), col("j"),
+          expr("(sv - pmod(sv, n)) div n").as("w"))
+      val c0 = eq.filter(col("vec_id") < 16)
+        .select(col("s"), col("vec_id").as("c"), col("j"),
+          col("v").as("w"))
+      val c2 = recenter(assign(recenter(assign(c0))))
+        .localCheckpoint() // tiny (<= 1024 rows); feeds encode AND LUT
+      val codes = assign(c2)
+      val lut = dist(c2).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("s"), col("c"),
+          col("d2"))
+      val wK = Window.partitionBy("q_id")
+        .orderBy(asc("adc"), col("vec_id"))
+      codes.join(broadcast(lut),
+          codes("s") === lut("s") && codes("c") === lut("c") &&
+            codes("vec_id") =!= lut("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum("d2").as("adc"))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          col("rnk"), col("adc"))
+        .orderBy("q_id", "rnk")
+    },
+      Some {
+        def distSql(cent: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT eq.vec_id, eq.s, ct.c,
+             |    CAST(SUM((eq.v - ct.w) * (eq.v - ct.w)) AS BIGINT) AS d2
+             |  FROM eq JOIN $cent ct ON ct.s = eq.s AND ct.j = eq.j
+             |  GROUP BY 1, 2, 3)""".stripMargin
+        def assignSql(dist: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+             |      ORDER BY d2, c) AS rn FROM $dist) WHERE rn = 1)""".stripMargin
+        def recenterSql(asg: String, out: String) =
+          s"""$out AS MATERIALIZED (
+             |  SELECT s, c, j,
+             |    (sv - (((sv % n) + n) % n)) // n AS w FROM (
+             |    SELECT a.s, a.c, eq.j, CAST(SUM(eq.v) AS BIGINT) AS sv,
+             |      COUNT(*) AS n
+             |    FROM eq JOIN $asg a ON eq.vec_id = a.vec_id AND eq.s = a.s
+             |    GROUP BY 1, 2, 3))""".stripMargin
+        s"""WITH eq AS MATERIALIZED (
+           |  SELECT vec_id, (gs - 1) // 8 AS s, (gs - 1) % 8 AS j, v
+           |  FROM (
+           |    SELECT vec_id, generate_subscripts(embedding,1) AS gs,
+           |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+           |        AS BIGINT) AS v
+           |    FROM embeddings)),
+           |c0 AS (SELECT s, vec_id AS c, j, v AS w FROM eq
+           |       WHERE vec_id < 16),
+           |${distSql("c0", "s1")},
+           |${assignSql("s1", "a1")},
+           |${recenterSql("a1", "c1")},
+           |${distSql("c1", "s2")},
+           |${assignSql("s2", "a2")},
+           |${recenterSql("a2", "c2")},
+           |${distSql("c2", "s3")},
+           |${assignSql("s3", "codes")},
+           |lut AS (SELECT vec_id AS q_id, s, c, d2 FROM s3
+           |        WHERE vec_id < 10),
+           |adc AS (
+           |  SELECT lut.q_id, codes.vec_id AS n_id,
+           |    CAST(SUM(lut.d2) AS BIGINT) AS adc
+           |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.c
+           |    AND codes.vec_id <> lut.q_id
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |         ORDER BY adc, n_id) AS rnk FROM adc)
+           |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      })
   )
 }
