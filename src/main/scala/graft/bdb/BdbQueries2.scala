@@ -469,8 +469,8 @@ object BdbQueries2 {
     * split, alpha=0.001, labels from rating: 1-2 NEG / 3 NEUT / 4-5
     * POS). Ref: q28_dask_sql.py:33-66, q28_utils.py:73-82.
     *
-    * Multinomial NB over the 2^23-bucket hashed feature space
-    * (q28_utils.py:36), computed SPARSE: the model is a
+    * Multinomial NB over the 2^23-bucket hashed 1-2-gram feature
+    * space (q28_utils.py:36-37), computed SPARSE: the model is a
     * (label, bucket)-keyed count table — only buckets that actually
     * occur materialize, with map-side partial aggregation — instead
     * of MLlib NaiveBayes's dense per-class aggregation buffers
@@ -497,12 +497,24 @@ object BdbQueries2 {
       .withColumn("words", split(lower(col("pr_review_content")), "[^a-z']+"))
       .select("pr_review_sk", "label", "words")
     val isTest = pmod(col("pr_review_sk"), lit(10)) === 0
-    // token stream with HashingTF's bucket function; one occurrence
-    // row per token (tf folds into the count/sum aggregates below).
-    // Empty split artifacts stay IN, as they do for HashingTF's input.
+    // feature stream: unigrams AND space-joined bigrams — the
+    // reference's HashingVectorizer ngram_range=(1,2)
+    // (q28_utils.py:37) — hashed into one bucket space; one
+    // occurrence row per feature (tf folds into the count/sum
+    // aggregates below). Empty split artifacts stay IN, as they do
+    // for a hashing vectorizer's raw token stream. The bigram array
+    // is built INSIDE the explode over a projection that carries
+    // `words` as a materialized attribute (the Dedup.withWords
+    // lesson: Generate does not collapse into its child Project, so
+    // the split is evaluated once, not once per element access).
     def toks(df: DataFrame): DataFrame = df
       .select(col("pr_review_sk"), col("label"),
-        explode(col("words")).as("word"))
+        explode(concat(col("words"),
+          when(size(col("words")) >= 2,
+            expr("transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', element_at(words, i), " +
+              "element_at(words, i + 1)))"))
+            .otherwise(array().cast("array<string>")))).as("word"))
       .withColumn("b", pmod(hash(col("word")), lit(numFeatures)))
 
     val train = labeled.filter(!isTest)

@@ -371,10 +371,13 @@ object TextQueries2 extends Suite {
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id,
-             |  array_to_string(list_filter(
+             |  -- COALESCE: DuckDB's array_to_string is NULL on an
+             |  -- empty list where Spark's array_join is '' (bit us at
+             |  -- sf0.1, the first scale with a zero-match doc)
+             |  COALESCE(array_to_string(list_filter(
              |    ['tab','table','scan','can','spark','park','or','sort',
              |     'window','wind','merge','batch','stream'],
-             |    n -> contains(text, n)), ',') AS matched,
+             |    n -> contains(text, n)), ','), '') AS matched,
              |  CAST(len(list_filter(
              |    ['tab','table','scan','can','spark','park','or','sort',
              |     'window','wind','merge','batch','stream'],

@@ -28,8 +28,14 @@ class BdbQueriesSpec extends SparkSpec {
           .when(col("pr_review_rating") === 3, 1.0).otherwise(2.0))
       .withColumn("words",
         split(lower(col("pr_review_content")), "[^a-z']+"))
+    // same unigram+bigram feature stream as q28 (ngram_range=(1,2))
     val toks = labeled.select(col("pr_review_sk"), col("label"),
-        explode(col("words")).as("word"))
+        explode(concat(col("words"),
+          when(size(col("words")) >= 2,
+            expr("transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', element_at(words, i), " +
+              "element_at(words, i + 1)))"))
+            .otherwise(array().cast("array<string>")))).as("word"))
       .withColumn("b", pmod(hash(col("word")), lit(n)))
     val vecs = toks.groupBy("pr_review_sk", "label", "b")
       .agg(count(lit(1)).as("tf"))
