@@ -116,7 +116,7 @@ object DedupQueries extends Suite {
 
   /** Cosine between two embedding columns, double-accumulated and
     * rounded to 6 (mirror of Similarity.cosine). */
-  private def cosSql(a: String, b: String): String = {
+  private[queries] def cosSql(a: String, b: String): String = {
     def n(t: String) =
       s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"""round(list_sum(list_transform(range(1, len($a.embedding)+1),

@@ -950,6 +950,58 @@ object Extras extends Suite {
               |FROM bands GROUP BY band_id, band_hash
               |HAVING COUNT(*) >= 2
               |ORDER BY band_id, band_hash""".stripMargin)
-    })
+    }),
+
+    // x25: streaming vector-index ingest — the continuously-fed IVF
+    // store. Each arriving embedding gets its inverted-list cell
+    // STATELESSLY: the k centroids are driver-collected (k-bounded,
+    // the o29 scalar-splice discipline; a production pipeline
+    // broadcasts its trained k-means centroids the same way) and
+    // compiled into ONE codegen'd argmax-cosine expression, so ingest
+    // is a narrow map — no state store, no shuffle, no window; the
+    // ONLY exchange is the cell-keyed summary aggregate at read.
+    // Same centroids and tie-break as batch d10, so an index built by
+    // this stream is interchangeable with the batch one; the oracle
+    // replays the batch assignment.
+    Q("x25_stream_ivf_ingest", (s, d) => {
+      val cents = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id").isin(0, 101, 202, 303))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val stream = Tables.loadStream(s, d, "embeddings")
+      // argmax cosine with cid-asc tiebreak == least over
+      // (-cos, cid) structs — d10's ranking, windowless (append
+      // streams cannot use window functions)
+      val best = least(cents.map { case (cid, v) =>
+        struct(
+          (-graft.ops.Similarity.cosine(col("embedding"),
+            typedlit(v))).as("nc"),
+          lit(cid).as("cid"))
+      }: _*).getField("cid")
+      val assigned = stream.select(col("vec_id"), best.as("cid"))
+      graft.streaming.StreamConf
+        .runToTable(s, assigned, "graft_stream_ivf", "append")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum("vec_id").as("id_sum"))
+        .orderBy("cid")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+              |          WHERE vec_id IN (0, 101, 202, 303)),
+              |scored_c AS (
+              |  SELECT e.vec_id, c.cid,
+              |    ${DedupQueries.cosSql("e", "c")} AS ccos
+              |  FROM e, cents c),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY ccos DESC, cid) AS arn FROM scored_c)
+              |  WHERE arn = 1)
+              |SELECT cid, COUNT(*) AS n_vectors,
+              |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+              |FROM asg GROUP BY cid ORDER BY cid""".stripMargin))
   )
 }
