@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Product quantization for ANN (Jégou et al., "Product Quantization
@@ -47,44 +47,31 @@ object Pq {
     math.floorMod(h, 500001L) - 250000L
   }
 
-  // floor, not round: half-way rounding differs across engines, floor
-  // is exact on both (the d26/SQ8 idiom)
-  private def q(x: Column): Column =
-    floor(x.cast("double") * 1000000).cast("long")
-
-  /** Exact integer squared distance between subspace `s` of `emb`
-    * and codeword (s, c). */
-  private def d2(emb: Column, s: Int, c: Int): Column =
-    (0 until SubDim).map { j =>
-      val v = q(element_at(emb, s * SubDim + j + 1))
-      val w = lit(codeword(s, c, j))
-      (v - w) * (v - w)
-    }.reduce(_ + _)
-
   /** (id, s, code) — the PQ encoding: per subspace, the argmin
-    * codeword (lowest code id on ties). Pure narrow expression: the
-    * codebook is literal, so this is one codegen'd scan, no join.
+    * codeword (lowest code id on ties). One codegen'd NARROW scan, no
+    * join: the whole M*K*SubDim argmin runs in the
+    * [[graft.expressions.PqEncode]] kernel (the composed-Column form
+    * of the same math is a 1024-term expression tree that overflows
+    * generated-method limits and drops to interpreted eval — 15.8 s
+    * vs ~1 s at sf0.1).
     */
-  def encode(df: DataFrame, id: String, emb: String): DataFrame = {
-    val rows = (0 until M).map { s =>
-      val best = least((0 until K).map(c =>
-        struct(d2(col(emb), s, c).as("d2"), lit(c).as("c"))): _*)
-      struct(lit(s).as("s"), best.getField("c").as("code"))
-    }
-    df.select(col(id), explode(array(rows: _*)).as("sc"))
-      .select(col(id), col("sc.s").as("s"), col("sc.code").as("code"))
-  }
+  def encode(df: DataFrame, id: String, emb: String): DataFrame =
+    df.select(col(id),
+      posexplode(graft.expressions.GraftFunctions.pq_encode(col(emb)))
+        .as(Seq("s", "code")))
 
   /** Query-side ADC lookup table: (qid, s, c, d2) for ALL M*K
-    * codewords — K*M rows per query, broadcast at any corpus size. */
-  def adcTable(queries: DataFrame, id: String, emb: String): DataFrame = {
-    val rows = for (s <- 0 until M; c <- 0 until K) yield
-      struct(lit(s).as("s"), lit(c).as("c"),
-        d2(col(emb), s, c).as("d2"))
-    queries.select(col(id).as("q_id"), explode(array(rows: _*)).as("e"))
-      .select(col("q_id"), col("e.s").as("s"), col("e.c").as("c"),
-        col("e.d2").as("d2"))
-  }
+    * codewords — K*M rows per query, broadcast at any corpus size.
+    * Kernel-computed ([[graft.expressions.PqAdcLut]]) for the same
+    * reason as [[encode]]. */
+  def adcTable(queries: DataFrame, id: String, emb: String): DataFrame =
+    queries.select(col(id).as("q_id"),
+        posexplode(graft.expressions.GraftFunctions.pq_adc_lut(col(emb)))
+          .as(Seq("pos", "d2")))
+      .select(col("q_id"),
+        (col("pos") / K).cast("int").as("s"),
+        (col("pos") % K).cast("int").as("c"),
+        col("d2"))
 
   /** SQL literal VALUES list for the codebook — the oracle's mirror:
     * cb(s, c, j, w). */
