@@ -104,12 +104,19 @@ object Bench {
     }
     // One short JSON line in the driver's shape, reusable for the
     // incremental checkpoints below and the final print.
+    // `reruns` counts the isolated contamination re-runs taken after
+    // the passes (below): those queries got one more min-of-N sample
+    // than the rest — a small systematic downward bias on exactly the
+    // slow queries. Carrying the count in the artifact keeps the
+    // asymmetry visible instead of silent; per-query suite-vs-isolated
+    // values land in the detail file's RERUN lines.
+    var rerunCount = 0
     def jsonLine(res: Seq[(String, Double)], headlineQs: String): String = {
       val total = res.map(_._2).sum
       val avg = if (res.nonEmpty) total / res.size else 0.0
       val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sfName = new java.io.File(sfDir).getName
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"queries":$headlineQs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"queries":$headlineQs,"sf":"$sfName"}"""
     }
     (1 to repeats).foreach { pass =>
       attempted.foreach { case (name, fn) =>
@@ -152,6 +159,7 @@ object Bench {
       best.filter(_._2 > threshold).keys.toSeq.sorted.foreach { name =>
         attempt(name, byNameFn(name), recordFailure = false).foreach { t =>
           rerunLog += f"RERUN $name%-24s suite=${best(name)}%.3f isolated=$t%.3f s"
+          rerunCount += 1
           if (t < best(name)) best(name) = t
         }
       }

@@ -89,7 +89,32 @@ object Kernels {
     Array.tabulate(graft.ops.Pq.M, graft.ops.Pq.K, graft.ops.Pq.SubDim)(
       graft.ops.Pq.codeword)
 
+  /** The kernels index `emb` as a dense Pq.Dim-float vector — a short
+    * array would read out of bounds and a null element would silently
+    * decode as 0.0f (diverging from the SQL oracle's NULL semantics),
+    * so both are rejected loudly. Parquet-read arrays carry
+    * containsNull=true in their schema even when no element is null,
+    * so the guard is a per-row runtime check, not an analysis-time
+    * type rejection. Cost: Dim null-bit reads per row, noise next to
+    * the M*K*SubDim distance loop.
+    */
+  private def requirePqDim(emb: ArrayData): Unit = {
+    if (emb.numElements() != graft.ops.Pq.Dim)
+      throw new IllegalArgumentException(
+        s"pq kernels need a dense ${graft.ops.Pq.Dim}-element " +
+          s"array<float> embedding, got ${emb.numElements()} elements")
+    var i = 0
+    while (i < graft.ops.Pq.Dim) {
+      if (emb.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq kernels need a dense array<float> embedding, found a " +
+            s"NULL element at index $i")
+      i += 1
+    }
+  }
+
   def pqEncode(emb: ArrayData): ArrayData = {
+    requirePqDim(emb)
     val cb = pqCb
     val m = graft.ops.Pq.M; val k = graft.ops.Pq.K
     val sd = graft.ops.Pq.SubDim
@@ -123,6 +148,7 @@ object Kernels {
     * tree whose per-plan optimization alone cost seconds.
     */
   def pqAdcLut(emb: ArrayData): ArrayData = {
+    requirePqDim(emb)
     val cb = pqCb
     val m = graft.ops.Pq.M; val k = graft.ops.Pq.K
     val sd = graft.ops.Pq.SubDim
@@ -287,6 +313,9 @@ case class PqEncode(child: Expression) extends UnaryExpression {
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
+        // containsNull=true is accepted (parquet reads always carry
+        // it); actual null ELEMENTS are rejected per row by the
+        // kernel's dense-vector guard
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"pq_encode needs array<float>, got $other")
@@ -313,6 +342,8 @@ case class PqAdcLut(child: Expression) extends UnaryExpression {
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
+        // same containsNull policy as PqEncode: accept the schema,
+        // reject actual null elements per row in the kernel
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"pq_adc_lut needs array<float>, got $other")

@@ -105,8 +105,16 @@ object Bloom {
     * differently-typed-but-coercible key columns are normalized to a
     * common hash type first: both integral → long, mixed numeric →
     * double (join-equal numerics coerce to the same double), anything
-    * else → string. The JOIN still runs on the original columns —
-    * normalization affects only the bloom's bit positions.
+    * string-vs-numeric → double too, because that is the type Spark
+    * coerces the join equality to (string '5.0' joins int 5, and both
+    * cast to the same 5.0d — hashing the raw string bytes instead
+    * would put join-equal keys at different bit positions and DROP
+    * matching rows). Any other mixed-type pair has no
+    * provably-coercion-matching hash type, so the bloom is SKIPPED
+    * and the plain join returned — the contract (result == plain
+    * join) always holds; only the optimization degrades. The JOIN
+    * still runs on the original columns — normalization affects only
+    * the bloom's bit positions.
     */
   def prefilterJoin(big: DataFrame, small: DataFrame,
       bigKey: Column, smallKey: Column,
@@ -116,16 +124,25 @@ object Bloom {
     val smallT = small.select(smallKey).schema.head.dataType
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
-    val (hashBig, hashSmall) =
-      if (bigT == smallT) (bigKey, smallKey)
+    def numericish(t: DataType): Boolean =
+      t.isInstanceOf[NumericType] || t == StringType
+    val hashPair: Option[(Column, Column)] =
+      if (bigT == smallT) Some((bigKey, smallKey))
       else if (integral(bigT) && integral(smallT))
-        (bigKey.cast("long"), smallKey.cast("long"))
-      else if (bigT.isInstanceOf[NumericType] &&
-          smallT.isInstanceOf[NumericType])
-        (bigKey.cast("double"), smallKey.cast("double"))
-      else (bigKey.cast("string"), smallKey.cast("string"))
-    val bs = buildBits(small, hashSmall, bits, k)
-    big.filter(mightContain(bs, hashBig, bits, k))
-      .join(small, bigKey === smallKey)
+        Some((bigKey.cast("long"), smallKey.cast("long")))
+      else if (numericish(bigT) && numericish(smallT))
+        // mixed numeric, or string-vs-numeric: Spark compares both as
+        // double, so hash the double (unparseable strings cast to
+        // null, which is never join-equal — no false negative)
+        Some((bigKey.cast("double"), smallKey.cast("double")))
+      else None
+    hashPair match {
+      case Some((hashBig, hashSmall)) =>
+        val bs = buildBits(small, hashSmall, bits, k)
+        big.filter(mightContain(bs, hashBig, bits, k))
+          .join(small, bigKey === smallKey)
+      case None => // no safe common hash type — skip the optimization
+        big.join(small, bigKey === smallKey)
+    }
   }
 }

@@ -58,6 +58,28 @@ object Dedup {
       .select(col(id),
         explode(array_distinct(shingleExpr(n))).as("sh"))
 
+  /** Per-doc DISTINCT-shingle counts computed NARROW: the size of the
+    * deduplicated shingle array, read off before any explode — one
+    * scan over the docs, ZERO shuffles. Identical values to
+    * `ngramShingles(...).groupBy(id).count()`, which pays a full
+    * exchange of the shingle stream (the largest intermediate in the
+    * family) just to count rows per doc; feeding THIS to the
+    * verify/jaccard stages instead removes that exchange and the
+    * second evaluation of the shingle pipeline it forces. Docs with
+    * zero shingles (shorter than n words) come out with n = 0 instead
+    * of being absent — indistinguishable downstream, since only docs
+    * appearing in a candidate pair (and so holding >= 1 shingle) are
+    * ever looked up. The single-element explode is a real Generate
+    * node: like [[ngramShingles]], the shingle lambda must NOT
+    * collapse into the words-array projection ([[withWords]]) or
+    * every element_at re-evaluates the split — O(doc_len) per access.
+    */
+  def ngramShingleSizes(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    withWords(df, id, text)
+      .select(col(id), explode(array(
+        size(array_distinct(shingleExpr(n))).cast("long"))).as("n"))
+
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
     * repeats is the signal ([[ngramShingles]] is this per-doc
@@ -302,14 +324,16 @@ object Dedup {
     * primitive compares, with no (pairs x shingles) explode shuffle.
     */
   def jaccardVerifyHashedSets(candidates: DataFrame, shingles: DataFrame,
-      id: String, minJaccardPct: Int = 0): DataFrame = {
+      id: String, minJaccardPct: Int = 0,
+      sizesNarrow: Option[DataFrame] = None): DataFrame = {
     import graft.expressions.GraftFunctions.intersect_count_sorted
     val hsets = shingles.groupBy(col(id))
       .agg(sort_array(collect_list(Text.portableHash(col("sh")))).as("hs"))
     val pruned =
       if (minJaccardPct <= 0) candidates
       else {
-        val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+        val sizes = sizesNarrow.getOrElse(
+          shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
         candidates
           .join(sizes.as("pa"), col("id_1") === col(s"pa.$id"))
           .join(sizes.as("pb"), col("id_2") === col(s"pb.$id"))
@@ -339,8 +363,12 @@ object Dedup {
     * direction for dedup.
     */
   def jaccardAllPairs(shingles: DataFrame, id: String,
-      maxDf: Int = 10000): DataFrame = {
-    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None): DataFrame = {
+    // callers that derive shingles from a doc table pass the
+    // zero-shuffle [[ngramShingleSizes]] projection; the groupBy
+    // fallback keeps the op usable over an arbitrary shingle stream
+    val sizes = sizesNarrow.getOrElse(
+      shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
     commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
@@ -356,8 +384,9 @@ object Dedup {
     * container is much larger — the subset-dup case Jaccard misses.
     */
   def containmentAllPairs(shingles: DataFrame, id: String,
-      maxDf: Int = 10000): DataFrame = {
-    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesNarrow.getOrElse(
+      shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
     commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
@@ -383,10 +412,11 @@ object Dedup {
     * arithmetic.
     */
   def prefixFilteredCandidates(shingles: DataFrame, id: String,
-      tPct: Int): DataFrame = {
+      tPct: Int, sizesNarrow: Option[DataFrame] = None): DataFrame = {
     require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
     val docFreq = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val sizes = sizesNarrow.getOrElse(
+      shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
     val wDoc = Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))
     val prefix = shingles
       .join(docFreq, "sh")
@@ -400,6 +430,45 @@ object Dedup {
       .select(graft.expressions.ArrayPairs
         .array_pairs(col("ids")).as(Seq("id_1", "id_2")))
       .distinct()
+  }
+
+  /** Near-dup EDGE stage shared by pair queries (d05-shape) and
+    * group resolution (d12): all pairs of docs with exact n-gram
+    * Jaccard >= tPct/100, as (u, v) with u < v. One logical contract,
+    * two physical paths picked by the threshold:
+    *
+    *  - `tPct >= 60`: AllPairs prefix filter ([[
+    *    prefixFilteredCandidates]], exact by the prefix theorem) +
+    *    hashed-set verify with the size-ratio prune at tPct. At
+    *    t=0.8 only each doc's rarest ~20% of shingles enter buckets,
+    *    so the candidate stream shrinks ~(1-t)^2 — the d29 discipline
+    *    composed into the edge stage.
+    *  - below 60: full df-capped buckets ([[jaccardAllPairs]]) — at
+    *    low thresholds prefixes degenerate (t=0.1 keeps 90% of
+    *    shingles) and the bucket join with the df cap is the right
+    *    shape.
+    *
+    * Both paths take per-doc sizes from the zero-shuffle
+    * [[ngramShingleSizes]] projection rather than a groupBy over the
+    * shingle stream. The 60 crossover: prefix length is
+    * n - ceil(t*n) + 1, so below t=0.6 more than ~40% of each doc's
+    * shingles still enter buckets AND the verify stage joins the full
+    * hashed-set arrays per surviving pair — measured slower than the
+    * straight bucket count at sf0.1 for t<=0.5.
+    */
+  def dupEdges(docTable: DataFrame, id: String, text: String, n: Int,
+      tPct: Int, maxDf: Int = 10000): DataFrame = {
+    require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
+    val sh = ngramShingles(docTable, id, text, n)
+    val sizes = ngramShingleSizes(docTable, id, text, n)
+    val pairs =
+      if (tPct >= 60)
+        jaccardVerifyHashedSets(
+          prefixFilteredCandidates(sh, id, tPct, Some(sizes)), sh, id,
+          minJaccardPct = tPct, sizesNarrow = Some(sizes))
+      else jaccardAllPairs(sh, id, maxDf, Some(sizes))
+    pairs.filter(col("jaccard") >= tPct / 100.0)
+      .select(col("id_1").as("u"), col("id_2").as("v"))
   }
 
   /** Common-shingle counts per doc pair via shingle BUCKETS, with a
@@ -426,7 +495,15 @@ object Dedup {
     */
   def commonCountsFromBuckets(shingles: DataFrame, id: String,
       maxDf: Int): DataFrame = {
-    val buckets = shingles.groupBy(col("sh"))
+    // bucket key is xxhash64(sh), not the shingle string: the key
+    // never reaches a result (buckets exist only to pair ids), so the
+    // engine-portable hash discipline doesn't apply, and shuffling 8
+    // fixed bytes per row instead of a 20-40 byte string shrinks the
+    // family's largest exchange. A cross-doc collision would merge
+    // two buckets and over-count one pair by 1 — probability
+    // ~ S^2/2^64 for S distinct shingles, the same accepted risk as
+    // the hashed-set verify path.
+    val buckets = shingles.groupBy(xxhash64(col("sh")).as("shh"))
       .agg(collect_list(col(id)).as("ids"))
     val guarded = Metrics
       .observeDropped(buckets, "dedup_df_cap", size(col("ids")) > maxDf)

@@ -82,15 +82,35 @@ object StarCC {
     * one-pass star emission), so the whole iteration is ONE linear
     * pipeline and runs as a single job — no per-round
     * materialization, whose fixed cost dominated at small scale (the
-    * checkpointed form measured 2× slower at sf0.1). At cluster
-    * scale, pass `checkpointEvery` > 0 to bound lineage depth /
-    * failure-recovery re-execution to that many alternations.
+    * checkpointed form measured 2× slower at sf0.1). Lineage depth
+    * and optimizer time still grow with round count, so the DEFAULT
+    * (`checkpointEvery = -1`) auto-checkpoints every 4 alternations
+    * once `rounds` exceeds 4 — a short run keeps the pure linear
+    * pipeline, a deep run bounds plan depth and failure-recovery
+    * re-execution. Pass 0 to force no checkpointing, or an explicit
+    * positive cadence to override.
+    *
+    * Skew caveat of the window form: the per-node neighborhood min is
+    * a window aggregate over `partitionBy(u)`, which has NO map-side
+    * partial aggregation — a high-degree hub's entire neighborhood
+    * lands in one task's sort. Star contraction itself bounds this
+    * (each alternation points hub neighbors at the component min, so
+    * hub degree collapses after the first rounds), but the FIRST
+    * large-star over a raw hub pays one skewed task; with AQE skew
+    * handling off and a pathological hub, prefer pre-aggregating the
+    * raw edge list or salting upstream.
     * Returns (node, root) for every NON-singleton node — union the
     * vertex set with root=self for isolated nodes.
     */
   def components(edges: DataFrame, rounds: Int,
-      checkpointEvery: Int = 0,
-      distinctInput: Boolean = true): DataFrame = {
+      checkpointEvery: Int = -1,
+      distinctInput: Boolean = true,
+      dedupEvery: Int = 1): DataFrame = {
+    require(dedupEvery >= 1, s"dedupEvery must be >= 1: $dedupEvery")
+    val ckpt =
+      if (checkpointEvery >= 0) checkpointEvery
+      else if (rounds > 4) 4
+      else 0
     // callers whose edge stream is distinct by construction (a
     // groupBy-keyed pair aggregate, like d12's) pass
     // distinctInput = false and skip one exchange of the FULL edge
@@ -98,9 +118,20 @@ object StarCC {
     // per-round distincts absorb them), the flag is purely cost.
     var e = edges.filter(col("u") =!= col("v"))
     if (distinctInput) e = e.distinct()
+    // `dedupEvery`: the round-closing distinct is semantically inert
+    // (duplicate edges never change a window minimum or any round's
+    // emitted SET, and the final groupBy-min absorbs them) — it
+    // exists purely to bound transient row growth, which is at most
+    // x4 per un-deduplicated round (x2 symmetrize, x2 star emission).
+    // The default dedups every round (the scale-safe choice: growth
+    // never compounds); a cadence of c saves one exchange per skipped
+    // round at a worst-case transient of 4^c between dedups — c=2 is
+    // the right trade for graphs whose thresholded edge set is small
+    // relative to the corpus (d12's shape).
     for (r <- 1 to rounds) {
-      e = smallStar(largeStar(e), dedup = r < rounds)
-      if (checkpointEvery > 0 && r % checkpointEvery == 0)
+      e = smallStar(largeStar(e),
+        dedup = r < rounds && r % dedupEvery == 0)
+      if (ckpt > 0 && r % ckpt == 0 && r < rounds)
         e = e.localCheckpoint()
     }
     // converged edges are (child, root); a node can still appear on

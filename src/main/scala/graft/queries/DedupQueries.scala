@@ -215,8 +215,13 @@ object DedupQueries extends Suite {
       // on testdata (max observed df 25 at sf0.1); drops are logged
       // via observed metric. (The candidates-then-reverify form
       // re-joins the shingle table twice more — measured 5x slower.)
-      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
-      Dedup.jaccardAllPairs(sh, "doc_id")
+      // per-doc sizes come from the zero-shuffle narrow projection —
+      // the groupBy form re-evaluated the whole shingle pipeline just
+      // to count rows per doc
+      val base = docs(s, d)
+      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+      val sizes = Dedup.ngramShingleSizes(base, "doc_id", "text", 3)
+      Dedup.jaccardAllPairs(sh, "doc_id", sizesNarrow = Some(sizes))
         .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
         .orderBy("id_1", "id_2")
     },
@@ -521,20 +526,26 @@ object DedupQueries extends Suite {
     // ids), so the oracle replays the identical rounds bit-exactly,
     // converged or not — same discipline as g01/g03.
     Q("d12_dup_groups", (s, d) => {
-      // full corpus: the edge stage is the df-capped bucketed shingle
-      // join (quadratic only within a bounded bucket), so no doc cap
-      // is needed — same scale shape as d05/d20. The star rounds are
-      // one linear pipeline (every stage single-consumer), so the
-      // whole query is one job with no materialization barrier; at
-      // cluster scale pass checkpointEvery to bound recovery depth.
+      // full corpus: edges come from the SHARED edge stage
+      // (Dedup.dupEdges) — at d12's default t=0.1 that is the
+      // df-capped bucketed shingle join (quadratic only within a
+      // bounded bucket, same scale shape as d05/d20) with per-doc
+      // sizes from the zero-shuffle narrow projection; a t >= 0.6 run
+      // of the same stage switches to the exact AllPairs prefix path
+      // (d29's discipline), where only each doc's rarest shingles
+      // enter buckets. The star rounds are one linear pipeline (every
+      // stage single-consumer), so the whole query is one job with no
+      // materialization barrier; at cluster scale pass checkpointEvery
+      // to bound recovery depth.
       val base = docs(s, d)
-      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
-      val edges = Dedup.jaccardAllPairs(sh, "doc_id")
-        .filter(col("jaccard") >= 0.1)
-        .select(col("id_1").as("u"), col("id_2").as("v"))
-      // edges are distinct by construction (pair-keyed aggregate)
+      val edges = Dedup.dupEdges(base, "doc_id", "text", 3, tPct = 10)
+      // edges are distinct by construction (pair-keyed aggregate);
+      // dedupEvery=2 drops one inert exchange per skipped round —
+      // sound here because the thresholded edge set is tiny relative
+      // to the corpus, so a x16 transient between dedups stays far
+      // below the shingle stream the query already shuffled
       val roots = graft.ops.StarCC.components(edges, rounds = 4,
-        distinctInput = false)
+        distinctInput = false, dedupEvery = 2)
       base.select("doc_id")
         .join(roots, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"),
@@ -568,9 +579,12 @@ object DedupQueries extends Suite {
     // symmetric Jaccard stays low because the container dominates the
     // union. Same one-self-join shape (and cost) as d05.
     Q("d20_containment", (s, d) => {
-      // same bucket shape + df cap as d05 (no-op on testdata)
-      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
-      Dedup.containmentAllPairs(sh, "doc_id")
+      // same bucket shape + df cap as d05 (no-op on testdata), same
+      // zero-shuffle narrow sizes
+      val base20 = docs(s, d)
+      val sh = Dedup.ngramShingles(base20, "doc_id", "text", 3)
+      Dedup.containmentAllPairs(sh, "doc_id",
+          sizesNarrow = Some(Dedup.ngramShingleSizes(base20, "doc_id", "text", 3)))
         .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
         .orderBy("id_1", "id_2")
     },
@@ -756,10 +770,22 @@ object DedupQueries extends Suite {
       val e = embs(s, d).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") % 61 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val wAsg = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+      // assignment argmax via max_by, NOT a row_number window: k grows
+      // with the corpus (every-61st vector), so the scored stream is
+      // n*k rows — a window shuffles and sorts ALL of them, which is
+      // what made d23 superlinear at sf1 (the round-9 slope table's
+      // 44x). max_by carries map-side partial aggregation: each task
+      // reduces its local n*k scores to one row per vec_id before the
+      // exchange, so only n rows ever shuffle. Tie-break (highest
+      // ccos, then lowest cid) matches the oracle's ROW_NUMBER ORDER
+      // BY ccos DESC, cid — the assigned SET is identical.
       val asg = e.crossJoin(broadcast(cents))
         .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
-        .withColumn("arn", row_number().over(wAsg)).filter(col("arn") === 1)
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          // constant per group (one embedding per vec_id) — carrying
+          // it through the agg beats re-joining the corpus scan
+          first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("cid"), col("embedding"))
       val dups = asg.as("a").join(asg.as("b"),
           col("a.cid") === col("b.cid") &&

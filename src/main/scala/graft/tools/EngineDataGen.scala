@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 /** Scale-up generator for the ENGINE suite's star schema
   * (TESTDATA.md tables) — produces an sfX-equivalent directory by
   * templating off `/root/testdata/sf0.1`: size-invariant dimensions
-  * (region/nation) are copied verbatim, vocabularies (document words,
-  * part-name adjective/noun inventories) are EXTRACTED from the
-  * template so the generated corpus keeps the template's text
-  * distribution, and fact/dimension row counts scale by the
-  * multiplier (sf1 = 10x sf0.1, matching the 0.01→0.1 scaling the
-  * driver itself used for facts).
+  * (region/nation) are copied verbatim, template vocabularies
+  * (document words, part-name adjective/noun inventories) seed the
+  * HEAD of a Heaps-law vocabulary that grows with corpus size (see
+  * the documents section — the round-9 fixed-vocab corpus made
+  * shingle df grow linearly with the corpus, so slope measurements
+  * measured the data, not the operators), and fact/dimension row
+  * counts scale by the multiplier (sf1 = 10x sf0.1, matching the
+  * 0.01→0.1 scaling the driver itself used for facts).
+  *
+  * Slope measurements must compare SAME-GENERATOR corpora: generate
+  * a mult=1 directory alongside the mult=10 one and take slopes
+  * between the two (the driver's sf0.1 testdata has the old dense
+  * distribution — slopes against it confound generator and scale).
   *
   * All columns are deterministic hash functions of the row id (no
   * RNG): regenerating at the same multiplier is bit-identical, and
@@ -216,7 +223,29 @@ object EngineDataGen {
         pmod(xxhash64(col("id"), lit("ek")), lit(100L))).as("props")),
       outDir, "events")
 
-    // ---- documents (template vocab, 10-100 words, ~0.2% exact dups)
+    // ---- documents (10-100 words, ~0.2% exact dups) ----------------
+    //
+    // Heaps-law vocabulary with Zipf word frequencies. The round-9
+    // corpus drew words UNIFORMLY from the template's fixed 31-word
+    // vocabulary, so the 3-gram shingle space was ~30k strings total
+    // and per-shingle document frequency grew LINEARLY with corpus
+    // size — every inverted-index bucket join's pair stream grew
+    // quadratically BY CONSTRUCTION of the corpus, which made the sf1
+    // slope table measure the data pathology instead of the
+    // operators. Real corpora obey Heaps' law (|V| ~ K * N^beta,
+    // beta ~ 0.5) with power-law word frequencies: the vocabulary
+    // grows with the corpus and per-shingle df stays bounded except
+    // for deliberate boilerplate. Reproduced here deterministically:
+    //  - |V| = max(template vocab, ceil(8 * sqrt(expected tokens)))
+    //  - rank drawn by Zipf(s=1) inverse CDF: rank = floor(V^u) for
+    //    u ~ U[0,1)  =>  P(rank = r) ~ 1/(r ln V)
+    //  - head ranks map to the template's words (the corpus keeps the
+    //    template flavor exactly where frequency mass sits, i.e. as
+    //    boilerplate); tail ranks are synthetic "w<rank>" words.
+    val expTokens = nDocs * 55.0 // nWords ~ U[10,100], mean 55
+    val heapsV = math.max(vocab.length.toLong,
+      math.ceil(8.0 * math.sqrt(expTokens)).toLong)
+    println(s"[datagen] heaps vocab |V| = $heapsV (template ${vocab.length})")
     val vocabArr = array(vocab.map(lit): _*)
     val langArr = array(langs.map(lit): _*)
     // dup seeding: doc ids ending in 500..507 per 5000-block reuse the
@@ -224,12 +253,17 @@ object EngineDataGen {
     val baseId = when(pmod(col("id"), lit(5000L)).between(500L, 507L),
       col("id") - pmod(col("id"), lit(5000L))).otherwise(col("id"))
     val nWords = (pmod(xxhash64(baseId, lit("dn")), lit(91L)) + 10)
+    def zipfWord(i: org.apache.spark.sql.Column) = {
+      // u() tops out at ~1.000000007, so clamp the rank at V
+      val rank = least(floor(pow(lit(heapsV.toDouble),
+        u(baseId, i, lit("dw")))).cast("long"), lit(heapsV))
+      when(rank <= vocab.length, element_at(vocabArr, rank.cast("int")))
+        .otherwise(concat(lit("w"), rank))
+    }
     writeOne(spark.range(nDocs).select(
       col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(1), nWords.cast("int")),
-        i => element_at(vocabArr,
-          (pmod(xxhash64(baseId, i, lit("dw")),
-            lit(vocab.length.toLong)) + 1).cast("int")))).as("text"),
+        i => zipfWord(i))).as("text"),
       element_at(langArr, (pmod(xxhash64(col("id"), lit("dl")),
         lit(langs.length.toLong)) + 1).cast("int")).as("lang"),
       concat(lit("src"),

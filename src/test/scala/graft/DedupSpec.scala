@@ -121,6 +121,29 @@ class DedupSpec extends SparkSpec {
       s"prefix candidates $np not meaningfully below full $nf")
   }
 
+  test("dupEdges: the t>=0.6 prefix path and the bucket path agree " +
+    "on the qualifying edge set") {
+    import org.apache.spark.sql.functions._
+    val docsDf = Tables.load(spark, sf, "documents")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // t=0.8 routes through the AllPairs prefix filter; the same
+    // threshold applied to the full bucket join is the ground truth
+    val viaPrefix = edgeSet(Dedup.dupEdges(docsDf, "doc_id", "text", 3,
+      tPct = 80))
+    val sh = Dedup.ngramShingles(docsDf, "doc_id", "text", 3)
+    val viaBuckets = edgeSet(Dedup.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_1").as("u"), col("id_2").as("v")))
+    assert(viaPrefix === viaBuckets)
+    // the low-threshold route is the bucket join itself
+    val lo = edgeSet(Dedup.dupEdges(docsDf, "doc_id", "text", 3, tPct = 10))
+    val loTruth = edgeSet(Dedup.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.1)
+      .select(col("id_1").as("u"), col("id_2").as("v")))
+    assert(lo === loTruth)
+  }
+
   test("d12 pipeline: depth-9 near-dup chain resolves to ONE group " +
     "(past min-label propagation's diameter-5 bound)") {
     import org.apache.spark.sql.functions._

@@ -71,6 +71,30 @@ class StarCCSpec extends SparkSpec {
     }
   }
 
+  test("convergence fixpoint: one extra round changes nothing, and the " +
+    "dedup cadence is result-inert") {
+    // the hash-exact oracle replays the same fixed rounds, so it
+    // verifies determinism, not convergence — this is the convergence
+    // assertion: at the depth bound (2^rounds), running rounds+1
+    // produces the identical root map, i.e. the groups ARE connected
+    // components, not an artifact of stopping early
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = Seq.fill(60) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter { case (a, b) => a != b }
+    val e = edges.toDF("u", "v")
+    def run(rounds: Int, dedupEvery: Int = 1) =
+      StarCC.components(e, rounds, dedupEvery = dedupEvery)
+        .orderBy("node").collect().toSeq
+    val base = run(7)
+    assert(run(8) === base, "not converged: an extra round moved roots")
+    // duplicates between dedups never change any window minimum or the
+    // final min aggregate — cadence is purely a cost knob
+    assert(run(7, dedupEvery = 2) === base)
+    assert(run(7, dedupEvery = 7) === base)
+  }
+
   test("result is invariant to edge orientation and input partitioning") {
     val edges = Seq[(Long, Long)]((5, 3), (3, 9), (9, 1), (2, 7))
     val flipped = edges.map { case (a, b) => (b, a) }
