@@ -663,12 +663,21 @@ object Ner {
     * ([[PerceptronNer]]) — learned weights, no hand-coded rule. */
   def perceptronOrgs: String => Seq[String] = PerceptronNer.orgSpans
 
+  /** Pretrained fourth extractor: the same perceptron architecture
+    * with FROZEN weights loaded from a committed model artifact
+    * ([[PretrainedNer]], trained offline by `graft.tools.TrainNer` on
+    * the committed CoNLL-style corpus) — the load-a-shipped-model
+    * seam the reference fills with spaCy/BERT checkpoints. */
+  def pretrainedOrgs: String => Seq[String] = PretrainedNer.orgSpans
+
   /** Parameter-selectable registry — the q27 harness seam. */
   def byName(name: String): String => Seq[String] = name match {
     case "capitalized" => capitalizedSpans
     case "gazetteer" => gazetteerOrgs()
     case "perceptron" => perceptronOrgs
+    case "pretrained" => pretrainedOrgs
     case other => throw new IllegalArgumentException(
-      s"unknown NER extractor '$other' (capitalized | gazetteer | perceptron)")
+      s"unknown NER extractor '$other' " +
+        "(capitalized | gazetteer | perceptron | pretrained)")
   }
 }

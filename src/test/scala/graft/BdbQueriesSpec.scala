@@ -119,6 +119,38 @@ class BdbQueriesSpec extends SparkSpec {
       s"perceptron found no fixture orgs, got: $names")
   }
 
+  test("q27 pretrained extractor: frozen committed weights load, " +
+    "generalize to unseen orgs, and run the full pipeline") {
+    import graft.bdb.PretrainedNer
+    // the model is LOADED, not trained: weights must match the
+    // committed artifact regenerated from the committed corpus
+    // (byte-stable training — TrainNer)
+    assert(PretrainedNer.weights.nonEmpty)
+    val retrained = {
+      val src = scala.io.Source.fromFile(
+        "src/main/resources/graft/ner/org_train.conll")
+      try graft.bdb.PerceptronNer.train(
+        graft.tools.TrainNer.parseConll(src.getLines()))
+      finally src.close()
+    }
+    assert(PretrainedNer.weights === retrained,
+      "committed org_weights.tsv is stale — rerun graft.tools.TrainNer")
+    // held-out names (absent from org_train.conll) in learned contexts
+    assert(PretrainedNer.orgSpans("shipping from Cyberdyne Corp was fast")
+      .contains("Cyberdyne Corp"))
+    assert(PretrainedNer.orgSpans("the package from RiverStone arrived late")
+      .contains("RiverStone"))
+    // negatives: lowercase context and sentence-initial distractors
+    assert(PretrainedNer.orgSpans("Decent value for the money").isEmpty)
+    assert(PretrainedNer.orgSpans("Monday the box arrived broken")
+      .forall(s => s != "Monday"))
+    // the full q27 pipeline runs with extractor #4
+    ready
+    val pre = BdbQueries2
+      .q27(spark, itemSk = 3, extractor = Ner.byName("pretrained")).collect()
+    assert(pre.nonEmpty)
+  }
+
   test("q10 with a file-loaded lexicon matches the built-in default") {
     ready
     // write the default lexicon as kit-style one-word-per-line files
