@@ -172,6 +172,60 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** PQ-ADC cluster assignment in ONE narrow pass: build the vector's
+    * M*K lookup table (as [[pqAdcLut]]) in a stack array, then scan
+    * the k centroids' codes (flattened literal, entry c*M + s) and
+    * return the id of the argmin by (adc, id). The broadcast-join
+    * form of the same argmin copies the 1 KB LUT array into every one
+    * of the n*k joined rows — measured 14.4 s of pure row-copy at
+    * sf1 vs sub-second for this kernel. The codes/ids arrays come
+    * from a k-bounded driver collect (k = corpus/61 — the x25
+    * centroid-splice discipline); at a k too large for a literal,
+    * fall back to the broadcast-join form (d23's shape).
+    */
+  def pqAssignAdc(emb: ArrayData, codesFlat: ArrayData,
+      ids: ArrayData): Long = {
+    requirePqDim(emb)
+    val cb = pqCb
+    val m = graft.ops.Pq.M; val kk = graft.ops.Pq.K
+    val sd = graft.ops.Pq.SubDim
+    val lut = new Array[Long](m * kk)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < kk) {
+        val row = cb(s)(c)
+        var d = 0L; var j = 0
+        while (j < sd) {
+          val v = math.floor(
+            emb.getFloat(s * sd + j).toDouble * 1000000.0).toLong
+          val t = v - row(j)
+          d += t * t; j += 1
+        }
+        lut(s * kk + c) = d; c += 1
+      }
+      s += 1
+    }
+    val nc = ids.numElements()
+    require(nc > 0 && codesFlat.numElements() == nc * m,
+      s"pq_assign_adc: ${codesFlat.numElements()} codes for $nc ids " +
+        s"(need $m per centroid)")
+    var best = Long.MaxValue; var bestId = Long.MaxValue
+    var ci = 0
+    while (ci < nc) {
+      var adc = 0L; var s2 = 0
+      while (s2 < m) {
+        adc += lut(s2 * kk + codesFlat.getInt(ci * m + s2)); s2 += 1
+      }
+      val id = ids.getLong(ci)
+      if (adc < best || (adc == best && id < bestId)) {
+        best = adc; bestId = id
+      }
+      ci += 1
+    }
+    bestId
+  }
+
   private def roundOrPass6(c: Double): Double = {
     // round half-up to 6 decimals over the EXACT binary expansion —
     // bit-identical to Spark's round(expr, 6) on doubles, which passes
@@ -359,6 +413,40 @@ case class PqAdcLut(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** pq_assign_adc(array<float>, array<int>, array<bigint>) -> bigint:
+  * id of the ADC-argmin centroid. See [[Kernels.pqAssignAdc]]; the
+  * codes/ids children are literals built from a k-bounded collect.
+  */
+case class PqAssignAdc(emb: Expression, codes: Expression, ids: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = emb
+  override def second: Expression = codes
+  override def third: Expression = ids
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (emb.dataType, codes.dataType, ids.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, false),
+          ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("pq_assign_adc needs (array<float>, array<int>, " +
+          s"array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(e: Any, c: Any, i: Any): Any =
+    Kernels.pqAssignAdc(e.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c, i) =>
+      s"graft.expressions.Kernels.pqAssignAdc($e, $c, $i)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): PqAssignAdc = copy(emb = f, codes = s, ids = t)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
@@ -372,6 +460,8 @@ object GraftFunctions {
     toCol(MultiNeedleMatches(toExpr(text), toExpr(needles)))
   def pq_encode(c: Column): Column = toCol(PqEncode(toExpr(c)))
   def pq_adc_lut(c: Column): Column = toCol(PqAdcLut(toExpr(c)))
+  def pq_assign_adc(emb: Column, codes: Column, ids: Column): Column =
+    toCol(PqAssignAdc(toExpr(emb), toExpr(codes), toExpr(ids)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -1170,6 +1170,99 @@ object DedupQueries extends Suite {
            |         ORDER BY adc, n_id) AS rnk FROM adc)
            |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin
-      })
+      }),
+
+    // D32: SemDeDup with PQ-ADC cluster assignment — the documented
+    // scale path for d23's assignment stage made concrete. d23
+    // assigns each vector by exact cosine against ALL k centroids
+    // (k = n/61 grows with the corpus, so assignment compute is
+    // n*k*Dim float ops — the published SemDeDup brute shape); here
+    // assignment goes through the PQ index (d30 machinery): each
+    // vector builds its M*K ADC lookup table in ONE narrow kernel
+    // pass (pq_adc_lut), each centroid is M one-byte-ish codes
+    // (pq_encode, broadcast), and the distance to a centroid is M=8
+    // integer table lookups instead of Dim=64 float multiplies —
+    // 8x less assignment arithmetic and an integer-exact result the
+    // oracle replays bit-identically. The argmin is the d23 max_by
+    // discipline (map-side partials; only n rows shuffle). The
+    // within-cluster dup stage stays EXACT cosine — PQ approximates
+    // only the bucketing, where an assignment flip moves a vector
+    // between clusters but never fabricates a false duplicate pair.
+    Q("d32_semdedup_pq", (s, d) => {
+      import graft.expressions.GraftFunctions.{pq_assign_adc, pq_encode}
+      val Tau = 0.45
+      val M = graft.ops.Pq.M
+      val e = embs(s, d).select("vec_id", "embedding")
+      // k-bounded collect of the centroid CODES (k = n/61; M ints +
+      // one id each — the x25 centroid-splice discipline): the whole
+      // argmin then runs as ONE narrow kernel pass per corpus row
+      // (pq_assign_adc builds the vector's M*K LUT in-kernel and
+      // scans the code matrix), with NO join. The broadcast-join form
+      // of the same argmin copies the 1 KB LUT into every n*k joined
+      // row — measured 14.4 s of row-copy at sf1 vs ~0.5 s for the
+      // kernel. At a k too large to ship as a literal, fall back to
+      // d23's broadcast-join shape.
+      val centRows = e.filter(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("cid"),
+          pq_encode(col("embedding")).as("ccodes"))
+        .orderBy("cid").collect()
+      val centIds = centRows.map(_.getLong(0))
+      val codesFlat = centRows.flatMap(_.getSeq[Int](1))
+      val asg = e.select(col("vec_id"),
+        pq_assign_adc(col("embedding"), typedlit(codesFlat),
+          typedlit(centIds)).as("cid"),
+        col("embedding"))
+      val dups = asg.as("a").join(asg.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("b.vec_id") < col("a.vec_id"))
+        .filter(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+          >= Tau)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1L))
+      asg.join(dups, Seq("vec_id"), "left_outer")
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("is_dup"), lit(0L)).as("n_dups"))
+        .orderBy("cluster")
+    },
+      Some(s"""WITH cb(s, c, j, w) AS (VALUES ${graft.ops.Pq.codebookSql}),
+              |eq AS (
+              |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS d0,
+              |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+              |      AS BIGINT) AS v
+              |  FROM embeddings),
+              |sq AS (SELECT vec_id, d0 // 8 AS s, d0 % 8 AS j, v FROM eq),
+              |dist AS MATERIALIZED (
+              |  SELECT sq.vec_id, sq.s, cb.c,
+              |    CAST(SUM((sq.v - cb.w) * (sq.v - cb.w)) AS BIGINT) AS d2
+              |  FROM sq JOIN cb ON cb.s = sq.s AND cb.j = sq.j
+              |  GROUP BY 1, 2, 3),
+              |ccodes AS (
+              |  SELECT vec_id AS cid, s, c AS code FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+              |      ORDER BY d2, c) AS rn FROM dist WHERE vec_id % 61 = 0)
+              |  WHERE rn = 1),
+              |adc AS (
+              |  SELECT d.vec_id, cc.cid, CAST(SUM(d.d2) AS BIGINT) AS adc
+              |  FROM dist d JOIN ccodes cc ON cc.s = d.s AND cc.code = d.c
+              |  GROUP BY 1, 2),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY adc, cid) AS rn FROM adc) WHERE rn = 1),
+              |e AS (SELECT vec_id, embedding FROM embeddings),
+              |dups AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM asg a JOIN asg b ON a.cid = b.cid
+              |    AND b.vec_id < a.vec_id
+              |  JOIN e ea ON ea.vec_id = a.vec_id
+              |  JOIN e eb ON eb.vec_id = b.vec_id
+              |  WHERE ${cosSql("ea", "eb")} >= 0.45)
+              |SELECT asg.cid AS cluster,
+              |  COUNT(*) AS n_docs,
+              |  CAST(COALESCE(SUM(CASE WHEN dups.vec_id IS NOT NULL
+              |    THEN 1 END), 0) AS BIGINT) AS n_dups
+              |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

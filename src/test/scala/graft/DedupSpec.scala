@@ -169,6 +169,45 @@ class DedupSpec extends SparkSpec {
       s"chain not fully collapsed: $roots")
   }
 
+  test("pq_assign_adc kernel == composed LUT-lookup argmin, and the " +
+    "code-matrix length guard fires") {
+    import graft.expressions.GraftFunctions.{pq_adc_lut, pq_assign_adc, pq_encode}
+    import graft.ops.Pq
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until Pq.Dim)
+        .map(j => ((i * 31 + j * 7) % 17) / 34.0f - 0.25f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    // centroids = vectors 0, 3, 6, 9 (ids deliberately non-contiguous)
+    val centRows = df.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("cid"), pq_encode(col("embedding")).as("cc"))
+      .orderBy("cid").collect()
+    val ids = centRows.map(_.getLong(0))
+    val codesFlat = centRows.flatMap(_.getSeq[Int](1))
+    val viaKernel = df.select(col("vec_id"),
+        pq_assign_adc(col("embedding"), typedlit(codesFlat), typedlit(ids))
+          .as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: explicit LUT + per-centroid sum + (adc, cid) argmin
+    val lutRows = df.select(col("vec_id"), pq_adc_lut(col("embedding")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = lutRows.map { case (v, lut) =>
+      v -> ids.zipWithIndex.map { case (cid, ci) =>
+        val adc = (0 until Pq.M)
+          .map(s => lut(s * Pq.K + codesFlat(ci * Pq.M + s))).sum
+        (adc, cid)
+      }.min._2
+    }
+    assert(viaKernel === expected)
+    // a truncated code matrix is rejected loudly, not read out of bounds
+    val bad = intercept[Exception] {
+      df.select(pq_assign_adc(col("embedding"),
+        typedlit(codesFlat.dropRight(1)), typedlit(ids))).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("PQ: encode shape/determinism; identical vectors share codes; " +
     "self-ADC is the per-subspace minimum") {
     import graft.ops.Pq
