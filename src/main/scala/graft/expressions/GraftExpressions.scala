@@ -226,6 +226,41 @@ object Kernels {
     bestId
   }
 
+  /** Integer-L2 argmin against a flattened centroid matrix: for a
+    * quantized micro-unit vector v (dim = v.length), return the id of
+    * the centroid (entry c*dim + j) minimizing the exact squared
+    * distance, ties to the lowest id — the m02 Lloyd assignment as
+    * ONE narrow kernel call. The per-iteration centroid matrix comes
+    * from a k-bounded driver collect, the same
+    * collect-then-broadcast-values loop MLlib's KMeans runs; the
+    * keyed-join form shuffles an n*k*dim exploded distance stream
+    * per iteration instead. Overflow-safe: micro-unit diffs <= ~1e6
+    * => per-term <= 1e12, * dim(64) « 2^63.
+    */
+  def argminL2Micro(v: ArrayData, cents: ArrayData, ids: ArrayData): Long = {
+    val dim = v.numElements()
+    val nc = ids.numElements()
+    require(nc > 0 && cents.numElements() == nc * dim,
+      s"argmin_l2_micro: ${cents.numElements()} centroid values for " +
+        s"$nc ids at dim $dim")
+    var best = Long.MaxValue; var bestId = Long.MaxValue
+    var c = 0
+    while (c < nc) {
+      var d = 0L; var j = 0
+      while (j < dim) {
+        if (v.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"argmin_l2_micro: NULL element at index $j")
+        val t = v.getLong(j) - cents.getLong(c * dim + j)
+        d += t * t; j += 1
+      }
+      val id = ids.getLong(c)
+      if (d < best || (d == best && id < bestId)) { best = d; bestId = id }
+      c += 1
+    }
+    bestId
+  }
+
   private def roundOrPass6(c: Double): Double = {
     // round half-up to 6 decimals over the EXACT binary expansion —
     // bit-identical to Spark's round(expr, 6) on doubles, which passes
@@ -447,6 +482,40 @@ case class PqAssignAdc(emb: Expression, codes: Expression, ids: Expression)
       t: Expression): PqAssignAdc = copy(emb = f, codes = s, ids = t)
 }
 
+/** argmin_l2_micro(array<bigint>, array<bigint>, array<bigint>) ->
+  * bigint: id of the integer-L2-argmin centroid. See
+  * [[Kernels.argminL2Micro]].
+  */
+case class ArgminL2Micro(v: Expression, cents: Expression, ids: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = v
+  override def second: Expression = cents
+  override def third: Expression = ids
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (v.dataType, cents.dataType, ids.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, false),
+          ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("argmin_l2_micro needs (array<bigint>, " +
+          s"array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, c: Any, i: Any): Any =
+    Kernels.argminL2Micro(a.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c, i) =>
+      s"graft.expressions.Kernels.argminL2Micro($a, $c, $i)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): ArgminL2Micro = copy(v = f, cents = s, ids = t)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
@@ -462,6 +531,8 @@ object GraftFunctions {
   def pq_adc_lut(c: Column): Column = toCol(PqAdcLut(toExpr(c)))
   def pq_assign_adc(emb: Column, codes: Column, ids: Column): Column =
     toCol(PqAssignAdc(toExpr(emb), toExpr(codes), toExpr(ids)))
+  def argmin_l2_micro(v: Column, cents: Column, ids: Column): Column =
+    toCol(ArgminL2Micro(toExpr(v), toExpr(cents), toExpr(ids)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -240,14 +240,20 @@ object CurationQueries extends Suite {
     // the bigram stream are term-keyed shuffles (broadcast when the
     // vocabulary is small, as Catalyst chooses here).
     Q("a09_lm_score", (s, d) => {
+      // the bigram stream is the dominant intermediate and its key
+      // never reaches a result — shuffle 8-byte xxhash64 keys through
+      // the count and both joins instead of "w1 w2" strings (the
+      // dedup-bucket discipline; collision risk ~|vocab|^2/2^64)
       val base = docs(s, d)
-      val uni = Text.words(base, "doc_id", "text")
-        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val uniH = Text.words(base, "doc_id", "text")
+        .groupBy(xxhash64(col("word")).as("w1h"))
+        .agg(count(lit(1)).as("c1"))
       val bi = Dedup.ngrams(base, "doc_id", "text", 2)
-      val biCount = bi.groupBy("sh").agg(count(lit(1)).as("c2"))
-      bi.join(biCount, "sh")
-        .withColumn("w1", substring_index(col("sh"), " ", 1))
-        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"),
+          xxhash64(substring_index(col("sh"), " ", 1)).as("w1h"))
+      val biCount = bi.groupBy("h").agg(count(lit(1)).as("c2"))
+      bi.join(biCount, "h")
+        .join(uniH, "w1h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum((c2 * 1000000) div c1) div count(1)").as("lm_ppm"))

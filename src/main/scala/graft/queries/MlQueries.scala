@@ -70,54 +70,87 @@ object MlQueries extends Suite {
   private val KmIters = 3
 
   private def kmeansIter(s: SparkSession, d: String): DataFrame = {
-    // The exploded (vec, dim, v) table feeds BOTH sides of every Lloyd
-    // step (distance join + recenter join) across all iterations — 6
-    // scans+explodes without reuse. Materialize it ONCE with an eager
-    // localCheckpoint: the d12 discipline for iterative algorithms
-    // (plain .cache() measured slower in this repo — columnar encode
-    // cost), and the lineage stays flat across rounds.
+    import graft.expressions.GraftFunctions.argmin_l2_micro
+    // The exploded (vec, dim, v) table feeds the recenter join every
+    // iteration — materialize it ONCE with an eager localCheckpoint
+    // (the d12 discipline; plain .cache() measured slower in this
+    // repo — columnar encode cost).
     val eq = embs(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "pos", "x")
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
       .localCheckpoint()
-    val c0 = eq.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
+    // quantized per-vector array (same round-to-micro values as eq,
+    // kept dense for the assignment kernel) — narrow, recomputed per
+    // pass, cheaper than materializing
+    val qv = embs(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("qv"))
 
-    // one Lloyd step: (centroids) -> (assignment, new centroids)
-    def step(c: DataFrame): (DataFrame, DataFrame) = {
-      val d2 = eq.join(broadcast(c), "dim")
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      // argmin with cid tiebreak as a lexicographic struct-min: a hash
-      // aggregate with map-side partials instead of a row_number sort
-      // window — same (d2 asc, cid asc) winner, no per-iteration sort
-      val asg = d2.groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"))).as("_m"))
-        .select(col("vec_id"), col("_m.cid").as("cid"))
-      // exact floor-division mean (pmod keeps Spark's truncating `div`
-      // aligned with DuckDB's flooring `//` on negative sums).
-      // No broadcast hint on asg: it has one row per VECTOR, so
-      // broadcasting it caps the supported corpus (unlike the k-row
-      // centroid table); the vec_id equi-join shuffle is linear.
-      val cn = eq.join(asg, "vec_id")
-        .groupBy("cid", "dim")
-        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"),
-          expr("(sv - pmod(sv, n)) div n").as("cv"))
-      (asg, cn)
+    // Assignment is ONE narrow kernel pass per iteration
+    // (argmin_l2_micro against the k*dim centroid matrix), with the
+    // centroids COLLECTED to the driver between iterations — the
+    // exact loop MLlib's KMeans runs (collect + broadcast values).
+    // The previous keyed-join form shuffled an n*k exploded distance
+    // stream per iteration (m02 7.6 s at sf1; this form ~2 s). k is
+    // 8 by construction, so the collect is k*dim rows per iteration.
+    def collectCents(df: DataFrame): (Array[Long], Array[Long]) = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val ids = rows.map(_._1).distinct.sorted
+      val dims = rows.map(_._2).max
+      val flat = new Array[Long](ids.length * dims)
+      val idPos = ids.zipWithIndex.toMap
+      rows.foreach { case (cid, dim, cv) =>
+        flat(idPos(cid) * dims + (dim - 1)) = cv
+      }
+      (flat, ids)
     }
+    def assign(cents: (Array[Long], Array[Long])): DataFrame =
+      qv.select(col("vec_id"),
+        argmin_l2_micro(col("qv"), typedlit(cents._1.toSeq),
+          typedlit(cents._2.toSeq)).as("cid"))
+    // exact floor-division mean (pmod keeps Spark's truncating `div`
+    // aligned with DuckDB's flooring `//` on negative sums); the
+    // vec_id equi-join shuffle is linear — asg is never broadcast
+    // (one row per VECTOR).
+    def recenter(asg: DataFrame): DataFrame = eq.join(asg, "vec_id")
+      .groupBy("cid", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), col("dim").cast("int").as("dim"),
+        expr("(sv - pmod(sv, n)) div n").as("cv"))
 
-    val (aN, cN) = (1 to KmIters).foldLeft((c0, c0)) {
-      case ((_, c), _) => step(c)
+    val c0 = collectCents(eq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("dim").cast("int").as("dim"),
+        col("v").as("cv")))
+    var cents = c0
+    var lastAsg: DataFrame = null
+    var lastCn: Array[(Long, Int, Long)] = null
+    (1 to KmIters).foreach { _ =>
+      lastAsg = assign(cents)
+      val cn = recenter(lastAsg)
+      lastCn = cn.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cents = {
+        val ids = lastCn.map(_._1).distinct.sorted
+        val dims = lastCn.map(_._2).max
+        val flat = new Array[Long](ids.length * dims)
+        val idPos = ids.zipWithIndex.toMap
+        lastCn.foreach { case (cid, dim, cv) =>
+          flat(idPos(cid) * dims + (dim - 1)) = cv
+        }
+        (flat, ids)
+      }
     }
-    val n = aN.groupBy("cid").agg(count(lit(1)).as("n"))
-    val piv = cN.filter(col("dim") <= 4).groupBy("cid").agg(
-      max(when(col("dim") === 1, col("cv"))).as("c1"),
-      max(when(col("dim") === 2, col("cv"))).as("c2"),
-      max(when(col("dim") === 3, col("cv"))).as("c3"),
-      max(when(col("dim") === 4, col("cv"))).as("c4"))
+    val n = lastAsg.groupBy("cid").agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val piv = lastCn.filter(_._2 <= 4)
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        val byDim = rows.map(r => r._2 -> r._3).toMap
+        (cid, byDim(1), byDim(2), byDim(3), byDim(4))
+      }
+      .toDF("cid", "c1", "c2", "c3", "c4")
     n.join(broadcast(piv), "cid") // k <= 8 rows: broadcast at any scale
       .select("cid", "n", "c1", "c2", "c3", "c4").orderBy("cid")
   }
@@ -286,11 +319,16 @@ object MlQueries extends Suite {
       val e = embs(s, d).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val wAsg = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      // argmin via struct-min with map-side partials (the d23
+      // discipline): only n rows reach the exchange, not the n*k
+      // scored stream a row_number window would sort and shuffle.
+      // Same (d2 asc, cid asc) winner as the oracle's ROW_NUMBER.
       e.crossJoin(broadcast(cents))
         .withColumn("d2", dist2(col("embedding"), col("cvec")))
-        .withColumn("arn", row_number().over(wAsg))
-        .filter(col("arn") === 1)
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("_m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("_m.cid").as("cid"), col("embedding"))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"),
           round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
