@@ -261,6 +261,52 @@ object Kernels {
     bestId
   }
 
+  /** PQ encode against a RUNTIME codebook (the trained-codebook
+    * variant of [[pqEncode]], whose codebook is compile-time): for
+    * each subspace s, the argmin codeword among the PRESENT entries
+    * of the flattened codebook (entry (s*K + c)*SubDim + j), ties to
+    * the lowest c. `present` carries one bitmask long per subspace
+    * (bit c set = codeword c exists) because Lloyd iterations can
+    * empty a cluster — absent entries are skipped, matching the
+    * join form where a missing (s, c) simply contributes no distance
+    * row. Same floor(x*1e6) quantization as the other PQ kernels.
+    * The codebook comes from a K-bounded per-iteration collect (the
+    * m02/MLlib loop); this kernel replaces the n*K-row broadcast-join
+    * distance aggregate per Lloyd stage with one narrow pass.
+    */
+  def pqEncodeCb(emb: ArrayData, cb: ArrayData,
+      present: ArrayData): ArrayData = {
+    requirePqDim(emb)
+    val m = graft.ops.Pq.M; val k = graft.ops.Pq.K
+    val sd = graft.ops.Pq.SubDim
+    require(cb.numElements() == m * k * sd && present.numElements() == m,
+      s"pq_encode_cb: codebook ${cb.numElements()} values / " +
+        s"${present.numElements()} masks (need ${m * k * sd} / $m)")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val mask = present.getLong(s)
+      var bestC = -1; var bestD = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        if ((mask & (1L << c)) != 0) {
+          var d = 0L; var j = 0
+          while (j < sd) {
+            val v = math.floor(
+              emb.getFloat(s * sd + j).toDouble * 1000000.0).toLong
+            val t = v - cb.getLong((s * k + c) * sd + j)
+            d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c } // strict <: lowest c wins
+        }
+        c += 1
+      }
+      require(bestC >= 0, s"pq_encode_cb: no codeword present in subspace $s")
+      codes(s) = bestC; s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
   private def roundOrPass6(c: Double): Double = {
     // round half-up to 6 decimals over the EXACT binary expansion —
     // bit-identical to Spark's round(expr, 6) on doubles, which passes
@@ -516,6 +562,40 @@ case class ArgminL2Micro(v: Expression, cents: Expression, ids: Expression)
       t: Expression): ArgminL2Micro = copy(v = f, cents = s, ids = t)
 }
 
+/** pq_encode_cb(array<float>, array<bigint>, array<bigint>) ->
+  * array<int>: PQ codes against a runtime codebook with a
+  * per-subspace presence bitmask. See [[Kernels.pqEncodeCb]].
+  */
+case class PqEncodeCb(emb: Expression, cb: Expression, present: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = emb
+  override def second: Expression = cb
+  override def third: Expression = present
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (emb.dataType, cb.dataType, present.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, false),
+          ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("pq_encode_cb needs (array<float>, array<bigint>, " +
+          s"array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(e: Any, c: Any, p: Any): Any =
+    Kernels.pqEncodeCb(e.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c, p) =>
+      s"graft.expressions.Kernels.pqEncodeCb($e, $c, $p)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): PqEncodeCb = copy(emb = f, cb = s, present = t)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
@@ -533,6 +613,8 @@ object GraftFunctions {
     toCol(PqAssignAdc(toExpr(emb), toExpr(codes), toExpr(ids)))
   def argmin_l2_micro(v: Column, cents: Column, ids: Column): Column =
     toCol(ArgminL2Micro(toExpr(v), toExpr(cents), toExpr(ids)))
+  def pq_encode_cb(emb: Column, cb: Column, present: Column): Column =
+    toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

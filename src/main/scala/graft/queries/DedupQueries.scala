@@ -1067,6 +1067,13 @@ object DedupQueries extends Suite {
     // the query-side ADC lookup table — corpus shuffles only on its
     // own keys with a K-bounded row multiplier, linear at any scale.
     Q("d31_knn_pq_trained", (s, d) => {
+      import graft.expressions.GraftFunctions.pq_encode_cb
+      val Mq = graft.ops.Pq.M; val Kq = graft.ops.Pq.K
+      val SDq = graft.ops.Pq.SubDim
+      val e = embs(s, d).select("vec_id", "embedding")
+      // the exploded stream now feeds only the recenter joins, the
+      // seed collect and the 10-query LUT — assignment/encode never
+      // touches it (see assignCb)
       val eq = embs(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "pos", "x")
@@ -1074,38 +1081,55 @@ object DedupQueries extends Suite {
           (col("pos") / 8).cast("int").as("s"),
           (col("pos") % 8).cast("int").as("j"),
           floor(col("x").cast("double") * 1000000).cast("long").as("v"))
-        // feeds every Lloyd stage (4 dist joins + 2 recenters) —
-        // materialize once, the m02 discipline
         .localCheckpoint()
-      def dist(cent: DataFrame): DataFrame = eq
-        .join(broadcast(cent), Seq("s", "j"))
-        .groupBy("vec_id", "s", "c")
-        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("d2"))
-      def assign(cent: DataFrame): DataFrame = dist(cent)
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d2"), col("c"))).as("_m"))
-        .select(col("vec_id"), col("s"), col("_m.c").as("c"))
+      // Per-iteration codebook COLLECT (<= M*K*SubDim = 1024 values —
+      // the m02/MLlib loop): assignment/encode is then ONE narrow
+      // kernel pass (pq_encode_cb) per stage instead of an n*K-row
+      // broadcast-join distance aggregate — the four dist passes that
+      // dominated d31 (10.7 s at sf1) are gone. A presence bitmask
+      // rides along because an iteration can empty a cluster.
+      def collectCb(c: DataFrame): (Array[Long], Array[Long]) = {
+        val flat = new Array[Long](Mq * Kq * SDq)
+        val present = new Array[Long](Mq)
+        c.collect().foreach { r =>
+          val s0 = r.getInt(0); val cc = r.getLong(1).toInt
+          val j = r.getInt(2); val w = r.getLong(3)
+          flat((s0 * Kq + cc) * SDq + j) = w
+          present(s0) |= 1L << cc
+        }
+        (flat, present)
+      }
+      def assignCb(cb: (Array[Long], Array[Long])): DataFrame =
+        e.select(col("vec_id"),
+            posexplode(pq_encode_cb(col("embedding"),
+              typedlit(cb._1.toSeq), typedlit(cb._2.toSeq))))
+          .toDF("vec_id", "s", "c")
+          .select(col("vec_id"), col("s"), col("c").cast("long").as("c"))
       def recenter(asg: DataFrame): DataFrame = eq
         .join(asg, Seq("vec_id", "s"))
         .groupBy("s", "c", "j")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
         .select(col("s"), col("c"), col("j"),
           expr("(sv - pmod(sv, n)) div n").as("w"))
-      val c0 = eq.filter(col("vec_id") < 16)
+      var cb = collectCb(eq.filter(col("vec_id") < 16)
         .select(col("s"), col("vec_id").as("c"), col("j"),
-          col("v").as("w"))
-      val c2 = recenter(assign(recenter(assign(c0))))
-        .localCheckpoint() // tiny (<= 1024 rows); feeds encode AND LUT
-      // the trained-codebook distance table feeds BOTH the corpus
-      // encoding (argmin) and the query-side LUT — materialize it
-      // once instead of running the K-wide broadcast-join aggregate
-      // twice (one full dist pass saved, ~20% of the query at sf1)
-      val d2c = dist(c2).localCheckpoint()
-      val codes = d2c
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d2"), col("c"))).as("_m"))
-        .select(col("vec_id"), col("s"), col("_m.c").as("c"))
-      val lut = d2c.filter(col("vec_id") < 10)
+          col("v").as("w")))
+      (1 to 2).foreach { _ => cb = collectCb(recenter(assignCb(cb))) }
+      val codes = assignCb(cb)
+      // query-side LUT: exact distances of the 10 query vectors to
+      // every PRESENT trained codeword — the cent table is rebuilt
+      // from the collected codebook (tiny), the join touches only the
+      // 10 filtered vectors' 640 exploded rows
+      import s.implicits._
+      val centDf = (for {
+        s0 <- 0 until Mq; c <- 0 until Kq
+        if (cb._2(s0) & (1L << c)) != 0; j <- 0 until SDq
+      } yield (s0, c.toLong, j, cb._1((s0 * Kq + c) * SDq + j)))
+        .toDF("s", "c", "j", "w")
+      val lut = eq.filter(col("vec_id") < 10)
+        .join(broadcast(centDf), Seq("s", "j"))
+        .groupBy("vec_id", "s", "c")
+        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("d2"))
         .select(col("vec_id").as("q_id"), col("s"), col("c"),
           col("d2"))
       val wK = Window.partitionBy("q_id")

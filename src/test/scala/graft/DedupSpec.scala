@@ -208,6 +208,51 @@ class DedupSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("pq_encode_cb: runtime codebook encode == the keyed-join argmin, " +
+    "and absent codewords are skipped") {
+    import graft.expressions.GraftFunctions.pq_encode_cb
+    import graft.ops.Pq
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, (0 until Pq.Dim)
+        .map(j => ((i * 13 + j * 5) % 19) / 38.0f - 0.25f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    // a runtime codebook with cluster 3 ABSENT in subspace 0 and all
+    // others present, values from a deterministic formula
+    val flat = new Array[Long](Pq.M * Pq.K * Pq.SubDim)
+    val present = new Array[Long](Pq.M)
+    for (s <- 0 until Pq.M; c <- 0 until Pq.K; j <- 0 until Pq.SubDim) {
+      if (!(s == 0 && c == 3)) {
+        flat((s * Pq.K + c) * Pq.SubDim + j) =
+          ((s * 31 + c * 17 + j * 7) % 41) * 10000L - 200000L
+        present(s) |= 1L << c
+      }
+    }
+    val viaKernel = df.select(col("vec_id"),
+        pq_encode_cb(col("embedding"), typedlit(flat.toSeq),
+          typedlit(present.toSeq)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // reference: per (vec, s) argmin by (d2, c) over PRESENT entries
+    val expected = vecs.map { case (v, emb) =>
+      v -> (0 until Pq.M).map { s =>
+        (0 until Pq.K).filter(c => (present(s) & (1L << c)) != 0)
+          .map { c =>
+            val d2 = (0 until Pq.SubDim).map { j =>
+              val q = math.floor(emb(s * Pq.SubDim + j).toDouble * 1e6).toLong
+              val t = q - flat((s * Pq.K + c) * Pq.SubDim + j); t * t
+            }.sum
+            (d2, c)
+          }.min._2
+      }
+    }.toMap
+    assert(viaKernel.view.mapValues(_.toSeq).toMap ===
+      expected.view.mapValues(_.toSeq).toMap)
+    // the absent codeword is never emitted for subspace 0
+    assert(viaKernel.values.map(_.head).forall(c =>
+      (present(0) & (1L << c)) != 0))
+  }
+
   test("PQ: encode shape/determinism; identical vectors share codes; " +
     "self-ADC is the per-subspace minimum") {
     import graft.ops.Pq
