@@ -196,15 +196,52 @@ object Relational2 extends Suite {
              |  array_to_string(list_sort(list(DISTINCT l_partkey % 7)), ',') AS mod7_set
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // Exact interpolated percentiles (sort-based, deterministic).
-    Q("o42_percentiles", (s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+    // Exact interpolated percentiles (deterministic). Two physical
+    // paths by VALUE CARDINALITY: l_quantity has ~50 distinct values,
+    // so `percentile()`'s per-value count map is tiny and the
+    // aggregate is the right shape; l_extendedprice is
+    // ~all-distinct, and the same aggregate degenerates into merging
+    // millions-of-entry hash maps on the final reducers (the whole
+    // 12.4 s at sf1) — its p99 instead sorts once per group
+    // (row_number) and picks the two order statistics, applying
+    // Percentile's exact interpolation ((hi-pos)*lo_val +
+    // (pos-lo)*hi_val, lower value when the position is integral) so
+    // the result is bit-identical to the aggregate's.
+    Q("o42_percentiles", (s, d) => {
+      val li = t(s, d, "lineitem")
+      // one aggregate pass serves the quantity percentiles AND the
+      // price order-statistic positions
+      val qtyP = li.groupBy("l_returnflag")
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
-        .orderBy("l_returnflag"),
+          count(col("l_extendedprice")).as("n"))
+      val stats = qtyP.select(col("l_returnflag"), col("n"))
+        .withColumn("pos", lit(0.99) * (col("n") - 1).cast("double"))
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"))
+      val p99 = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .join(broadcast(stats), "l_returnflag")
+        .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+        .groupBy("l_returnflag", "pos", "lo", "hi")
+        .agg(min(when(col("rn") === col("lo"), col("l_extendedprice")))
+          .as("lv"),
+          min(when(col("rn") === col("hi"), col("l_extendedprice")))
+            .as("hv"))
+        .select(col("l_returnflag"),
+          round(when(col("lo") === col("hi"), col("lv").cast("double"))
+            .otherwise(
+              (col("hi").cast("double") - col("pos")) *
+                col("lv").cast("double") +
+                (col("pos") - col("lo").cast("double")) *
+                  col("hv").cast("double")), 6).as("price_p99"))
+      qtyP.select("l_returnflag", "p50", "p90").join(p99, "l_returnflag")
+        .select("l_returnflag", "p50", "p90", "price_p99")
+        .orderBy("l_returnflag")
+    },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
              |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
