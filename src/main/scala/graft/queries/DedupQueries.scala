@@ -787,6 +787,10 @@ object DedupQueries extends Suite {
           // it through the agg beats re-joining the corpus scan
           first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("cid"), col("embedding"))
+        // THREE consumers (both dup-join sides + the final count) —
+        // without pinning, the n*k assignment scan re-executes per
+        // consumer (the d27/t25 double-consumption lesson)
+        .localCheckpoint()
       val dups = asg.as("a").join(asg.as("b"),
           col("a.cid") === col("b.cid") &&
             col("b.vec_id") < col("a.vec_id"))
