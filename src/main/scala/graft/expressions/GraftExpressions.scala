@@ -307,6 +307,15 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** Read the exact integer-rank num/den quantile off a KllAgg
+    * sketch buffer. Sketch layout + rank arithmetic live in
+    * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
+    * so a single KllSketchAgg aggregation can serve several quantile
+    * reads (one sketch built + shuffled instead of one per quantile).
+    */
+  def kllQuantile(buf: ArrayData, num: Long, den: Long): Long =
+    graft.ops.KllAgg.quantile(buf.toLongArray(), num, den)
+
   private def roundOrPass6(c: Double): Double = {
     // round half-up to 6 decimals over the EXACT binary expansion —
     // bit-identical to Spark's round(expr, 6) on doubles, which passes
@@ -315,6 +324,37 @@ object Kernels {
     else new java.math.BigDecimal(c)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
+}
+
+/** kll_quantile(sketch, num, den) -> long: the num/den quantile read
+  * off a [[graft.ops.KllSketchAgg]] buffer (array<bigint>). num/den
+  * are plan-time constants baked into codegen. Post-aggregation use:
+  * evaluated once per GROUP row, so N quantiles cost one sketch
+  * build instead of N parallel KllAgg aggregations (d24's shape).
+  */
+case class KllQuantileOf(child: Expression, num: Long, den: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"kll_quantile needs array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.kllQuantile(v.asInstanceOf[ArrayData], num, den)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.kllQuantile($c, ${num}L, ${den}L)")
+
+  override protected def withNewChildInternal(c: Expression): KllQuantileOf =
+    copy(child = c)
 }
 
 /** portable_hash60(string) -> long. See [[Kernels.portableHash60]]. */
@@ -615,6 +655,8 @@ object GraftFunctions {
     toCol(ArgminL2Micro(toExpr(v), toExpr(cents), toExpr(ids)))
   def pq_encode_cb(emb: Column, cb: Column, present: Column): Column =
     toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
+  def kll_quantile(c: Column, num: Long, den: Long): Column =
+    toCol(KllQuantileOf(toExpr(c), num, den))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {
