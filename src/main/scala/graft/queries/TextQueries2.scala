@@ -305,19 +305,37 @@ object TextQueries2 extends Suite {
     // marginals join back by term — broadcast-sized here, term-keyed
     // shuffles at web scale.
     Q("t21_pmi_cooccur", (s, d) => {
-      val wd = Text.words(docs(s, d), "doc_id", "text")
-        .select("doc_id", "word").distinct()
-      val cx = wd.groupBy("word").agg(count(lit(1)).as("c"))
-      val pairs = wd.as("a")
-        .join(wd.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            col("a.word") < col("b.word"))
-        .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
-        .agg(count(lit(1)).as("c_xy"))
+      import s.implicits._
+      // Per-doc distinct words stay NARROW (array_distinct behind the
+      // split — no corpus-wide distinct exchange); checkpointed once
+      // for its two consumers (df counts + the pair pass).
+      val wd = docs(s, d).select(col("doc_id"),
+        expr("array_distinct(filter(split(text, ' '), w -> w != ''))")
+          .as("ws"))
+        .localCheckpoint()
+      val cx = wd.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      // Apriori prune: c_xy <= min(c_x, c_y), so a pair surviving
+      // c_xy >= 20 only involves df>=20 words — only the head
+      // vocabulary gets ids (sorted, so id order == the oracle's
+      // lexicographic pair order). Pair counting itself is the
+      // blob-packed dense-slice operator (see CoOccur scaladoc:
+      // 14 -> 1.8 s at sf1 vs the explode+groupBy form); words and
+      // marginals are decoded back only on the ~400k survivors.
+      val idRows = cx.filter(col("c") >= 20).orderBy("word").collect()
+      val vocab = idRows.map(_.getString(0))
+      val pairs = graft.ops.CoOccur.pairCounts(
+        wd, "ws", vocab, minCount = 20,
+        parts = s.sessionState.conf.numShufflePartitions)
+      val ids = idRows.toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getString(0), r.getLong(1)) }
+        .toDF("id", "word", "c")
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
-      pairs.filter(col("c_xy") >= 20)
-        .join(cx.toDF("w1", "c_x"), "w1")
-        .join(cx.toDF("w2", "c_y"), "w2")
+      pairs
+        .join(broadcast(ids.select(col("id").as("id1"),
+          col("word").as("w1"), col("c").as("c_x"))), "id1")
+        .join(broadcast(ids.select(col("id").as("id2"),
+          col("word").as("w2"), col("c").as("c_y"))), "id2")
         .crossJoin(broadcast(n))
         .withColumn("pmi_ratio_ppm",
           expr("c_xy * n_docs * 1000000 div (c_x * c_y)"))

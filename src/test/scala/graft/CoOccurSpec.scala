@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.CoOccur
+import org.apache.spark.sql.functions._
+
+/** Blob-packed co-occurrence counts against the naive pair groupBy on
+  * random corpora — exactness of the triangular index round-trip, the
+  * minCount cut, non-vocab word skipping, and slice-boundary cases
+  * the oracle query (t21) exercises only at one vocabulary size.
+  */
+class CoOccurSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(docs: Seq[(Long, Seq[String])], vocab: Array[String],
+      minCount: Long): Set[(Int, Int, Long)] = {
+    val id = vocab.zipWithIndex.toMap
+    docs.flatMap { case (_, ws) =>
+      val ids = ws.distinct.flatMap(id.get).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .filter(_._3 >= minCount).toSet
+  }
+
+  private def run(docs: Seq[(Long, Seq[String])], vocab: Array[String],
+      minCount: Long, parts: Int): Set[(Int, Int, Long)] = {
+    val df = docs.toDF("doc_id", "ws")
+    CoOccur.pairCounts(df, "ws", vocab, minCount, parts)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+  }
+
+  test("random corpus matches the naive pair groupBy exactly") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 61).map(i => f"w$i%03d").toArray // odd V: T odd
+    val extra = Array("zz_not_in_vocab", "aa_not_in_vocab")
+    val docs = (0L until 200L).map { d =>
+      val n = 2 + rnd.nextInt(12)
+      d -> (Seq.fill(n)(vocab(rnd.nextInt(vocab.length))) ++
+        (if (rnd.nextBoolean()) extra.toSeq else Nil))
+    }
+    // duplicate words within a doc must not double-count
+    val withDups = docs.map { case (d, ws) => d -> (ws ++ ws.take(2)) }
+    for (minCount <- Seq(1L, 3L); parts <- Seq(3, 32)) {
+      assert(run(withDups, vocab, minCount, parts) ===
+        naive(withDups, vocab, minCount),
+        s"minCount=$minCount parts=$parts")
+    }
+  }
+
+  test("triangular decode covers the first/last pair and slice edges") {
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = Seq(
+      0L -> Seq("a", "b"),     // idx 0 (first)
+      1L -> Seq("d", "e"),     // idx T-1 (last)
+      2L -> Seq("a", "e"),     // off(0) end
+      3L -> Seq("a", "b", "c", "d", "e")) // all 10 pairs
+    assert(run(docs, vocab, 1, 4) === naive(docs, vocab, 1))
+  }
+
+  test("empty vocab and sub-pair docs return no rows") {
+    val docs = Seq(0L -> Seq("a"), 1L -> Seq.empty[String])
+    assert(run(docs, Array("a"), 1, 8) === Set.empty)
+    assert(run(docs, Array.empty[String], 1, 8) === Set.empty)
+  }
+}
