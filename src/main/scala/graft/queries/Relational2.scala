@@ -200,13 +200,15 @@ object Relational2 extends Suite {
     // paths by VALUE CARDINALITY: l_quantity has ~50 distinct values,
     // so `percentile()`'s per-value count map is tiny and the
     // aggregate is the right shape; l_extendedprice is
-    // ~all-distinct, and the same aggregate degenerates into merging
-    // millions-of-entry hash maps on the final reducers (the whole
-    // 12.4 s at sf1) — its p99 instead sorts once per group
-    // (row_number) and picks the two order statistics, applying
-    // Percentile's exact interpolation ((hi-pos)*lo_val +
-    // (pos-lo)*hi_val, lower value when the position is integral) so
-    // the result is bit-identical to the aggregate's.
+    // ~all-distinct, where the same aggregate degenerates into
+    // merging millions-of-entry hash maps on the final reducers (the
+    // whole 12.4 s at sf1) and a per-group full sort is 3 tasks x 2M
+    // rows (~9 s) — its p99 instead fetches the two order statistics
+    // by bucketed selection (ops/Selection: count buckets, locate,
+    // rank one bucket), applying Percentile's exact interpolation
+    // ((hi-pos)*lo_val + (pos-lo)*hi_val, lower value when the
+    // position is integral) so the result is bit-identical to the
+    // aggregate's.
     Q("o42_percentiles", (s, d) => {
       val li = t(s, d, "lineitem")
       // one aggregate pass serves the quantity percentiles AND the
@@ -216,20 +218,24 @@ object Relational2 extends Suite {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
           count(col("l_extendedprice")).as("n"))
+        .localCheckpoint() // feeds stats/ranks/p99 AND the final select
       val stats = qtyP.select(col("l_returnflag"), col("n"))
         .withColumn("pos", lit(0.99) * (col("n") - 1).cast("double"))
         .withColumn("lo", floor(col("pos")).cast("long"))
         .withColumn("hi", ceil(col("pos")).cast("long"))
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"))
-      val p99 = li.select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w).cast("long") - 1)
-        .join(broadcast(stats), "l_returnflag")
-        .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      // the two order statistics come from bucketed selection
+      // (ops/Selection): per-group bucket counts + one tiny in-bucket
+      // rank, instead of a per-group full sort (3 tasks x 2M rows)
+      val ranks = stats.select(col("l_returnflag"),
+        explode(array(col("lo"), col("hi"))).as("rank")).distinct()
+      val os = graft.ops.Selection.orderStatistics(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", ranks)
+      val p99 = os.join(broadcast(stats), "l_returnflag")
         .groupBy("l_returnflag", "pos", "lo", "hi")
-        .agg(min(when(col("rn") === col("lo"), col("l_extendedprice")))
+        .agg(min(when(col("rank") === col("lo"), col("value")))
           .as("lv"),
-          min(when(col("rn") === col("hi"), col("l_extendedprice")))
+          min(when(col("rank") === col("hi"), col("value")))
             .as("hv"))
         .select(col("l_returnflag"),
           round(when(col("lo") === col("hi"), col("lv").cast("double"))
