@@ -307,6 +307,110 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** Argmax-cosine over a prebuilt [[CosIndex]]: the centroid id with
+    * the highest [[cosineF]] similarity to v (same round-to-6
+    * semantics and left-to-right accumulation order, so the winner is
+    * IDENTICAL to composing cosine_f per centroid and taking
+    * max_by(struct(cos, -id)) — including NaN-greatest ordering for
+    * zero-norm inputs); ties to the lowest id. Query norm hoisted out
+    * of the k-loop; centroid norms precomputed once in the index. One
+    * narrow pass replaces the n*k crossJoin scored stream + agg
+    * (d23's assignment, the m02/d31 kernel lesson).
+    */
+  def argmaxCos(v: ArrayData, idx: CosIndex): Long = {
+    val dim = v.numElements()
+    require(idx.dim == dim,
+      s"argmax_cos: vector dim $dim vs index dim ${idx.dim}")
+    val cents = idx.flat
+    val nc = idx.ids.length
+    var na = 0.0
+    var j = 0
+    while (j < dim) {
+      val x = v.getFloat(j).toDouble
+      na += x * x; j += 1
+    }
+    val sna = math.sqrt(na)
+    var best = Double.NegativeInfinity; var bestId = Long.MaxValue
+    var haveBest = false
+    var c = 0
+    while (c < nc) {
+      var dot = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        dot += v.getFloat(i).toDouble * cents(off + i)
+        i += 1
+      }
+      val cos = roundOrPass6(dot / (sna * idx.norms(c)))
+      val id = idx.ids(c)
+      // Double.compare: NaN > +Inf, matching Spark's struct ordering
+      val cmp = java.lang.Double.compare(cos, best)
+      if (!haveBest || cmp > 0 || (cmp == 0 && id < bestId)) {
+        best = cos; bestId = id; haveBest = true
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  /** SemDeDup's within-cluster dup scan over one cluster's members
+    * (ids ASCENDING, embeddings flattened m*dim): member i is a dup
+    * if ANY earlier member j has round-6 cosine >= tau. Returns the
+    * dup ids. Replaces the cid self-join + cosine filter + distinct
+    * (3.7M joined rows each dragging two ~260 B embedding copies at
+    * sf1) with one evaluation per cluster row; the j-loop breaks on
+    * the first hit, so it does strictly fewer cosines than the join
+    * form it mirrors. NaN cosines (zero-norm) compare GREATER than
+    * tau, matching Spark's NaN ordering in the filter it replaces.
+    */
+  def semdedupDups(ids: ArrayData, flat: ArrayData, tau: Double)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = ids.numElements()
+    val out = new Array[Long](math.max(m - 1, 0))
+    var nOut = 0
+    if (m > 1) {
+      val dim = flat.numElements() / m
+      require(flat.numElements() == m * dim,
+        s"semdedup_dups: ${flat.numElements()} values for $m members")
+      // hoist norms
+      val norms = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        var s = 0.0
+        var j = 0
+        val off = i * dim
+        while (j < dim) {
+          val x = flat.getFloat(off + j).toDouble
+          s += x * x; j += 1
+        }
+        norms(i) = math.sqrt(s)
+        i += 1
+      }
+      i = 1
+      while (i < m) {
+        var j = 0
+        var dup = false
+        while (j < i && !dup) {
+          var dot = 0.0
+          var k = 0
+          val oi = i * dim; val oj = j * dim
+          while (k < dim) {
+            dot += flat.getFloat(oi + k).toDouble *
+              flat.getFloat(oj + k).toDouble
+            k += 1
+          }
+          val cos = roundOrPass6(dot / (norms(i) * norms(j)))
+          if (java.lang.Double.compare(cos, tau) >= 0) dup = true
+          j += 1
+        }
+        if (dup) { out(nOut) = ids.getLong(i); nOut += 1 }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -602,6 +706,92 @@ case class ArgminL2Micro(v: Expression, cents: Expression, ids: Expression)
       t: Expression): ArgminL2Micro = copy(v = f, cents = s, ids = t)
 }
 
+/** Broadcast-side centroid matrix for [[ArgmaxCos]]: the flattened
+  * nc*dim float values widened to double (exact) with per-centroid
+  * norms precomputed ONCE — norms accumulate left-to-right over the
+  * same widened values as the per-row composed form, so every cosine
+  * the kernel produces is bit-identical to cosine_f's.
+  */
+final class CosIndex(centsF: Array[Float], val ids: Array[Long])
+    extends Serializable {
+  require(ids.nonEmpty && centsF.length % ids.length == 0,
+    s"CosIndex: ${centsF.length} values for ${ids.length} ids")
+  val dim: Int = centsF.length / ids.length
+  val flat: Array[Double] = centsF.map(_.toDouble)
+  val norms: Array[Double] = Array.tabulate(ids.length) { c =>
+    var s = 0.0
+    var j = 0
+    val off = c * dim
+    while (j < dim) { val x = flat(off + j); s += x * x; j += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** argmax_cos(array<float>) -> bigint against a constructor-time
+  * [[CosIndex]] (the MultiNeedle literal-state pattern: norms are
+  * built once and shipped with the expression, not recomputed per
+  * row). Ties to the lowest id. See [[Kernels.argmaxCos]].
+  */
+case class ArgmaxCos(child: Expression, index: CosIndex)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"argmax_cos needs array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.argmaxCos(a.asInstanceOf[ArrayData], index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("cosIndex", index,
+      classOf[CosIndex].getName)
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.Kernels.argmaxCos($a, $idxRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArgmaxCos =
+    copy(child = c)
+}
+
+/** semdedup_dups(array<bigint>, array<float>, tau) -> array<bigint>:
+  * within-cluster SemDeDup scan. ids must be ASCENDING and the flat
+  * embedding matrix row-aligned with them; tau is a plan-time
+  * constant. See [[Kernels.semdedupDups]].
+  */
+case class SemdedupDups(ids: Expression, flat: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = ids
+  override def right: Expression = flat
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (ids.dataType, flat.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("semdedup_dups needs (array<bigint>, " +
+          s"array<float>), got $other")
+    }
+
+  override def nullSafeEval(i: Any, f: Any): Any =
+    Kernels.semdedupDups(i.asInstanceOf[ArrayData],
+      f.asInstanceOf[ArrayData], tau)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, f) =>
+      s"graft.expressions.Kernels.semdedupDups($i, $f, ${tau})")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SemdedupDups = copy(ids = l, flat = r)
+}
+
 /** pq_encode_cb(array<float>, array<bigint>, array<bigint>) ->
   * array<int>: PQ codes against a runtime codebook with a
   * per-subspace presence bitmask. See [[Kernels.pqEncodeCb]].
@@ -657,6 +847,10 @@ object GraftFunctions {
     toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
   def kll_quantile(c: Column, num: Long, den: Long): Column =
     toCol(KllQuantileOf(toExpr(c), num, den))
+  def argmax_cos(v: Column, cents: Array[Float], ids: Array[Long]): Column =
+    toCol(ArgmaxCos(toExpr(v), new CosIndex(cents, ids)))
+  def semdedup_dups(ids: Column, flat: Column, tau: Double): Column =
+    toCol(SemdedupDups(toExpr(ids), toExpr(flat), tau))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

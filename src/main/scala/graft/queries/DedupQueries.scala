@@ -768,40 +768,52 @@ object DedupQueries extends Suite {
     Q("d23_semdedup", (s, d) => {
       val Tau = 0.45
       val e = embs(s, d).select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") % 61 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      // assignment argmax via max_by, NOT a row_number window: k grows
-      // with the corpus (every-61st vector), so the scored stream is
-      // n*k rows — a window shuffles and sorts ALL of them, which is
-      // what made d23 superlinear at sf1 (the round-9 slope table's
-      // 44x). max_by carries map-side partial aggregation: each task
-      // reduces its local n*k scores to one row per vec_id before the
-      // exchange, so only n rows ever shuffle. Tie-break (highest
-      // ccos, then lowest cid) matches the oracle's ROW_NUMBER ORDER
-      // BY ccos DESC, cid — the assigned SET is identical.
-      val asg = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          // constant per group (one embedding per vec_id) — carrying
-          // it through the agg beats re-joining the corpus scan
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("cid"), col("embedding"))
-        // THREE consumers (both dup-join sides + the final count) —
-        // without pinning, the n*k assignment scan re-executes per
-        // consumer (the d27/t25 double-consumption lesson)
-        .localCheckpoint()
-      val dups = asg.as("a").join(asg.as("b"),
-          col("a.cid") === col("b.cid") &&
-            col("b.vec_id") < col("a.vec_id"))
-        .filter(Similarity.cosine(col("a.embedding"), col("b.embedding"))
-          >= Tau)
-        .select(col("a.vec_id").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(1L))
-      asg.join(dups, Seq("vec_id"), "left_outer")
+      // assignment via the argmax_cos KERNEL against the collected
+      // k*dim centroid matrix (the m02/d31 lesson): one narrow pass
+      // per vector instead of materializing an n*k scored crossJoin
+      // stream through codegen + max_by partials (that form, itself
+      // the fix for the row_number window's n*k shuffle, still cost
+      // ~6 s of row plumbing at sf1; the kernel does the identical
+      // round-6 cosines with the query norm hoisted). Tie-break
+      // (highest ccos, then lowest cid) matches the oracle's
+      // ROW_NUMBER ORDER BY ccos DESC, cid. The collect is k = n/61
+      // rows — bounded like the m02/d31 codebook collects at bench
+      // scale; at corpus sizes where k outgrows a task, assignment
+      // goes through d32's PQ-ADC index instead (the documented
+      // SemDeDup scale path).
+      val cRows = e.filter(col("vec_id") % 61 === 0)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val dim = cRows.head._2.length
+      val cFlat = new Array[Float](cRows.length * dim)
+      cRows.zipWithIndex.foreach { case ((_, v), i) =>
+        System.arraycopy(v, 0, cFlat, i * dim, dim)
+      }
+      val cIds = cRows.map(_._1)
+      // One cid-keyed aggregation replaces the whole dup stage: the
+      // cid self-join + cosine filter + distinct + left_outer count
+      // materialized ~3.7M joined rows at sf1, each dragging two
+      // ~260 B embedding copies. Here each cluster's members are
+      // collected once (sorted by vec_id, so "earlier doc" is the
+      // array prefix) and the semdedup_dups kernel runs the same
+      // round-6 cosine scan in-place with an early break per member.
+      // Hot-cluster skew lands one task per cluster — bounded here
+      // by the every-61st centroid rule; d32's PQ path is the answer
+      // when a cluster outgrows a task.
+      e.select(col("vec_id"),
+          graft.expressions.GraftFunctions.argmax_cos(col("embedding"),
+            cFlat, cIds).as("cid"),
+          col("embedding"))
         .groupBy(col("cid").as("cluster"))
         .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("is_dup"), lit(0L)).as("n_dups"))
+          sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+            .as("mem"))
+        .select(col("cluster"), col("n_docs"),
+          size(graft.expressions.GraftFunctions.semdedup_dups(
+            expr("transform(mem, x -> x.vec_id)"),
+            flatten(expr("transform(mem, x -> x.embedding)")), Tau))
+            .cast("long").as("n_dups"))
         .orderBy("cluster")
     },
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -113,6 +113,58 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge.count() === 0L)
   }
 
+  test("argmax_cos == crossJoin + max_by(struct(cos, -cid)) form") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val cRows = e.filter(col("vec_id") % 17 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val dim = cRows.head._2.length
+    val flat = new Array[Float](cRows.length * dim)
+    cRows.zipWithIndex.foreach { case ((_, v), i) =>
+      System.arraycopy(v, 0, flat, i * dim, dim)
+    }
+    val native = e.select(col("vec_id"),
+      GraftFunctions.argmax_cos(col("embedding"),
+        flat, cRows.map(_._1)).as("cid"))
+    val cents = e.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val composed = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // exact-tie: duplicate centroids -> lowest id wins
+    import spark.implicits._
+    val dup = Seq((0L, Array(1f, 2f))).toDF("vec_id", "embedding")
+      .select(GraftFunctions.argmax_cos(col("embedding"),
+        Array(1f, 2f, 1f, 2f), Array(7L, 3L)).as("cid"))
+    assert(dup.head().getLong(0) === 3L)
+  }
+
+  test("semdedup_dups == cid self-join + cosine filter + distinct form") {
+    val tau = 0.45
+    val e = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), (col("vec_id") % 7).as("cid"), col("embedding"))
+    val native = e.groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("mem"))
+      .select(explode(GraftFunctions.semdedup_dups(
+        expr("transform(mem, x -> x.vec_id)"),
+        flatten(expr("transform(mem, x -> x.embedding)")), tau))
+        .as("vec_id"))
+    val composed = e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+        >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
