@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths where composed
@@ -411,6 +412,63 @@ object Kernels {
       java.util.Arrays.copyOf(out, nOut))
   }
 
+  private val shingleBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 12)
+  }
+
+  /** Distinct word n-gram shingle HASHES straight off the token
+    * array: for each n-window, the xxhash64 (seed 42, Spark's
+    * `xxhash64()`) of the bytes of `w_i ' ' w_i+1 ... ' ' w_i+n-1` —
+    * bit-identical to xxhash64(concat_ws(" ", shingle)) without ever
+    * allocating the 20-40 byte shingle STRING (2.6M allocations per
+    * scan at sf1 — the dominant cost of the bucketed dedup family's
+    * shingle build). Result is sorted + deduplicated: the bucketed
+    * consumers key on the hash anyway, so per-doc distinctness by
+    * hash == by string up to 64-bit collisions (the same accepted
+    * risk as the existing xxhash64 bucket key, see
+    * [[graft.ops.Dedup.commonCountsFromBuckets]]).
+    */
+  def ngramShingleHashes(words: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = words.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val k = m - n + 1
+    val out = new Array[Long](k)
+    var buf = shingleBuf.get()
+    var i = 0
+    while (i < k) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val w = words.getUTF8String(i + j)
+        val wb = w.numBytes()
+        if (len + wb + 1 > buf.length) {
+          buf = java.util.Arrays.copyOf(buf,
+            Integer.highestOneBit(len + wb + 1) << 1)
+          shingleBuf.set(buf)
+        }
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += wb
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < k) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -759,6 +817,35 @@ case class ArgmaxCos(child: Expression, index: CosIndex)
     copy(child = c)
 }
 
+/** ngram_shingle_hashes(array<string>, n) -> array<bigint>: sorted
+  * distinct xxhash64 values of the word n-gram shingles. See
+  * [[Kernels.ngramShingleHashes]].
+  */
+case class NgramShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"ngram_shingle_hashes needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.ngramShingleHashes(w.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.ngramShingleHashes($w, $n)")
+
+  override protected def withNewChildInternal(c: Expression): NgramShingleHashes =
+    copy(child = c)
+}
+
 /** semdedup_dups(array<bigint>, array<float>, tau) -> array<bigint>:
   * within-cluster SemDeDup scan. ids must be ASCENDING and the flat
   * embedding matrix row-aligned with them; tau is a plan-time
@@ -851,6 +938,8 @@ object GraftFunctions {
     toCol(ArgmaxCos(toExpr(v), new CosIndex(cents, ids)))
   def semdedup_dups(ids: Column, flat: Column, tau: Double): Column =
     toCol(SemdedupDups(toExpr(ids), toExpr(flat), tau))
+  def ngram_shingle_hashes(words: Column, n: Int): Column =
+    toCol(NgramShingleHashes(toExpr(words), n))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -80,6 +80,34 @@ object Dedup {
       .select(col(id), explode(array(
         size(array_distinct(shingleExpr(n))).cast("long"))).as("n"))
 
+  /** Distinct word n-gram shingles per doc as their xxhash64 values
+    * (`shh`), built by ONE kernel pass over the token array — no
+    * shingle STRING is ever allocated (2.6M ~25-byte allocations per
+    * scan at sf1 were the dominant cost of the bucketed family's
+    * build). Bit-identical to
+    * `ngramShingles(...).select(id, xxhash64(sh))` up to 64-bit
+    * collisions, which the bucketed consumers already accept
+    * ([[commonCountsFromBuckets]]'s key note). Use for consumers that
+    * bucket on the HASH and never surface the shingle; stages whose
+    * oracle sees shingle strings or string order (minhash signatures,
+    * the d29 prefix's (df, sh) tie-break) keep [[ngramShingles]].
+    */
+  def ngramShingleHashes(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    withWords(df, id, text)
+      .select(col(id), explode(graft.expressions.GraftFunctions
+        .ngram_shingle_hashes(col("__w"), n)).as("shh"))
+
+  /** [[ngramShingleSizes]] over the hashed kernel — per-doc distinct
+    * HASH counts, so sizes agree exactly with what
+    * [[ngramShingleHashes]] consumers count. */
+  def ngramShingleHashSizes(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    withWords(df, id, text)
+      .select(col(id), explode(array(
+        size(graft.expressions.GraftFunctions
+          .ngram_shingle_hashes(col("__w"), n)).cast("long"))).as("n"))
+
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
     * repeats is the signal ([[ngramShingles]] is this per-doc
@@ -459,14 +487,19 @@ object Dedup {
   def dupEdges(docTable: DataFrame, id: String, text: String, n: Int,
       tPct: Int, maxDf: Int = 10000): DataFrame = {
     require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
-    val sh = ngramShingles(docTable, id, text, n)
-    val sizes = ngramShingleSizes(docTable, id, text, n)
     val pairs =
-      if (tPct >= 60)
+      if (tPct >= 60) {
+        // the prefix path's (df, sh) tie-break is oracle-visible —
+        // it stays on shingle STRINGS
+        val sh = ngramShingles(docTable, id, text, n)
+        val sizes = ngramShingleSizes(docTable, id, text, n)
         jaccardVerifyHashedSets(
           prefixFilteredCandidates(sh, id, tPct, Some(sizes)), sh, id,
           minJaccardPct = tPct, sizesNarrow = Some(sizes))
-      else jaccardAllPairs(sh, id, maxDf, Some(sizes))
+      } else
+        // bucket path: kernel-hashed shingles (no string allocs)
+        jaccardAllPairs(ngramShingleHashes(docTable, id, text, n), id,
+          maxDf, Some(ngramShingleHashSizes(docTable, id, text, n)))
     pairs.filter(col("jaccard") >= tPct / 100.0)
       .select(col("id_1").as("u"), col("id_2").as("v"))
   }
@@ -502,8 +535,13 @@ object Dedup {
     // family's largest exchange. A cross-doc collision would merge
     // two buckets and over-count one pair by 1 — probability
     // ~ S^2/2^64 for S distinct shingles, the same accepted risk as
-    // the hashed-set verify path.
-    val buckets = shingles.groupBy(xxhash64(col("sh")).as("shh"))
+    // the hashed-set verify path. A stream from
+    // [[ngramShingleHashes]] arrives pre-hashed (`shh`) and skips
+    // the hash here too.
+    val key =
+      if (shingles.columns.contains("shh")) col("shh")
+      else xxhash64(col("sh"))
+    val buckets = shingles.groupBy(key.as("shh"))
       .agg(collect_list(col(id)).as("ids"))
     val guarded = Metrics
       .observeDropped(buckets, "dedup_df_cap", size(col("ids")) > maxDf)

@@ -218,9 +218,12 @@ object DedupQueries extends Suite {
       // per-doc sizes come from the zero-shuffle narrow projection —
       // the groupBy form re-evaluated the whole shingle pipeline just
       // to count rows per doc
+      // shingles enter as kernel-built HASHES (ngram_shingle_hashes):
+      // buckets key on the hash anyway, and never allocating the
+      // shingle strings is the family's biggest build saving
       val base = docs(s, d)
-      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
-      val sizes = Dedup.ngramShingleSizes(base, "doc_id", "text", 3)
+      val sh = Dedup.ngramShingleHashes(base, "doc_id", "text", 3)
+      val sizes = Dedup.ngramShingleHashSizes(base, "doc_id", "text", 3)
       Dedup.jaccardAllPairs(sh, "doc_id", sizesNarrow = Some(sizes))
         .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
         .orderBy("id_1", "id_2")
@@ -580,11 +583,11 @@ object DedupQueries extends Suite {
     // union. Same one-self-join shape (and cost) as d05.
     Q("d20_containment", (s, d) => {
       // same bucket shape + df cap as d05 (no-op on testdata), same
-      // zero-shuffle narrow sizes
+      // zero-shuffle narrow sizes, same kernel-hashed shingles
       val base20 = docs(s, d)
-      val sh = Dedup.ngramShingles(base20, "doc_id", "text", 3)
+      val sh = Dedup.ngramShingleHashes(base20, "doc_id", "text", 3)
       Dedup.containmentAllPairs(sh, "doc_id",
-          sizesNarrow = Some(Dedup.ngramShingleSizes(base20, "doc_id", "text", 3)))
+          sizesNarrow = Some(Dedup.ngramShingleHashSizes(base20, "doc_id", "text", 3)))
         .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
         .orderBy("id_1", "id_2")
     },

@@ -165,6 +165,25 @@ class ExpressionsSpec extends SparkSpec {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("ngram_shingle_hashes == xxhash64(ngramShingles) set, corpus-wide") {
+    val base = Tables.load(spark, sf, "documents")
+    for (n <- Seq(1, 3)) {
+      val native = graft.ops.Dedup
+        .ngramShingleHashes(base, "doc_id", "text", n)
+        .select(col("doc_id"), col("shh"))
+      val composed = graft.ops.Dedup
+        .ngramShingles(base, "doc_id", "text", n)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      assert(native.exceptAll(composed).isEmpty &&
+        composed.exceptAll(native).isEmpty, s"n=$n")
+      // narrow sizes agree with the hashed stream
+      val sizes = graft.ops.Dedup
+        .ngramShingleHashSizes(base, "doc_id", "text", n)
+      val counted = native.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      assert(sizes.filter(col("n") > 0).exceptAll(counted).isEmpty, s"n=$n sizes")
+    }
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
