@@ -469,6 +469,92 @@ object Kernels {
       java.util.Arrays.copyOf(out, w))
   }
 
+  /** [[ngramShingleHashes]] with the ENGINE-PORTABLE md5 hash
+    * ([[portableHash60]]) instead of xxhash64 — for the minhash
+    * family, whose hash values are oracle-replayed (signatures,
+    * hashed-set verify). Sorted + deduplicated, so the result is both
+    * the per-doc distinct shingle-hash set AND the ready-sorted input
+    * of intersect_count_sorted. One md5 per shingle window, no
+    * shingle string ever allocated.
+    */
+  def ngramPortableHashes(words: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = words.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val k = m - n + 1
+    val out = new Array[Long](k)
+    var buf = shingleBuf.get()
+    val md = md5.get()
+    var i = 0
+    while (i < k) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val w = words.getUTF8String(i + j)
+        val wb = w.numBytes()
+        if (len + wb + 1 > buf.length) {
+          buf = java.util.Arrays.copyOf(buf,
+            Integer.highestOneBit(len + wb + 1) << 1)
+          shingleBuf.set(buf)
+        }
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += wb
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < k) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
+  /** All k MinHash signature values in one pass over a doc's
+    * portable-hash shingle set: sig_i = min over shingles of
+    * ((h % P) * c_i + d_i) % P with the [[graft.ops.Dedup]] affine
+    * family — value-identical to the 64-column min aggregate over the
+    * exploded shingle stream (which pays a full exchange + 64 agg
+    * buffers per doc). Input must be non-empty (callers filter
+    * zero-shingle docs, mirroring their absence from the exploded
+    * groupBy).
+    */
+  def minhashSigs(hashes: ArrayData, cs: Array[Long], ds: Array[Long])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = hashes.numElements()
+    require(m > 0, "minhash_sigs: empty shingle set")
+    val p = graft.ops.Dedup.MinhashPrime
+    val k = cs.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i) % p
+      var f = 0
+      while (f < k) {
+        val v = (h * cs(f) + ds(f)) % p
+        if (v < out(f)) out(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -846,6 +932,74 @@ case class NgramShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** ngram_portable_hashes(array<string>, n) -> array<bigint>: sorted
+  * distinct PORTABLE (md5-60) shingle hashes. See
+  * [[Kernels.ngramPortableHashes]].
+  */
+case class NgramPortableHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"ngram_portable_hashes needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.ngramPortableHashes(w.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.ngramPortableHashes($w, $n)")
+
+  override protected def withNewChildInternal(c: Expression)
+      : NgramPortableHashes = copy(child = c)
+}
+
+/** minhash_sigs(array<bigint>) -> array<bigint>: the k affine-min
+  * signature values over a portable-hash shingle set; coefficients
+  * fixed at construction ([[graft.ops.Dedup.minhashCoeffs]]). See
+  * [[Kernels.minhashSigs]].
+  */
+case class MinhashSigsOf(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"signature width must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val coeffs = {
+    val cd = graft.ops.Dedup.minhashCoeffs(k)
+    (cd.map(_._1).toArray, cd.map(_._2).toArray)
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"minhash_sigs needs array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(h: Any): Any =
+    Kernels.minhashSigs(h.asInstanceOf[ArrayData], coeffs._1, coeffs._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("minhashCs", coeffs._1, "long[]")
+    val dsRef = ctx.addReferenceObj("minhashDs", coeffs._2, "long[]")
+    defineCodeGen(ctx, ev, h =>
+      s"graft.expressions.Kernels.minhashSigs($h, $csRef, $dsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSigsOf =
+    copy(child = c)
+}
+
 /** semdedup_dups(array<bigint>, array<float>, tau) -> array<bigint>:
   * within-cluster SemDeDup scan. ids must be ASCENDING and the flat
   * embedding matrix row-aligned with them; tau is a plan-time
@@ -940,6 +1094,10 @@ object GraftFunctions {
     toCol(SemdedupDups(toExpr(ids), toExpr(flat), tau))
   def ngram_shingle_hashes(words: Column, n: Int): Column =
     toCol(NgramShingleHashes(toExpr(words), n))
+  def ngram_portable_hashes(words: Column, n: Int): Column =
+    toCol(NgramPortableHashes(toExpr(words), n))
+  def minhash_sigs(hashes: Column, k: Int): Column =
+    toCol(MinhashSigsOf(toExpr(hashes), k))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -108,6 +108,53 @@ object Dedup {
         size(graft.expressions.GraftFunctions
           .ngram_shingle_hashes(col("__w"), n)).cast("long"))).as("n"))
 
+  /** One row per DOC with its sorted distinct PORTABLE shingle-hash
+    * set ([[graft.expressions.Kernels.ngramPortableHashes]]) — the
+    * minhash family's working form: signatures read it with
+    * [[graft.expressions.MinhashSigsOf]], the hashed-set verify
+    * consumes it as-is (already sorted for intersect_count_sorted),
+    * and sizes are `size(hs)`. Replaces the exploded string-shingle
+    * stream + its 3 downstream exchanges (signature agg, hashed-set
+    * collect_list, size groupBy) and halves the md5 work (one pass,
+    * not signatures + verify separately). Docs shorter than n words
+    * come out with an EMPTY array — filter size(hs) > 0 where the
+    * exploded form's absence matters (it feeds a groupBy, so such
+    * docs simply had no rows).
+    */
+  def ngramPortableHashArrays(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    withWords(df, id, text).select(col(id),
+      graft.expressions.GraftFunctions
+        .ngram_portable_hashes(col("__w"), n).as("hs"))
+
+  /** [[jaccardVerifyHashedSets]] over the per-doc hash ARRAYS of
+    * [[ngramPortableHashArrays]] (no collect_list exchange, no
+    * second md5 pass — the arrays arrive sorted). */
+  def jaccardVerifyHashArrays(candidates: DataFrame, harr: DataFrame,
+      id: String, minJaccardPct: Int = 0): DataFrame = {
+    import graft.expressions.GraftFunctions.intersect_count_sorted
+    val pruned =
+      if (minJaccardPct <= 0) candidates
+      else {
+        val sizes = harr.select(col(id), size(col("hs")).as("n"))
+        candidates
+          .join(sizes.as("pa"), col("id_1") === col(s"pa.$id"))
+          .join(sizes.as("pb"), col("id_2") === col(s"pb.$id"))
+          .filter(least(col("pa.n"), col("pb.n")) * 100 >=
+            greatest(col("pa.n"), col("pb.n")) * minJaccardPct)
+          .select(col("id_1"), col("id_2"))
+      }
+    pruned
+      .join(harr.as("za"), col("id_1") === col(s"za.$id"))
+      .join(harr.as("zb"), col("id_2") === col(s"zb.$id"))
+      .select(col("id_1"), col("id_2"),
+        intersect_count_sorted(col("za.hs"), col("zb.hs")).as("n_common"),
+        size(col("za.hs")).as("na"), size(col("zb.hs")).as("nb"))
+      .select(col("id_1"), col("id_2"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
     * repeats is the signal ([[ngramShingles]] is this per-doc

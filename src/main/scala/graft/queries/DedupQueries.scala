@@ -164,11 +164,20 @@ object DedupQueries extends Suite {
     // vocabulary make random pairs near-dup candidates.)
     Q("d04_minhash_lsh_neardup", (s, d) => {
       val base = docs(s, d)
-      // the shingle set feeds FOUR consumers (signatures, sizes, and
-      // both verify sides) — materialize once (see d12 note)
-      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+      // the per-doc sorted portable-hash set feeds FOUR consumers
+      // (signatures, prune sizes, both verify sides) — materialize
+      // once (see d12 note). One kernel pass builds it: no shingle
+      // strings, one md5 per shingle TOTAL, and the signature agg /
+      // hashed-set collect_list / size groupBy exchanges all
+      // disappear (each was a full pass over the exploded stream).
+      val harr = Dedup.ngramPortableHashArrays(base, "doc_id", "text", 3)
+        .filter(size(col("hs")) > 0) // mirror the exploded form's absence
         .localCheckpoint()
-      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val sigs = (0 until K).foldLeft(
+        harr.select(col("doc_id"), graft.expressions.GraftFunctions
+          .minhash_sigs(col("hs"), K).as("sigs"))) { (df, i) =>
+        df.withColumn(s"sig_$i", element_at(col("sigs"), i + 1))
+      }.drop("sigs")
       // exactly-once candidates: no global distinct over the 2.3x-
       // duplicated pair stream (see lshCandidatesOnce scaladoc)
       val cands = Dedup.lshCandidatesOnce(sigs, "doc_id", K, RowsPerBand)
@@ -181,7 +190,7 @@ object DedupQueries extends Suite {
       // instead of the (pairs x shingles) explode shuffle (~10x at the
       // old loose banding; still wins now that the 8x8 S-curve keeps
       // candidate volume proportional to true near-dups).
-      Dedup.jaccardVerifyHashedSets(cands, sh, "doc_id", minJaccardPct = 90)
+      Dedup.jaccardVerifyHashArrays(cands, harr, "doc_id", minJaccardPct = 90)
         .filter(col("jaccard") >= 0.9)
         .orderBy("id_1", "id_2")
     },

@@ -184,6 +184,32 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ngram_portable_hashes + minhash_sigs == exploded composed forms") {
+    val base = Tables.load(spark, sf, "documents")
+    val k = 8
+    val harr = graft.ops.Dedup
+      .ngramPortableHashArrays(base, "doc_id", "text", 3)
+      .filter(size(col("hs")) > 0)
+    val sh = graft.ops.Dedup.ngramShingles(base, "doc_id", "text", 3)
+    // hash sets: kernel arrays == sorted collect_list of portable hashes
+    val nativeSets = harr.select(col("doc_id"),
+      array_join(col("hs"), ",").as("hss"))
+    val composedSets = sh.groupBy("doc_id")
+      .agg(array_join(sort_array(
+        collect_list(graft.ops.Text.portableHash(col("sh")))), ",").as("hss"))
+    assert(nativeSets.exceptAll(composedSets).isEmpty &&
+      composedSets.exceptAll(nativeSets).isEmpty)
+    // signatures: kernel == the 64-column min aggregate (k=8 here)
+    val nativeSigs = harr.select(col("doc_id"),
+      array_join(GraftFunctions.minhash_sigs(col("hs"), k), ",").as("s"))
+    val composedSigs = graft.ops.Dedup
+      .minhashSignatures(sh, "doc_id", k)
+      .select(col("doc_id"), array_join(array(
+        (0 until k).map(i => col(s"sig_$i")): _*), ",").as("s"))
+    assert(nativeSigs.exceptAll(composedSigs).isEmpty &&
+      composedSigs.exceptAll(nativeSigs).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
