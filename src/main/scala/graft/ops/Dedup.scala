@@ -507,6 +507,35 @@ object Dedup {
       .distinct()
   }
 
+  /** [[prefixFilteredCandidates]] over the per-doc portable-hash
+    * arrays of [[ngramPortableHashArrays]]. The AllPairs theorem
+    * holds under ANY global total order, so (df, hash) replaces
+    * (df, sh) as the tie-break — the candidate SET may differ, the
+    * verified qualifying set cannot (DedupSpec proves it) — and the
+    * whole prefix pipeline moves from 25-byte shingle strings to
+    * 8-byte longs with zero additional md5 passes.
+    */
+  def prefixFilteredCandidatesHashed(harr: DataFrame, id: String,
+      tPct: Int): DataFrame = {
+    require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
+    val exploded = harr.select(col(id), explode(col("hs")).as("h"))
+    val docFreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = harr.select(col(id), size(col("hs")).as("n"))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("df"), col("h"))
+    val prefix = exploded
+      .join(docFreq, "h")
+      .withColumn("rk", row_number().over(wDoc))
+      .join(sizes, id)
+      .filter(col("rk") <=
+        col("n") - expr(s"(($tPct * n) + 99) div 100") + 1)
+      .select(col(id), col("h"))
+    prefix.groupBy(col("h")).agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(graft.expressions.ArrayPairs
+        .array_pairs(col("ids")).as(Seq("id_1", "id_2")))
+      .distinct()
+  }
+
   /** Near-dup EDGE stage shared by pair queries (d05-shape) and
     * group resolution (d12): all pairs of docs with exact n-gram
     * Jaccard >= tPct/100, as (u, v) with u < v. One logical contract,
@@ -536,13 +565,15 @@ object Dedup {
     require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
     val pairs =
       if (tPct >= 60) {
-        // the prefix path's (df, sh) tie-break is oracle-visible —
-        // it stays on shingle STRINGS
-        val sh = ngramShingles(docTable, id, text, n)
-        val sizes = ngramShingleSizes(docTable, id, text, n)
-        jaccardVerifyHashedSets(
-          prefixFilteredCandidates(sh, id, tPct, Some(sizes)), sh, id,
-          minJaccardPct = tPct, sizesNarrow = Some(sizes))
+        // prefix path on portable-hash arrays: the qualifying edge
+        // set is order-invariant (AllPairs theorem), so the (df, h)
+        // tie-break replaces (df, sh) and no shingle string is built
+        val harr = ngramPortableHashArrays(docTable, id, text, n)
+          .filter(size(col("hs")) > 0)
+          .localCheckpoint() // feeds prefix (df + window) and verify
+        jaccardVerifyHashArrays(
+          prefixFilteredCandidatesHashed(harr, id, tPct), harr, id,
+          minJaccardPct = tPct)
       } else
         // bucket path: kernel-hashed shingles (no string allocs)
         jaccardAllPairs(ngramShingleHashes(docTable, id, text, n), id,

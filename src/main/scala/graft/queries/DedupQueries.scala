@@ -917,10 +917,17 @@ object DedupQueries extends Suite {
     // full buckets (d05/d12, low thresholds), prefix filter (d29,
     // exact high thresholds).
     Q("d29_allpairs_prefix", (s, d) => {
-      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
-        .localCheckpoint() // feeds df, sizes, prefix, and verify
-      val cands = Dedup.prefixFilteredCandidates(sh, "doc_id", 80)
-      Dedup.jaccardVerifyHashedSets(cands, sh, "doc_id",
+      // per-doc portable-hash arrays feed df, sizes, prefix, and
+      // verify — one kernel pass, one md5 per shingle, 8-byte keys
+      // through every prefix exchange; the (df, h) prefix order is
+      // internal (the oracle is the brute-force join, and AllPairs
+      // is exact under any total order)
+      val harr = Dedup.ngramPortableHashArrays(docs(s, d), "doc_id",
+          "text", 3)
+        .filter(size(col("hs")) > 0)
+        .localCheckpoint()
+      val cands = Dedup.prefixFilteredCandidatesHashed(harr, "doc_id", 80)
+      Dedup.jaccardVerifyHashArrays(cands, harr, "doc_id",
           minJaccardPct = 80)
         .filter(col("jaccard") >= 0.8)
         .orderBy("id_1", "id_2")

@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpec {
     // exactness: verifying the pruned candidates finds the identical
     // qualifying pair set the full bucket join finds
     assert(qualifying(prefixCands) === qualifying(fullCands))
+    // the hashed prefix path ((df, h) order over portable-hash
+    // arrays) reaches the same qualifying set — AllPairs is exact
+    // under any global total order
+    val harr = Dedup.ngramPortableHashArrays(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", 3)
+      .filter(size(col("hs")) > 0).localCheckpoint()
+    val hashedCands = Dedup.prefixFilteredCandidatesHashed(harr, "doc_id", 80)
+    val viaHashed = Dedup.jaccardVerifyHashArrays(hashedCands, harr,
+        "doc_id", minJaccardPct = 80)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHashed === qualifying(fullCands))
     // and the candidate stream actually shrank (the point of the
     // algorithm — rarest-20%-of-shingles buckets)
     val (np, nf) = (prefixCands.count(), fullCands.count())
