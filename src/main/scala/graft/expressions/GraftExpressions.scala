@@ -555,6 +555,56 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Salted-minhash signatures over a doc's DISTINCT word array:
+    * sig_i = min over words of portableHash60(word + "|s" + i) —
+    * value-identical to the composed transform/array_min columns
+    * (and the oracle's MIN(md5(sh || '|si')) replay). The per-word
+    * salted hashes are memoized PER THREAD (t27's bounded-memo
+    * discipline: corpora repeat words heavily — this one has a 13k
+    * vocabulary across 2.7M word instances, so ~99.5% of the 8-md5
+    * bundles become lookups; cleared past 64k entries so a
+    * high-cardinality corpus degrades to plain hashing, never to
+    * unbounded heap).
+    */
+  def saltedMinhashSigs(words: ArrayData, salts: Array[Array[Byte]],
+      memoTL: ThreadLocal[java.util.HashMap[UTF8String, Array[Long]]])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = salts.length
+    val m = words.numElements()
+    require(m > 0, "salted_minhash_sigs: empty word set")
+    val memo = memoTL.get()
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val md = md5.get()
+    var i = 0
+    while (i < m) {
+      val w = words.getUTF8String(i)
+      var hs = memo.get(w)
+      if (hs == null) {
+        if (memo.size() > 65536) memo.clear()
+        hs = new Array[Long](k)
+        val wb = w.getBytes
+        var s = 0
+        while (s < k) {
+          md.reset()
+          md.update(wb)
+          md.update(salts(s))
+          val d = md.digest()
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          hs(s) = v >>> 4
+          s += 1
+        }
+        memo.put(UTF8String.fromBytes(wb), hs)
+      }
+      var s = 0
+      while (s < k) { if (hs(s) < out(s)) out(s) = hs(s); s += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -1000,6 +1050,52 @@ case class MinhashSigsOf(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** salted_minhash_sigs(array<string>, k) -> array<bigint>: the k
+  * salted portable-hash minima over a distinct word set, with a
+  * per-thread bounded word->hashes memo. See
+  * [[Kernels.saltedMinhashSigs]].
+  */
+case class SaltedMinhashSigs(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64, s"signature width out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"|s$i".getBytes("UTF-8"))
+  // per-(instance, thread) memo: expression instances can be shared
+  // across concurrently-running tasks in one JVM, so the map itself
+  // must be thread-confined
+  @transient private lazy val memoTL =
+    new ThreadLocal[java.util.HashMap[UTF8String, Array[Long]]] {
+      override def initialValue() =
+        new java.util.HashMap[UTF8String, Array[Long]](1 << 12)
+    }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"salted_minhash_sigs needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.saltedMinhashSigs(w.asInstanceOf[ArrayData], salts, memoTL)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("salts", salts, "byte[][]")
+    val memoRef = ctx.addReferenceObj("memoTL", memoTL,
+      classOf[ThreadLocal[_]].getName)
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.saltedMinhashSigs($w, $saltsRef, $memoRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : SaltedMinhashSigs = copy(child = c)
+}
+
 /** semdedup_dups(array<bigint>, array<float>, tau) -> array<bigint>:
   * within-cluster SemDeDup scan. ids must be ASCENDING and the flat
   * embedding matrix row-aligned with them; tau is a plan-time
@@ -1098,6 +1194,8 @@ object GraftFunctions {
     toCol(NgramPortableHashes(toExpr(words), n))
   def minhash_sigs(hashes: Column, k: Int): Column =
     toCol(MinhashSigsOf(toExpr(hashes), k))
+  def salted_minhash_sigs(words: Column, k: Int): Column =
+    toCol(SaltedMinhashSigs(toExpr(words), k))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -911,9 +911,13 @@ object Extras extends Suite {
       val K = 8; val RowsPerBand = 2
       val words = array_distinct(filter(split(col("text"), " "),
         w => length(w) > 0))
+      // all K salted minima in one memoized kernel pass per doc
+      // (salted_minhash_sigs) — value-identical to the composed
+      // transform/array_min columns the oracle replays, without 8
+      // salted md5s per word INSTANCE (the memo collapses them to
+      // one bundle per distinct word per thread)
       val sigs = (0 until K).map(i =>
-        array_min(transform(col("__w"),
-          sh => graft.ops.Text.saltedHash(sh, i))).as(s"sig_$i"))
+        element_at(col("__sigs"), i + 1).as(s"sig_$i"))
       val bands = (0 until K / RowsPerBand).map { b =>
         val cols = (0 until RowsPerBand)
           .map(r => col(s"sig_${b * RowsPerBand + r}").cast("string"))
@@ -923,6 +927,8 @@ object Extras extends Suite {
       val banded = stream
         .select(col("doc_id"), words.as("__w"))
         .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), graft.expressions.GraftFunctions
+          .salted_minhash_sigs(col("__w"), K).as("__sigs"))
         .select(col("doc_id") +: sigs: _*)
         .select(col("doc_id"), explode(array(bands: _*)).as("b"))
         .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))

@@ -210,6 +210,23 @@ class ExpressionsSpec extends SparkSpec {
       composedSigs.exceptAll(nativeSigs).isEmpty)
   }
 
+  test("salted_minhash_sigs == transform/array_min composed form") {
+    val k = 8
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(filter(
+        split(col("text"), " "), w => length(w) > 0)).as("__w"))
+      .filter(size(col("__w")) > 0)
+    val native = base.select(col("doc_id"),
+      array_join(GraftFunctions.salted_minhash_sigs(col("__w"), k), ",")
+        .as("s"))
+    val composed = base.select(col("doc_id"),
+      array_join(array((0 until k).map(i =>
+        array_min(transform(col("__w"),
+          sh => graft.ops.Text.saltedHash(sh, i)))): _*), ",").as("s"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
