@@ -173,10 +173,33 @@ object TextQueries2 extends Suite {
       val markers = Seq(
         "en" -> Seq("the", "a"), "de" -> Seq("der", "und"),
         "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
-      val scored = docs(s, d).select(col("doc_id"),
-        Text.langId(col("text"), markers).as("pred_lang"),
+      // ONE count_markers kernel pass counts all 8 stopword markers
+      // (plus n_stop, element 1) per doc — Text.langId's composed
+      // form ran one full-text replace COPY per marker (9 per doc);
+      // the argmax/tie composition below is langId's, verbatim, over
+      // the counts array
+      val flat = markers.flatMap(_._2)
+      // explode(array(...)): Generate barrier so the counts array is
+      // evaluated ONCE per row — ~10 downstream references would
+      // otherwise re-run the kernel per reference after
+      // CollapseProject (the ngramShingleSizes discipline)
+      val withC = docs(s, d).select(col("doc_id"), col("text"),
+        explode(array(graft.expressions.GraftFunctions
+          .count_markers(col("text"), flat))).as("__c"))
+      val offs = markers.map(_._2.length).scanLeft(0)(_ + _)
+      val scores = markers.zipWithIndex.map { case ((lang, ws), li) =>
+        lang -> ws.indices
+          .map(j => element_at(col("__c"), offs(li) + j + 1))
+          .reduce(_ + _)
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      val pred = scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      val scored = withC.select(col("doc_id"),
+        pred.as("pred_lang"),
         size(split(col("text"), " ")).as("n_words"),
-        Text.markerCount(col("text"), "the").as("n_stop"))
+        element_at(col("__c"), 1).as("n_stop"))
         .withColumn("stop_ratio",
           col("n_stop").cast("double") / col("n_words"))
       val keepers = docs(s, d)

@@ -227,6 +227,25 @@ class ExpressionsSpec extends SparkSpec {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("count_markers == length-diff replace form, corpus-wide") {
+    val ms = Seq("the", "a", "der", "und", "el", "y", "le", "et")
+    val base = Tables.load(spark, sf, "documents")
+    val native = base.select(col("doc_id"),
+      array_join(GraftFunctions.count_markers(col("text"), ms), ",").as("c"))
+    val composed = base.select(col("doc_id"),
+      array_join(array(ms.map(m =>
+        graft.ops.Text.markerCount(col("text"), m)): _*), ",").as("c"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // overlap semantics: replace consumes the shared space
+    import spark.implicits._
+    val edge = Seq("the the x", "a a a").toDF("text")
+      .select(GraftFunctions.count_markers(col("text"), Seq("the", "a"))
+        .as("c")).collect().map(_.getSeq[Long](0))
+    assert(edge(0) === Seq(1L, 0L)) // ' the the ' counts once
+    assert(edge(1) === Seq(0L, 2L)) // ' a a a ' -> 2 (third re-forms? no)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
