@@ -71,19 +71,10 @@ object MlQueries extends Suite {
 
   private def kmeansIter(s: SparkSession, d: String): DataFrame = {
     import graft.expressions.GraftFunctions.argmin_l2_micro
-    // The exploded (vec, dim, v) table feeds the recenter join every
-    // iteration — materialize it ONCE with an eager localCheckpoint
-    // (the d12 discipline; plain .cache() measured slower in this
-    // repo — columnar encode cost).
-    val eq = embs(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .toDF("vec_id", "pos", "x")
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
-      .localCheckpoint()
-    // quantized per-vector array (same round-to-micro values as eq,
-    // kept dense for the assignment kernel) — narrow, recomputed per
-    // pass, cheaper than materializing
+    // quantized per-vector array — narrow, recomputed per pass,
+    // cheaper than materializing. Both assignment AND recentering now
+    // work on the dense arrays (the exploded (vec, dim, v) table and
+    // its 1.28M-row checkpoint are gone).
     val qv = embs(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000000, 0).cast("long")).as("qv"))
@@ -110,20 +101,29 @@ object MlQueries extends Suite {
     def assign(cents: (Array[Long], Array[Long])): DataFrame =
       qv.select(col("vec_id"),
         argmin_l2_micro(col("qv"), typedlit(cents._1.toSeq),
-          typedlit(cents._2.toSeq)).as("cid"))
+          typedlit(cents._2.toSeq)).as("cid"),
+        col("qv"))
     // exact floor-division mean (pmod keeps Spark's truncating `div`
-    // aligned with DuckDB's flooring `//` on negative sums); the
-    // vec_id equi-join shuffle is linear — asg is never broadcast
-    // (one row per VECTOR).
-    def recenter(asg: DataFrame): DataFrame = eq.join(asg, "vec_id")
-      .groupBy("cid", "dim")
-      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .select(col("cid"), col("dim").cast("int").as("dim"),
-        expr("(sv - pmod(sv, n)) div n").as("cv"))
+    // aligned with DuckDB's flooring `//` on negative sums).
+    // Recentering is ONE cid-keyed aggregation over the dense
+    // arrays: LongVecSumAgg's partial is a dim-length sums array, so
+    // k*dim longs cross the exchange instead of the old eq-join +
+    // (cid, dim) aggregate over the n*dim exploded stream. Same
+    // integers sum per (cid, dim) in any order -> identical values.
+    val vsum = udaf(new graft.ops.LongVecSumAgg)
+    def recenter(asgQv: DataFrame): DataFrame = asgQv
+      .groupBy("cid")
+      .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), col("n"), posexplode(col("sv")))
+      .toDF("cid", "n", "pos", "s")
+      .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
+        expr("(s - pmod(s, n)) div n").as("cv"))
 
-    val c0 = collectCents(eq.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("dim").cast("int").as("dim"),
-        col("v").as("cv")))
+    val c0 = collectCents(qv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), posexplode(col("qv")))
+      .toDF("cid", "pos", "cv")
+      .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
+        col("cv")))
     var cents = c0
     var lastAsg: DataFrame = null
     var lastCn: Array[(Long, Int, Long)] = null
