@@ -251,6 +251,7 @@ object CurationQueries extends Suite {
       val bi = Dedup.ngrams(base, "doc_id", "text", 2)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"),
           xxhash64(substring_index(col("sh"), " ", 1)).as("w1h"))
+        .localCheckpoint() // feeds the bigram count AND the join probe
       val biCount = bi.groupBy("h").agg(count(lit(1)).as("c2"))
       bi.join(biCount, "h")
         .join(uniH, "w1h")
