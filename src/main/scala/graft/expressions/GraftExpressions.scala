@@ -430,10 +430,24 @@ object Kernels {
     */
   def ngramShingleHashes(words: ArrayData, n: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = ngramXxhashSorted(words, n)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
+  /** SORTED xxhash64 values of every n-gram window (multiset — one
+    * entry per occurrence). Shared by [[ngramShingleHashes]] (unique
+    * of this) and [[topNgramRun]] (longest equal-run of this).
+    */
+  private def ngramXxhashSorted(words: ArrayData, n: Int): Array[Long] = {
     val m = words.numElements()
-    if (m < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.emptyLongArray)
+    if (m < n) return Array.emptyLongArray
     val k = m - n + 1
     val out = new Array[Long](k)
     var buf = shingleBuf.get()
@@ -459,14 +473,28 @@ object Kernels {
       i += 1
     }
     java.util.Arrays.sort(out)
-    var w = 0
-    var r = 0
-    while (r < k) {
-      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
-      r += 1
+    out
+  }
+
+  /** Count of the most frequent n-gram within ONE document's word
+    * array (a07's top-2-gram repetition signal): hash every window,
+    * sort, longest equal run — a narrow per-row evaluation replacing
+    * the (doc, sh) count + per-doc max over the corpus-wide bigram
+    * explode. Counts by 64-bit hash, so two distinct n-grams
+    * colliding WITHIN one doc could merge runs — the same accepted
+    * risk class as the bucket keys (~windows^2/2^64 per doc).
+    */
+  def topNgramRun(words: ArrayData, n: Int): Long = {
+    val hs = ngramXxhashSorted(words, n)
+    var best = 0L
+    var run = 0L
+    var i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) run = 1L else run += 1L
+      if (run > best) best = run
+      i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(out, w))
+    best
   }
 
   /** [[ngramShingleHashes]] with the ENGINE-PORTABLE md5 hash
@@ -1134,6 +1162,33 @@ case class SaltedMinhashSigs(child: Expression, k: Int)
       : SaltedMinhashSigs = copy(child = c)
 }
 
+/** top_ngram_run(array<string>, n) -> bigint: count of the most
+  * frequent n-gram within the array. See [[Kernels.topNgramRun]].
+  */
+case class TopNgramRun(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"top_ngram_run needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.topNgramRun(w.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.topNgramRun($w, $n)")
+
+  override protected def withNewChildInternal(c: Expression): TopNgramRun =
+    copy(child = c)
+}
+
 /** count_markers(string) -> array<bigint>: per-marker non-overlapping
   * ' marker ' counts over ' text ' (constructor-time marker list).
   * See [[Kernels.countMarkers]].
@@ -1270,6 +1325,8 @@ object GraftFunctions {
     toCol(SaltedMinhashSigs(toExpr(words), k))
   def count_markers(text: Column, markers: Seq[String]): Column =
     toCol(CountMarkers(toExpr(text), markers))
+  def top_ngram_run(words: Column, n: Int): Column =
+    toCol(TopNgramRun(toExpr(words), n))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

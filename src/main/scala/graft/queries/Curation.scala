@@ -85,21 +85,29 @@ object CurationQueries extends Suite {
     // 2-gram doesn't dominate — both metrics are exact integer ratios
     // computed in two aggregations over the token/ngram explodes.
     Q("a07_repetition_filter", (s, d) => {
-      val base = docs(s, d)
-      val tok = graft.ops.Text.words(base, "doc_id", "text")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct("word").as("n_distinct"))
-      val gs = graft.ops.Dedup.ngrams(base, "doc_id", "text", 2)
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").as("top2"), sum("c").as("n2"))
-      tok.join(gs, "doc_id")
-        .withColumn("unique_ratio",
-          col("n_distinct").cast("double") / col("n_tokens"))
-        .withColumn("top2_frac", col("top2").cast("double") / col("n2"))
+      // every metric is a pure per-doc function of the word array —
+      // ONE narrow scan (token/distinct sizes off the array, the top
+      // 2-gram count via the top_ngram_run kernel) replaces the two
+      // corpus-wide explode aggregations + join. The words array is a
+      // materialized attribute below the Generate so its four
+      // references evaluate the split once (Dedup's withWords
+      // discipline); docs too short for a 2-gram fall out through the
+      // same NaN-ratio filters that dropped them from the old inner
+      // join (0-bigram docs: top2_frac = 0/0).
+      docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          w => length(w) > 0).as("__w"))
+        .select(col("doc_id"), explode(array(struct(
+          size(col("__w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__w"))).cast("long").as("n_distinct"),
+          graft.expressions.GraftFunctions.top_ngram_run(col("__w"), 2)
+            .as("top2"),
+          (size(col("__w")) - 1).cast("long").as("n2")))).as("m"))
+        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          (col("m.n_distinct").cast("double") / col("m.n_tokens"))
+            .as("unique_ratio"),
+          (col("m.top2").cast("double") / col("m.n2")).as("top2_frac"))
         .filter(col("unique_ratio") >= 0.4 && col("top2_frac") <= 0.04)
-        .select("doc_id", "n_tokens", "unique_ratio", "top2_frac")
         .orderBy("doc_id")
     },
       Some("""WITH w0 AS (
