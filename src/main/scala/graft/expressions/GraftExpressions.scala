@@ -671,6 +671,55 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // per-thread word -> portableHash60 memo (pure global function, so
+  // sharing across queries is safe; bounded like the t27 memo)
+  private val hash60Memo =
+    new ThreadLocal[java.util.HashMap[UTF8String, java.lang.Long]] {
+      override def initialValue() =
+        new java.util.HashMap[UTF8String, java.lang.Long](1 << 12)
+    }
+
+  private def portableHash60Memoized(w: UTF8String): Long = {
+    val memo = hash60Memo.get()
+    var v = memo.get(w)
+    if (v == null) {
+      if (memo.size() > 65536) memo.clear()
+      v = java.lang.Long.valueOf(portableHash60(w))
+      memo.put(UTF8String.fromBytes(w.getBytes), v)
+    }
+    v.longValue()
+  }
+
+  /** SimHash fingerprint of ONE document's word multiset —
+    * value-identical to the 64-column +/-1 bit-sum aggregate over the
+    * exploded word stream ([[graft.ops.Dedup.simhash]]'s composed
+    * form and its oracle): per word, bit j of the portable hash adds
+    * +/-1 to sum j; fp sets bit j iff sum j > 0. Per-word hashes ride
+    * the thread's md5 memo (repetitive corpora hash each distinct
+    * word once per thread, not once per occurrence).
+    */
+  def simhashFp(words: ArrayData, bits: Int): Long = {
+    val m = words.numElements()
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < m) {
+      val h = portableHash60Memoized(words.getUTF8String(i))
+      var j = 0
+      while (j < bits) {
+        sums(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -1162,6 +1211,33 @@ case class SaltedMinhashSigs(child: Expression, k: Int)
       : SaltedMinhashSigs = copy(child = c)
 }
 
+/** simhash_fp(array<string>, bits) -> bigint: SimHash fingerprint of
+  * a word multiset. See [[Kernels.simhashFp]].
+  */
+case class SimhashFp(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"bits out of range: $bits")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"simhash_fp needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.simhashFp(w.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.simhashFp($w, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): SimhashFp =
+    copy(child = c)
+}
+
 /** top_ngram_run(array<string>, n) -> bigint: count of the most
   * frequent n-gram within the array. See [[Kernels.topNgramRun]].
   */
@@ -1327,6 +1403,8 @@ object GraftFunctions {
     toCol(CountMarkers(toExpr(text), markers))
   def top_ngram_run(words: Column, n: Int): Column =
     toCol(TopNgramRun(toExpr(words), n))
+  def simhash_fp(words: Column, bits: Int): Column =
+    toCol(SimhashFp(toExpr(words), bits))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -282,9 +282,19 @@ object DedupQueries extends Suite {
     // without its O(n^2) theta join. The fingerprint table feeds both
     // sides of the band join — materialize once.
     Q("d07_simhash_neardup", (s, d) => {
-      val fp = Dedup.simhash(
-        Text.words(docs(s, d), "doc_id", "text"),
-        "doc_id", SimBits).localCheckpoint()
+      // fingerprints come from the simhash_fp kernel — one narrow
+      // scan over the word arrays (per-word md5s ride the thread
+      // memo) instead of the 64-column +/-1 bit-sum aggregate over
+      // the 2.7M-row word explode; values are identical (spec).
+      // Zero-word docs are filtered to mirror their absence from the
+      // exploded groupBy.
+      val fp = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          w => length(w) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), graft.expressions.GraftFunctions
+          .simhash_fp(col("__w"), SimBits).as("simhash"))
+        .localCheckpoint()
       Dedup.simhashPairsBanded(fp, "doc_id", SimBits, 6)
         .orderBy("id_1", "id_2")
     },

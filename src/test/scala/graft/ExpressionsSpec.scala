@@ -246,6 +246,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge(1) === Seq(0L, 2L)) // ' a a a ' -> 2 (third re-forms? no)
   }
 
+  test("simhash_fp == 64-column bit-sum aggregate, corpus-wide") {
+    val base = Tables.load(spark, sf, "documents")
+    val native = base
+      .select(col("doc_id"), filter(split(col("text"), " "),
+        w => length(w) > 0).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"),
+        GraftFunctions.simhash_fp(col("__w"), 24).as("simhash"))
+    val composed = graft.ops.Dedup.simhash(
+      Text.words(base, "doc_id", "text"), "doc_id", 24)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
   test("multimodal stub decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
