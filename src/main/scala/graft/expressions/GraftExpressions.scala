@@ -720,6 +720,32 @@ object Kernels {
     fp
   }
 
+  /** Per-doc [sum(chars), sum(lookup)] over a word array against a
+    * broadcast word->long map (t26's BPE token counting: the map is
+    * the trained vocab's per-word BPE symbol count, vocabulary-sized
+    * by construction). One narrow evaluation replaces the
+    * occurrences-join + per-doc groupBy over the exploded word
+    * stream. Words absent from the map contribute 0 to the lookup
+    * sum (impossible for t26 — the vocab is built FROM these words).
+    */
+  def wordLookupSums(words: ArrayData,
+      map: java.util.HashMap[UTF8String, java.lang.Long])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = words.numElements()
+    var chars = 0L
+    var looked = 0L
+    var i = 0
+    while (i < m) {
+      val w = words.getUTF8String(i)
+      chars += w.numChars()
+      val v = map.get(w)
+      if (v != null) looked += v.longValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(chars, looked))
+  }
+
   /** Read the exact integer-rank num/den quantile off a KllAgg
     * sketch buffer. Sketch layout + rank arithmetic live in
     * [[graft.ops.KllAgg.quantile]]; this is the executor-side bridge
@@ -1238,6 +1264,38 @@ case class SimhashFp(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** word_lookup_sums(array<string>) -> array<bigint>[2]: per-doc
+  * [char-sum, map-lookup-sum] against a constructor-time word->long
+  * map. See [[Kernels.wordLookupSums]].
+  */
+case class WordLookupSums(child: Expression,
+    map: java.util.HashMap[UTF8String, java.lang.Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"word_lookup_sums needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.wordLookupSums(w.asInstanceOf[ArrayData], map)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lookupMap", map,
+      classOf[java.util.HashMap[_, _]].getName)
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.wordLookupSums($w, $mRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordLookupSums =
+    copy(child = c)
+}
+
 /** top_ngram_run(array<string>, n) -> bigint: count of the most
   * frequent n-gram within the array. See [[Kernels.topNgramRun]].
   */
@@ -1405,6 +1463,9 @@ object GraftFunctions {
     toCol(TopNgramRun(toExpr(words), n))
   def simhash_fp(words: Column, bits: Int): Column =
     toCol(SimhashFp(toExpr(words), bits))
+  def word_lookup_sums(words: Column,
+      map: java.util.HashMap[UTF8String, java.lang.Long]): Column =
+    toCol(WordLookupSums(toExpr(words), map))
 
   /** Register as SQL functions (`SELECT portable_hash60(x)`). */
   def register(spark: SparkSession): Unit = {

@@ -698,12 +698,30 @@ object TextQueries2 extends Suite {
 
       val v1 = applyMerge(vocab, best(pairCounts(vocab))).localCheckpoint()
       val v2 = applyMerge(v1, best(pairCounts(v1)))
-      val wordLen = v2.select(col("word"),
-        length(col("word")).as("n_char"), size(col("syms")).as("n_bpe"))
-      w.join(wordLen, "word")
-        .groupBy("doc_id")
-        .agg(sum("n_char").as("n_char_tokens"),
-          sum("n_bpe").as("n_bpe_tokens"))
+      // encode-back as ONE narrow scan: the trained vocab's per-word
+      // BPE symbol count is vocabulary-sized by construction, so it
+      // collects into a broadcast map (the lexicon discipline) and
+      // word_lookup_sums reads both per-doc sums off the word array —
+      // no occurrences join, no per-doc groupBy exchange. Zero-word
+      // docs are filtered to mirror their absence from the old inner
+      // join.
+      val bpeMap = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](1 << 15)
+      v2.select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+        .collect().foreach { r =>
+          bpeMap.put(org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(0)), r.getLong(1))
+        }
+      docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), explode(array(
+          graft.expressions.GraftFunctions
+            .word_lookup_sums(col("__w"), bpeMap))).as("t"))
+        .select(col("doc_id"),
+          element_at(col("t"), 1).as("n_char_tokens"),
+          element_at(col("t"), 2).as("n_bpe_tokens"))
         .orderBy("doc_id")
     }, {
       // one greedy-left merge application round in SQL: from symbol
