@@ -426,12 +426,18 @@ object TextQueries2 extends Suite {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("t23_passage_dedup", (s, d) => {
-      val passages = Text.wordsWithPos(docs(s, d), "doc_id", "text")
-        .withColumn("wid", expr("(pos - 1) div 10"))
-        .groupBy("doc_id", "wid")
-        .agg(md5(concat_ws(" ",
-          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
-          .as("fp"))
+      // narrow passage build — see d28's note (same fp values as the
+      // exploded collect_list groupBy, no 2.9M-row exchange)
+      val passages = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(__w) - 1) div 10),
+            |  i -> md5(concat_ws(' ', slice(__w, i * 10 + 1, 10))))"""
+            .stripMargin)))
+        .toDF("doc_id", "wid", "fp")
+        .localCheckpoint() // feeds the dup aggregate AND the final join
       val dupFp = passages.groupBy("fp")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("fp")
@@ -480,12 +486,20 @@ object TextQueries2 extends Suite {
     // acts on. Same one-exchange passage machinery as t23; the run
     // analysis is one more window over the tiny passage table.
     Q("d28_dup_spans", (s, d) => {
-      val passages = Text.wordsWithPos(docs(s, d), "doc_id", "text")
-        .withColumn("wid", expr("(pos - 1) div 10"))
-        .groupBy("doc_id", "wid")
-        .agg(md5(concat_ws(" ",
-          expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
-          .as("fp"))
+      // passages built NARROW: chunk the word array into 10-token
+      // slices and md5 each inside the Generate (same fp values as
+      // the old wordsWithPos explode + (doc, wid) collect_list
+      // groupBy, without its 2.9M-row exchange — the passage stream
+      // starts at ~290k rows)
+      val passages = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(__w) - 1) div 10),
+            |  i -> md5(concat_ws(' ', slice(__w, i * 10 + 1, 10))))"""
+            .stripMargin)))
+        .toDF("doc_id", "wid", "fp")
         .localCheckpoint() // feeds the dup aggregate AND the run scan
       val dupFp = passages.groupBy("fp")
         .agg(countDistinct("doc_id").as("nd"))
