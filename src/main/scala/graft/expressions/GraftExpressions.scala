@@ -308,6 +308,68 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
+  /** IVF-PQ index build (IVFADC — Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 §V): coarse-assign the
+    * vector to its nearest centroid by exact integer L2 in micro
+    * units (ties to the lowest cell index), then PQ-encode the
+    * RESIDUAL v - centroid against the runtime codebook (entry
+    * (s*K + c)*SubDim + j; ties to the lowest c). Returns
+    * [cell, code_0, ..., code_{M-1}]. One narrow kernel call per
+    * corpus row — the whole index build is a single scan, no join, no
+    * shuffle; centroids and codebook arrive as literals from a
+    * k-bounded collect (the d31/d32 discipline). Overflow-safe:
+    * micro values <= ~1e6 => residual <= ~2e6, + codeword 2.5e5 =>
+    * per-term < 5.1e12, * 64 terms « 2^63.
+    */
+  def ivfpqEncode(emb: ArrayData, cents: ArrayData,
+      cb: ArrayData): ArrayData = {
+    requirePqDim(emb)
+    val dim = graft.ops.Pq.Dim
+    val m = graft.ops.Pq.M; val k = graft.ops.Pq.K
+    val sd = graft.ops.Pq.SubDim
+    require(cents.numElements() > 0 && cents.numElements() % dim == 0,
+      s"ivfpq_encode: ${cents.numElements()} centroid values at dim $dim")
+    val nc = cents.numElements() / dim
+    require(cb.numElements() == m * k * sd,
+      s"ivfpq_encode: codebook ${cb.numElements()} values " +
+        s"(need ${m * k * sd})")
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = math.floor(emb.getFloat(i).toDouble * 1000000.0).toLong
+      i += 1
+    }
+    var cell = -1; var bestD = Long.MaxValue
+    var c = 0
+    while (c < nc) {
+      var d = 0L; var j = 0
+      while (j < dim) {
+        val t = v(j) - cents.getLong(c * dim + j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; cell = c } // strict <: lowest cell wins
+      c += 1
+    }
+    val out = new Array[Int](1 + m)
+    out(0) = cell
+    var s = 0
+    while (s < m) {
+      var bestC = -1; var bD = Long.MaxValue
+      var cc = 0
+      while (cc < k) {
+        var d = 0L; var j = 0
+        while (j < sd) {
+          val t = v(s * sd + j) - cents.getLong(cell * dim + s * sd + j) -
+            cb.getLong((s * k + cc) * sd + j)
+          d += t * t; j += 1
+        }
+        if (d < bD) { bD = d; bestC = cc } // strict <: lowest c wins
+        cc += 1
+      }
+      out(1 + s) = bestC; s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Argmax-cosine over a prebuilt [[CosIndex]]: the centroid id with
     * the highest [[cosineF]] similarity to v (same round-to-6
     * semantics and left-to-right accumulation order, so the winner is
@@ -1424,6 +1486,41 @@ case class PqEncodeCb(emb: Expression, cb: Expression, present: Expression)
       t: Expression): PqEncodeCb = copy(emb = f, cb = s, present = t)
 }
 
+/** ivfpq_encode(array<float>, array<bigint>, array<bigint>) ->
+  * array<int> of [coarse cell, M residual PQ codes]. See
+  * [[Kernels.ivfpqEncode]]; centroids and codebook children are
+  * literals built from a k-bounded collect.
+  */
+case class IvfPqEncode(emb: Expression, cents: Expression, cb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = emb
+  override def second: Expression = cents
+  override def third: Expression = cb
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (emb.dataType, cents.dataType, cb.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, false),
+          ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("ivfpq_encode needs (array<float>, " +
+          s"array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(e: Any, c: Any, b: Any): Any =
+    Kernels.ivfpqEncode(e.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c, b) =>
+      s"graft.expressions.Kernels.ivfpqEncode($e, $c, $b)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): IvfPqEncode = copy(emb = f, cents = s, cb = t)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
@@ -1443,6 +1540,8 @@ object GraftFunctions {
     toCol(ArgminL2Micro(toExpr(v), toExpr(cents), toExpr(ids)))
   def pq_encode_cb(emb: Column, cb: Column, present: Column): Column =
     toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
+  def ivfpq_encode(emb: Column, cents: Column, cb: Column): Column =
+    toCol(IvfPqEncode(toExpr(emb), toExpr(cents), toExpr(cb)))
   def kll_quantile(c: Column, num: Long, den: Long): Column =
     toCol(KllQuantileOf(toExpr(c), num, den))
   def argmax_cos(v: Column, cents: Array[Float], ids: Array[Long]): Column =

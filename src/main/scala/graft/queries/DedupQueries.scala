@@ -1332,6 +1332,154 @@ object DedupQueries extends Suite {
               |  CAST(COALESCE(SUM(CASE WHEN dups.vec_id IS NOT NULL
               |    THEN 1 END), 0) AS BIGINT) AS n_dups
               |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D33: IVF-PQ composite ANN (IVFADC — Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011 §V): the
+    // canonical 100 TB ANN index, composing d10's coarse inverted-file
+    // pruning with d30's PQ bandwidth cut. Each corpus vector
+    // coarse-assigns to its nearest seed centroid and PQ-encodes the
+    // RESIDUAL v - centroid — finer quantization than raw-vector PQ
+    // for the same M bytes because the coarse fit shrinks residual
+    // magnitudes. The index build is ONE narrow kernel scan
+    // (ivfpq_encode: centroids + codebook ride as k-bounded
+    // literals; no join, no corpus shuffle); a query probes its
+    // nprobe=2 nearest cells and scores ONLY those cells' codes via
+    // a per-(query, cell) residual ADC lookup table (2*M*K rows,
+    // broadcast) — the scan fraction drops by nprobe/#cells and each
+    // scanned row costs M=8 integer lookups. Exact micro-unit
+    // arithmetic throughout, so DuckDB replays bit-identically.
+    Q("d33_knn_ivfpq", (s, d) => {
+      import graft.expressions.GraftFunctions.ivfpq_encode
+      import s.implicits._
+      val Mq = graft.ops.Pq.M; val Kq = graft.ops.Pq.K
+      val SDq = graft.ops.Pq.SubDim; val Dim = graft.ops.Pq.Dim
+      val seeds = Seq(0L, 101L, 202L, 303L)
+      val e = embs(s, d).select("vec_id", "embedding")
+      // k-bounded collects: 4 coarse centroids (quantized exactly as
+      // the kernel quantizes) + the deterministic hash codebook
+      val centsFlat = new Array[Long](seeds.length * Dim)
+      e.filter(col("vec_id").isin(seeds: _*)).collect().foreach { r =>
+        val ci = seeds.indexOf(r.getLong(0))
+        val arr = r.getSeq[Float](1)
+        var j = 0
+        while (j < Dim) {
+          centsFlat(ci * Dim + j) =
+            math.floor(arr(j).toDouble * 1000000.0).toLong
+          j += 1
+        }
+      }
+      val cbFlat = new Array[Long](Mq * Kq * SDq)
+      for (s0 <- 0 until Mq; c <- 0 until Kq; j <- 0 until SDq)
+        cbFlat((s0 * Kq + c) * SDq + j) = graft.ops.Pq.codeword(s0, c, j)
+      // index build: one narrow scan -> (vec_id, cid, s, code)
+      val enc = e.select(col("vec_id"),
+          ivfpq_encode(col("embedding"), typedlit(centsFlat.toSeq),
+            typedlit(cbFlat.toSeq)).as("enc"))
+        .select(col("vec_id"),
+          element_at(typedlit(seeds), col("enc")(0) + 1).as("cid"),
+          posexplode(slice(col("enc"), 2, Mq)))
+        .toDF("vec_id", "cid", "s", "code")
+      // query side (10 vectors): integer streams are tiny; probes =
+      // 2 nearest cells by exact integer L2, LUT = residual ADC table
+      val eqq = embs(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "jj", "x")
+        .select(col("vec_id"), col("jj"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("v"))
+      val centDf = (for { ci <- seeds.indices; j <- 0 until Dim }
+        yield (seeds(ci), j, centsFlat(ci * Dim + j)))
+        .toDF("ccid", "cjj", "w")
+      val cd = eqq.join(broadcast(centDf), col("jj") === col("cjj"))
+        .groupBy(col("vec_id"), col("ccid"))
+        .agg(sum((col("v") - col("w")) * (col("v") - col("w"))).as("d2"))
+      val wP = Window.partitionBy("vec_id").orderBy(asc("d2"), col("ccid"))
+      val probes = cd.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("ccid").as("q_cid"))
+      val cbDf = (for { s0 <- 0 until Mq; c <- 0 until Kq; j <- 0 until SDq }
+        yield (s0, c, j, cbFlat((s0 * Kq + c) * SDq + j)))
+        .toDF("cs", "ccode", "cj", "cw")
+      val qres = eqq.join(broadcast(probes), col("vec_id") === col("q_id"))
+        .join(broadcast(centDf),
+          col("ccid") === col("q_cid") && col("cjj") === col("jj"))
+        .select(col("q_id"), col("q_cid"),
+          (col("jj") / SDq).cast("int").as("s"),
+          (col("jj") % SDq).cast("int").as("j"),
+          (col("v") - col("w")).as("rv"))
+      val lut = qres
+        .join(broadcast(cbDf), col("cs") === col("s") && col("cj") === col("j"))
+        .groupBy(col("q_id"), col("q_cid"), col("s").as("ls"), col("ccode"))
+        .agg(sum((col("rv") - col("cw")) * (col("rv") - col("cw"))).as("d2"))
+        .select(col("q_id"), col("q_cid"), col("ls"),
+          col("ccode").as("lc"), col("d2"))
+      val wK = Window.partitionBy("q_id").orderBy(asc("adc"), col("vec_id"))
+      enc.join(broadcast(lut),
+          col("cid") === col("q_cid") && col("s") === col("ls") &&
+            col("code") === col("lc") && col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum("d2").as("adc"))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("adc"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH eq AS MATERIALIZED (
+              |  SELECT vec_id, gs - 1 AS jj,
+              |    CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS v
+              |  FROM (SELECT vec_id, generate_subscripts(embedding,1) AS gs,
+              |          unnest(embedding) AS x FROM embeddings)),
+              |cents AS MATERIALIZED (
+              |  SELECT vec_id AS cid, jj, v AS w FROM eq
+              |  WHERE vec_id IN (0, 101, 202, 303)),
+              |cd AS MATERIALIZED (
+              |  SELECT eq.vec_id, ct.cid,
+              |    CAST(SUM((eq.v - ct.w) * (eq.v - ct.w)) AS BIGINT) AS d2
+              |  FROM eq JOIN cents ct ON ct.jj = eq.jj
+              |  GROUP BY 1, 2),
+              |asg AS (SELECT vec_id, cid FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM cd) WHERE rn = 1),
+              |res AS MATERIALIZED (
+              |  SELECT eq.vec_id, eq.jj // 8 AS s, eq.jj % 8 AS j,
+              |    eq.v - ct.w AS rv
+              |  FROM eq JOIN asg ON asg.vec_id = eq.vec_id
+              |       JOIN cents ct ON ct.cid = asg.cid AND ct.jj = eq.jj),
+              |cb(s, c, j, w) AS (VALUES ${graft.ops.Pq.codebookSql}),
+              |dist AS (
+              |  SELECT res.vec_id, res.s, cb.c,
+              |    CAST(SUM((res.rv - cb.w) * (res.rv - cb.w)) AS BIGINT) AS d2
+              |  FROM res JOIN cb ON cb.s = res.s AND cb.j = res.j
+              |  GROUP BY 1, 2, 3),
+              |codes AS (SELECT vec_id, s, c FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+              |    ORDER BY d2, c) AS rn FROM dist) WHERE rn = 1),
+              |cc AS (SELECT codes.vec_id, asg.cid, codes.s, codes.c
+              |       FROM codes JOIN asg ON asg.vec_id = codes.vec_id),
+              |probes AS (SELECT vec_id AS q_id, cid AS q_cid FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM cd WHERE vec_id < 10)
+              |  WHERE rn <= 2),
+              |qres AS (
+              |  SELECT p.q_id, p.q_cid, eq.jj // 8 AS s, eq.jj % 8 AS j,
+              |    eq.v - ct.w AS rv
+              |  FROM eq JOIN probes p ON eq.vec_id = p.q_id
+              |       JOIN cents ct ON ct.cid = p.q_cid AND ct.jj = eq.jj),
+              |lut AS (
+              |  SELECT qres.q_id, qres.q_cid, qres.s, cb.c,
+              |    CAST(SUM((qres.rv - cb.w) * (qres.rv - cb.w)) AS BIGINT)
+              |      AS d2
+              |  FROM qres JOIN cb ON cb.s = qres.s AND cb.j = qres.j
+              |  GROUP BY 1, 2, 3, 4),
+              |adc AS (
+              |  SELECT lut.q_id, cc.vec_id AS n_id,
+              |    CAST(SUM(lut.d2) AS BIGINT) AS adc
+              |  FROM cc JOIN lut ON lut.q_cid = cc.cid AND lut.s = cc.s
+              |    AND lut.c = cc.c AND cc.vec_id <> lut.q_id
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |         ORDER BY adc, n_id) AS rnk FROM adc)
+              |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin))
   )
 }

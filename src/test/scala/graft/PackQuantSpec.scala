@@ -86,4 +86,56 @@ class PackQuantSpec extends SparkSpec {
     assert(scored(1L) === 1000000L && scored(2L) === 1000000L)
     assert(scored(3L) === 0L && scored(4L) === 0L)
   }
+
+  test("IVF-PQ: coarse cell is the exact integer-L2 argmin; residual " +
+      "codes reconstruct with less error than raw-codebook PQ") {
+    import spark.implicits._
+    import graft.expressions.GraftFunctions.{ivfpq_encode, pq_encode}
+    val Dim = graft.ops.Pq.Dim; val M = graft.ops.Pq.M
+    val K = graft.ops.Pq.K; val SD = graft.ops.Pq.SubDim
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(4, Dim)(rnd.nextFloat() * 2f - 1f)
+    val vecs = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong,
+        (0 until Dim).map(j => c(j) + (rnd.nextFloat() - 0.5f) * 0.2f)
+          .toArray)
+    }
+    val centsFlat =
+      centers.flatten.map(f => math.floor(f.toDouble * 1e6).toLong)
+    val cbFlat = (for (s0 <- 0 until M; c <- 0 until K; j <- 0 until SD)
+      yield graft.ops.Pq.codeword(s0, c, j)).toArray
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        ivfpq_encode(col("embedding"), typedlit(centsFlat.toSeq),
+          typedlit(cbFlat.toSeq)).as("enc"),
+        pq_encode(col("embedding")).as("raw"))
+      .collect()
+    assert(got.length === 40)
+    var resErr = 0L; var rawErr = 0L
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val enc = r.getSeq[Int](1); val raw = r.getSeq[Int](2)
+      assert(enc.length === 1 + M && enc.forall(_ >= 0))
+      val v = vecs(id.toInt)._2.map(f => math.floor(f.toDouble * 1e6).toLong)
+      val dists = (0 until 4).map { c =>
+        (0 until Dim).map { j =>
+          val t = v(j) - centsFlat(c * Dim + j); t * t
+        }.sum
+      }
+      assert(enc.head === dists.indexOf(dists.min),
+        s"vec $id: kernel cell ${enc.head} vs argmin ${dists.indexOf(dists.min)}")
+      val cell = enc.head
+      for (s0 <- 0 until M; j <- 0 until SD) {
+        val rres = v(s0 * SD + j) - centsFlat(cell * Dim + s0 * SD + j) -
+          cbFlat((s0 * K + enc(1 + s0)) * SD + j)
+        resErr += rres * rres
+        val rraw =
+          v(s0 * SD + j) - cbFlat((s0 * K + raw(s0)) * SD + j)
+        rawErr += rraw * rraw
+      }
+    }
+    assert(resErr < rawErr,
+      s"residual reconstruction error $resErr !< raw-PQ $rawErr")
+  }
 }
