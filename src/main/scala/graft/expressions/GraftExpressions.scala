@@ -370,6 +370,82 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003): hash every k-word shingle to its md5 hex, form the
+    * 40-byte key `md5hex || lpad(pos, 8, '0')`, and keep the DISTINCT
+    * minima of every window of w consecutive positions (windows
+    * truncated at the doc tail mirror the oracle's ROWS BETWEEN
+    * frame). Any shared run of >= k+w-1 words between two docs shares
+    * a selected fingerprint, yet only ~2/w of positions survive — the
+    * arbitrary-offset dedup signal at ~2n/w exchange cost. One narrow
+    * O(n*w) pass per row; the composed higher-order-function form
+    * re-evaluates the shingle array per window element (HOFs don't
+    * cache non-lambda subtrees), which is O(n^2) md5 work.
+    */
+  def winnowKeys(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[UTF8String](0))
+    require(m < 100000000, s"winnow_keys: $m words overflow the 8-digit key")
+    val npos = m - k + 1
+    val keys = new Array[Array[Byte]](npos)
+    var buf = shingleBuf.get()
+    val md = md5.get()
+    val hexd = "0123456789abcdef".getBytes
+    var i = 0
+    while (i < npos) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        val wd = words.getUTF8String(i + j)
+        val wb = wd.numBytes()
+        if (len + wb + 1 > buf.length) {
+          buf = java.util.Arrays.copyOf(buf,
+            Integer.highestOneBit(len + wb + 1) << 1)
+          shingleBuf.set(buf)
+        }
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        wd.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += wb
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      val key = new Array[Byte](40)
+      var b = 0
+      while (b < 16) {
+        key(b * 2) = hexd((d(b) >> 4) & 0xf)
+        key(b * 2 + 1) = hexd(d(b) & 0xf)
+        b += 1
+      }
+      var p = i; var dig = 39
+      while (dig >= 32) { key(dig) = ('0' + p % 10).toByte; p /= 10; dig -= 1 }
+      keys(i) = key
+      i += 1
+    }
+    val tmax = math.max(npos - w, 0)
+    val seen = new Array[Boolean](npos)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var t = 0
+    while (t <= tmax) {
+      val end = math.min(t + w, npos)
+      var arg = t
+      var q = t + 1
+      while (q < end) {
+        if (java.util.Arrays.compare(keys(q), keys(arg)) < 0) arg = q
+        q += 1
+      }
+      if (!seen(arg)) {
+        seen(arg) = true
+        out += UTF8String.fromBytes(keys(arg))
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Argmax-cosine over a prebuilt [[CosIndex]]: the centroid id with
     * the highest [[cosineF]] similarity to v (same round-to-6
     * semantics and left-to-right accumulation order, so the winner is
@@ -1486,6 +1562,36 @@ case class PqEncodeCb(emb: Expression, cb: Expression, present: Expression)
       t: Expression): PqEncodeCb = copy(emb = f, cb = s, present = t)
 }
 
+/** winnow_keys(array<string>, k, w) -> array<string> of distinct
+  * selected `md5hex || lpad(pos, 8, '0')` keys. See
+  * [[Kernels.winnowKeys]].
+  */
+case class WinnowKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_keys: need k,w >= 1, got ($k, $w)")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"winnow_keys needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(words: Any): Any =
+    Kernels.winnowKeys(words.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.winnowKeys($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowKeys =
+    copy(child = c)
+}
+
 /** ivfpq_encode(array<float>, array<bigint>, array<bigint>) ->
   * array<int> of [coarse cell, M residual PQ codes]. See
   * [[Kernels.ivfpqEncode]]; centroids and codebook children are
@@ -1542,6 +1648,8 @@ object GraftFunctions {
     toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
   def ivfpq_encode(emb: Column, cents: Column, cb: Column): Column =
     toCol(IvfPqEncode(toExpr(emb), toExpr(cents), toExpr(cb)))
+  def winnow_keys(words: Column, k: Int, w: Int): Column =
+    toCol(WinnowKeys(toExpr(words), k, w))
   def kll_quantile(c: Column, num: Long, den: Long): Column =
     toCol(KllQuantileOf(toExpr(c), num, den))
   def argmax_cos(v: Column, cents: Array[Float], ids: Array[Long]): Column =

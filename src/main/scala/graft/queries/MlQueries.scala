@@ -671,6 +671,96 @@ object MlQueries extends Suite {
              |  COUNT(*) AS n,
              |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
              |  CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_ppm
-             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // M10: closed-form MULTIVARIATE ridge regression via the normal
+    // equations — the reference's regression-in-SQL stance
+    // (`queries/q15/gpu_bdb_query_15_dask_sql.py:41-64` solves simple
+    // 1-feature OLS from aggregate sums) generalized to 3 columns of
+    // the design matrix [1, quantity, ship-month] with an L2 penalty
+    // on the slope diagonals. The 100 TB shape: X'X and X'y collapse
+    // to NINE integer sums in ONE aggregate (map-side partials — the
+    // only corpus pass), the 3x3 Cramer solve runs driver-side on the
+    // collected scalars in exact BigInt (k-bounded: one row), and the
+    // oracle replays the identical determinant algebra in HUGEINT.
+    // Coefficients emitted in milli-units via truncating division
+    // (BigInt / and DuckDB // both truncate toward zero — verified).
+    // Magnitude bound: |A| entries <= n*2500 (~1.5e10 at sf1-gen),
+    // b entries <= n*50*1e7, so dets < ~5e33 and det_i*1000 < ~5e36
+    // stay inside HUGEINT's 1.7e38.
+    Q("m10_ridge_normal", (s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("x1"),
+        month(col("l_shipdate")).cast("long").as("x2"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      val r = li.agg(
+        count(lit(1)).as("n"), sum("x1").as("sx1"), sum("x2").as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum("y").as("sy"), sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y")).collect()(0)
+      val lam = BigInt(1000)
+      val a00 = BigInt(r.getLong(0)); val a01 = BigInt(r.getLong(1))
+      val a02 = BigInt(r.getLong(2))
+      val a11 = BigInt(r.getLong(3)) + lam; val a12 = BigInt(r.getLong(4))
+      val a22 = BigInt(r.getLong(5)) + lam
+      val b0 = BigInt(r.getLong(6)); val b1 = BigInt(r.getLong(7))
+      val b2 = BigInt(r.getLong(8))
+      val det = a00 * (a11 * a22 - a12 * a12) -
+        a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02)
+      val det0 = b0 * (a11 * a22 - a12 * a12) -
+        a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)
+      val det1 = a00 * (b1 * a22 - b2 * a12) -
+        b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)
+      val det2 = a00 * (a11 * b2 - a12 * b1) -
+        a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)
+      require(det != 0, "m10: singular ridge system (empty lineitem?)")
+      Seq(
+        (0L, (det0 * 1000 / det).toLong),
+        (1L, (det1 * 1000 / det).toLong),
+        (2L, (det2 * 1000 / det).toLong))
+        .toDF("coef", "beta_mil").orderBy("coef")
+    },
+      Some("""WITH f AS (
+             |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+             |    CAST(month(l_shipdate) AS BIGINT) AS x2,
+             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2,
+             |    SUM(x1*x1) AS sx11, SUM(x1*x2) AS sx12,
+             |    SUM(x2*x2) AS sx22, SUM(y) AS sy,
+             |    SUM(x1*y) AS sx1y, SUM(x2*y) AS sx2y
+             |  FROM f),
+             |a AS (
+             |  SELECT CAST(n AS HUGEINT) AS a00, CAST(sx1 AS HUGEINT) AS a01,
+             |    CAST(sx2 AS HUGEINT) AS a02,
+             |    CAST(sx11 + 1000 AS HUGEINT) AS a11,
+             |    CAST(sx12 AS HUGEINT) AS a12,
+             |    CAST(sx22 + 1000 AS HUGEINT) AS a22,
+             |    CAST(sy AS HUGEINT) AS b0, CAST(sx1y AS HUGEINT) AS b1,
+             |    CAST(sx2y AS HUGEINT) AS b2
+             |  FROM m),
+             |dets AS (
+             |  SELECT
+             |    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+             |      + a02*(a01*a12 - a11*a02) AS det,
+             |    b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2)
+             |      + a02*(b1*a12 - a11*b2) AS det0,
+             |    a00*(b1*a22 - b2*a12) - b0*(a01*a22 - a12*a02)
+             |      + a02*(a01*b2 - b1*a02) AS det1,
+             |    a00*(a11*b2 - a12*b1) - a01*(a01*b2 - b1*a02)
+             |      + b0*(a01*a12 - a11*a02) AS det2
+             |  FROM a)
+             |SELECT coef, beta_mil FROM (
+             |  SELECT CAST(0 AS BIGINT) AS coef,
+             |    CAST((det0 * 1000) // det AS BIGINT) AS beta_mil FROM dets
+             |  UNION ALL SELECT CAST(1 AS BIGINT),
+             |    CAST((det1 * 1000) // det AS BIGINT) FROM dets
+             |  UNION ALL SELECT CAST(2 AS BIGINT),
+             |    CAST((det2 * 1000) // det AS BIGINT) FROM dets)
+             |ORDER BY coef""".stripMargin))
   )
 }

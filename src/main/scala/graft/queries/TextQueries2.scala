@@ -884,6 +884,154 @@ object TextQueries2 extends Suite {
       Some("""SELECT p_partkey,
              |  array_to_string(list_transform(string_split(p_name, ' '),
              |    x -> upper(x[1]) || x[2:]), ' ') AS org_span
-             |FROM part ORDER BY p_partkey, org_span""".stripMargin))
+             |FROM part ORDER BY p_partkey, org_span""".stripMargin)),
+
+    // D34: winnowing fingerprint dedup (Schleimer, Wilkerson, Aiken,
+    // "Winnowing: Local Algorithms for Document Fingerprinting",
+    // SIGMOD 2003 — the MOSS algorithm). d28/t23 detect duplication
+    // CHUNK-ALIGNED (fixed 10-token passages); winnowing detects it
+    // at ARBITRARY word offset: hash every k=5-word shingle, then in
+    // each window of w=8 consecutive positions keep only the minimum
+    // (fp, pos) key — any shared run of >= k+w-1 words between two
+    // docs is guaranteed to share a selected fingerprint, yet only
+    // ~2/w of positions survive. The scale shape: shingle hashing AND
+    // window-min selection run in ONE narrow kernel pass per doc
+    // (winnow_keys — the composed higher-order-function form re-evals
+    // the shingle array per window element, O(n^2) md5 work), so the
+    // only corpus exchange is the ~2n/w selected fingerprints; the
+    // full position stream never shuffles. The oracle replays
+    // selection with window functions over the exploded stream — an
+    // independent formulation reconciled by the hash gate.
+    Q("d34_winnow_dedup", (s, d) => {
+      import graft.expressions.GraftFunctions.winnow_keys
+      val K = 5; val W = 8
+      val sel = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) >= K)
+        .select(col("doc_id"),
+          explode(winnow_keys(col("__w"), K, W)).as("selkey"))
+        .select(col("doc_id"), substring(col("selkey"), 1, 32).as("fp"))
+        .localCheckpoint() // feeds the dup aggregate AND the doc rollup
+      val dup = sel.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+        .withColumn("isdup", lit(1))
+      sel.join(broadcast(dup), Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sel"),
+          sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_sel"), col("n_dup"),
+          expr("n_dup * 1000000 div n_sel").as("dup_ppm"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos0,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+             |      AS pos, word
+             |  FROM w0 WHERE len(word) > 0),
+             |sh AS (
+             |  SELECT doc_id, pos,
+             |    md5(string_agg(word, ' ') OVER (PARTITION BY doc_id
+             |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+             |      AS fp,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS nw
+             |  FROM w),
+             |kkt AS (
+             |  SELECT doc_id, pos,
+             |    fp || lpad(CAST(pos AS VARCHAR), 8, '0') AS kk
+             |  FROM sh WHERE pos <= nw - 5),
+             |mins AS (
+             |  SELECT doc_id, pos,
+             |    min(kk) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk,
+             |    GREATEST(MAX(pos) OVER (PARTITION BY doc_id) - 7, 0)
+             |      AS tmax
+             |  FROM kkt),
+             |sel AS (
+             |  SELECT DISTINCT doc_id, mk FROM mins WHERE pos <= tmax),
+             |sf AS (SELECT doc_id, substr(mk, 1, 32) AS fp FROM sel),
+             |dupf AS (
+             |  SELECT fp FROM sf GROUP BY fp
+             |  HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT sf.doc_id, COUNT(*) AS n_sel,
+             |  CAST(SUM(CASE WHEN dupf.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup,
+             |  CAST((SUM(CASE WHEN dupf.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+             |FROM sf LEFT JOIN dupf ON sf.fp = dupf.fp
+             |GROUP BY sf.doc_id ORDER BY sf.doc_id""".stripMargin)),
+
+    // T29: corpus vocabulary-growth and token-mass diagnostics — the
+    // Heaps-law curve (distinct vocabulary vs corpus prefix) and
+    // token counts per corpus decile, the statistics that decide
+    // whether a training corpus is lexically degenerate (the round-9
+    // lesson: a fixed 31-word vocabulary made every shingle-df family
+    // look quadratic — this query is the detector). Deciles cut by
+    // doc_id VALUE against the max id (a scalar splice — no global
+    // row-number sort at 100 TB); vocabulary first-appearance is one
+    // (word -> min doc_id) aggregate; the cumulative rollup is a
+    // 10-row window.
+    Q("t29_zipf_heaps", (s, d) => {
+      val dw = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+      val mx = dw.agg(max("doc_id").as("mx"))
+      val dstat = dw.select(col("doc_id"), size(col("__w")).as("ntok"))
+        .crossJoin(broadcast(mx))
+        .select(least(expr("doc_id * 10 div (mx + 1)"), lit(9L))
+          .as("decile"), col("ntok"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("docs_n"),
+          sum(col("ntok").cast("long")).as("tokens_n"))
+      val vocab = dw.select(col("doc_id"), explode(col("__w")).as("word"))
+        .groupBy("word").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(least(expr("fd * 10 div (mx + 1)"), lit(9L)).as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("vocab_n"))
+      val wC = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dstat.join(vocab, Seq("decile"), "left_outer")
+        .select(col("decile"), col("docs_n"), col("tokens_n"),
+          coalesce(col("vocab_n"), lit(0L)).as("vocab_n"))
+        .select(col("decile"),
+          sum("docs_n").over(wC).as("docs_cum"),
+          sum("tokens_n").over(wC).as("tokens_cum"),
+          sum("vocab_n").over(wC).as("vocab_cum"))
+        .orderBy("decile")
+    },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |wn AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |    FROM documents) WHERE len(w) > 0),
+             |dn AS (
+             |  SELECT LEAST((doc_id * 10) // (SELECT mx + 1 FROM mx), 9)
+             |    AS decile, COUNT(*) AS docs_n
+             |  FROM documents GROUP BY 1),
+             |tk AS (
+             |  SELECT LEAST((doc_id * 10) // (SELECT mx + 1 FROM mx), 9)
+             |    AS decile, COUNT(*) AS tokens_n
+             |  FROM wn GROUP BY 1),
+             |vb AS (
+             |  SELECT LEAST((fd * 10) // (SELECT mx + 1 FROM mx), 9)
+             |    AS decile, COUNT(*) AS vocab_n
+             |  FROM (SELECT word, MIN(doc_id) AS fd FROM wn GROUP BY word)
+             |  GROUP BY 1)
+             |SELECT dn.decile,
+             |  CAST(SUM(dn.docs_n) OVER (ORDER BY dn.decile) AS BIGINT)
+             |    AS docs_cum,
+             |  CAST(SUM(COALESCE(tk.tokens_n, 0)) OVER (ORDER BY dn.decile)
+             |    AS BIGINT) AS tokens_cum,
+             |  CAST(SUM(COALESCE(vb.vocab_n, 0)) OVER (ORDER BY dn.decile)
+             |    AS BIGINT) AS vocab_cum
+             |FROM dn LEFT JOIN tk ON tk.decile = dn.decile
+             |     LEFT JOIN vb ON vb.decile = dn.decile
+             |ORDER BY dn.decile""".stripMargin))
   )
 }

@@ -332,4 +332,52 @@ class DedupSpec extends SparkSpec {
     val (e0, e2) = (totalErr(c0), totalErr(c2))
     assert(e2 < e0, s"training did not reduce error: $e0 -> $e2")
   }
+
+  test("winnow_keys matches a brute-force reference and guarantees " +
+      "a shared fingerprint on any >= k+w-1 word overlap") {
+    import spark.implicits._
+    import graft.expressions.GraftFunctions.winnow_keys
+    val K = 5; val W = 8
+    // brute-force reference: md5-hex keys, per-window argmin, distinct
+    def ref(words: Seq[String]): Seq[String] = {
+      if (words.length < K) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val keys = (0 to words.length - K).map { i =>
+        val h = md.digest(words.slice(i, i + K).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        h + f"$i%08d"
+      }
+      val tmax = math.max(keys.length - W, 0)
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      (0 to tmax).foreach { t =>
+        out += keys.slice(t, t + W).min
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val docsSeq = (0 until 30).map { i =>
+      i.toLong -> (0 until (3 + rnd.nextInt(40)))
+        .map(_ => vocab(rnd.nextInt(vocab.length)))
+    }
+    val got = docsSeq.map { case (id, ws) => (id, ws) }
+      .toDF("doc_id", "words")
+      .select(col("doc_id"), winnow_keys(col("words"), K, W).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    docsSeq.foreach { case (id, ws) =>
+      assert(got(id) === ref(ws).toSet, s"doc $id winnow mismatch")
+    }
+    // guarantee: two docs sharing a run of K+W-1 words at DIFFERENT
+    // offsets share at least one selected 32-char fingerprint
+    val run = (0 until (K + W - 1)).map(i => s"shared$i")
+    val a = (0 until 20).map(_ => vocab(rnd.nextInt(50))) ++ run ++
+      (0 until 7).map(_ => vocab(rnd.nextInt(50)))
+    val b = (0 until 3).map(_ => vocab(rnd.nextInt(50))) ++ run ++
+      (0 until 31).map(_ => vocab(rnd.nextInt(50)))
+    val fa = ref(a).map(_.take(32)).toSet
+    val fb = ref(b).map(_.take(32)).toSet
+    assert(fa.intersect(fb).nonEmpty,
+      "winnow guarantee violated: no shared fingerprint on a " +
+        s"${K + W - 1}-word shared run")
+  }
 }
