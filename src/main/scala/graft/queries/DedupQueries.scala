@@ -1480,6 +1480,33 @@ object DedupQueries extends Suite {
               |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               |         ORDER BY adc, n_id) AS rnk FROM adc)
               |SELECT q_id, n_id, rnk, adc FROM rk WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // D35: duplicate-aware soft weights — instead of DROPPING exact
+    // duplicates (d01), keep every copy but weight it 1/n_copies, the
+    // "soft dedup" sampling stance for LLM training mixtures (each
+    // CONTENT contributes one unit of probability mass regardless of
+    // how many times it was crawled). One content-hash aggregate +
+    // one co-partitioned join back (both shuffle on the same md5 key
+    // — no second exchange of the corpus side), then a per-source
+    // rollup: n_docs vs the effective (dup-discounted) ppm mass shows
+    // each source's inflation factor. Integer-exact ppm weights.
+    Q("d35_dedup_weights", (s, d) => {
+      val h = docs(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val cnt = h.groupBy("h").agg(count(lit(1)).as("nc"))
+      h.join(cnt, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("1000000 div nc")).as("eff_ppm"))
+        .orderBy("source")
+    },
+      Some("""WITH h AS (
+             |  SELECT doc_id, source, md5(text) AS h FROM documents),
+             |c AS (SELECT h, COUNT(*) AS nc FROM h GROUP BY h)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(1000000 // nc) AS BIGINT) AS eff_ppm
+             |FROM h JOIN c USING (h)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

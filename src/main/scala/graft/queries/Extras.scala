@@ -1016,6 +1016,86 @@ object Extras extends Suite {
               |  WHERE arn = 1)
               |SELECT cid, COUNT(*) AS n_vectors,
               |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
-              |FROM asg GROUP BY cid ORDER BY cid""".stripMargin))
+              |FROM asg GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // X26: streaming winnowed-fingerprint ingest — d34's arbitrary-
+    // offset dedup signal (Schleimer et al., SIGMOD 2003) as an
+    // ingest-time stream stage. Fingerprint EXTRACTION is stateless
+    // and narrow (one winnow_keys kernel call per arriving doc — no
+    // state store, no shuffle inside the stream, the x25 discipline),
+    // which is the production shape: extract at ingest into the
+    // fingerprint store, match offline in batch. The post-drain match
+    // is d34's exact machinery, so the result — and the oracle — are
+    // identical to d34's: the stream path is proven result-equivalent
+    // to the batch path on the same corpus.
+    Q("x26_stream_winnow", (s, d) => {
+      import graft.expressions.GraftFunctions.winnow_keys
+      val K = 5; val W = 8
+      val stream = Tables.loadStream(s, d, "documents")
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) >= K)
+        .select(col("doc_id"),
+          explode(winnow_keys(col("__w"), K, W)).as("selkey"))
+        .select(col("doc_id"), substring(col("selkey"), 1, 32).as("fp"))
+      // localCheckpoint: pins the drained sink for its two consumers
+      // AND gives the self-join fresh attribute ids (a MemoryPlan
+      // view reused on both sides of a join fails resolution)
+      val sel = graft.streaming.StreamConf
+        .runToTable(s, stream, "graft_stream_winnow", "append")
+        .localCheckpoint()
+      val dup = sel.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+        .withColumn("isdup", lit(1))
+      sel.join(broadcast(dup), Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sel"),
+          sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_sel"), col("n_dup"),
+          expr("n_dup * 1000000 div n_sel").as("dup_ppm"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos0,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+             |      AS pos, word
+             |  FROM w0 WHERE len(word) > 0),
+             |sh AS (
+             |  SELECT doc_id, pos,
+             |    md5(string_agg(word, ' ') OVER (PARTITION BY doc_id
+             |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+             |      AS fp,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS nw
+             |  FROM w),
+             |kkt AS (
+             |  SELECT doc_id, pos,
+             |    fp || lpad(CAST(pos AS VARCHAR), 8, '0') AS kk
+             |  FROM sh WHERE pos <= nw - 5),
+             |mins AS (
+             |  SELECT doc_id, pos,
+             |    min(kk) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk,
+             |    GREATEST(MAX(pos) OVER (PARTITION BY doc_id) - 7, 0)
+             |      AS tmax
+             |  FROM kkt),
+             |sel AS (
+             |  SELECT DISTINCT doc_id, mk FROM mins WHERE pos <= tmax),
+             |sf AS (SELECT doc_id, substr(mk, 1, 32) AS fp FROM sel),
+             |dupf AS (
+             |  SELECT fp FROM sf GROUP BY fp
+             |  HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT sf.doc_id, COUNT(*) AS n_sel,
+             |  CAST(SUM(CASE WHEN dupf.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup,
+             |  CAST((SUM(CASE WHEN dupf.fp IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+             |FROM sf LEFT JOIN dupf ON sf.fp = dupf.fp
+             |GROUP BY sf.doc_id ORDER BY sf.doc_id""".stripMargin))
   )
 }
