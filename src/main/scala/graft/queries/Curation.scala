@@ -779,6 +779,91 @@ object CurationQueries extends Suite {
                    "md5(array_to_string(list_sort(list_distinct(" +
                      "string_split(text,' '))),' '))", "|lsplit")}
               |    % 10000 < 9000 THEN 'train' ELSE 'test' END AS split
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // A24: the END-TO-END curation manifest — the whole preprocessing
+    // chain a training run actually consumes, composed in ONE plan:
+    // exact-dedup keepers (d01's fingerprint), a length band, eval-set
+    // DECONTAMINATION (a11's shared-3-gram test as a left-anti gate,
+    // the eval slice itself excluded from the corpus), then per-source
+    // temperature-mixture allocation (a21's integer sqrt weights over
+    // KEPT token mass) of a half-total token budget, with the final
+    // per-source sampling rate in ppm. Scale shape: keeper resolution
+    // is one fp-keyed aggregate; decontamination shuffles the shingle
+    // stream once against a broadcast eval-shingle set; everything
+    // after the doc-keyed joins is a 20-row source rollup — no
+    // all-pairs stage, no driver loop. This is the manifest d17
+    // (keep/drop flags) stops short of: what to TRAIN ON, per source,
+    // under a token budget.
+    Q("a24_full_curation", (s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") % 100 =!= 0)
+      val base = corpus.select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), w -> w != ''))")
+          .cast("long").as("dl"))
+      val keep = corpus
+        .select(Text.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val sh = Dedup.ngramShingles(docs(s, d), "doc_id", "text", 3)
+      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+        .select("sh").distinct()
+      val contam = sh.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalSh), "sh").select("doc_id").distinct()
+      val kept = base
+        .join(keep.select(col("keep_id").as("doc_id")), "doc_id")
+        .join(contam, Seq("doc_id"), "left_anti")
+        .filter(col("dl").between(20, 2000))
+      val perSrc = kept.groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("dl").as("tokens_kept"))
+        .withColumn("w",
+          floor(sqrt(col("tokens_kept").cast("double"))).cast("long"))
+      val tot = perSrc.agg(sum("tokens_kept").as("tt"), sum("w").as("sw"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs_kept"), col("tokens_kept"),
+          expr("((tt div 2) * w) div sw").as("alloc_tokens"),
+          least(expr("(((tt div 2) * w) div sw) * 1000000 div tokens_kept"),
+            lit(1000000L)).as("rate_ppm"))
+        .orderBy("source")
+    },
+      Some("""WITH c AS (
+             |  SELECT doc_id, source, text,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> len(w) > 0)) AS dl
+             |  FROM documents WHERE doc_id % 100 <> 0),
+             |k AS (
+             |  SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             |    AS fp, MIN(doc_id) AS keep_id
+             |  FROM c GROUP BY 1),
+             |w AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |g3 AS (
+             |  SELECT DISTINCT a.doc_id,
+             |    a.word || ' ' || b.word || ' ' || cc.word AS sh
+             |  FROM w a
+             |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN w cc ON a.doc_id = cc.doc_id AND cc.pos = a.pos + 2),
+             |ev AS (SELECT DISTINCT sh FROM g3 WHERE doc_id % 100 = 0),
+             |contam AS (
+             |  SELECT DISTINCT g3.doc_id FROM g3 JOIN ev USING (sh)
+             |  WHERE g3.doc_id % 100 <> 0),
+             |kept AS (
+             |  SELECT c.doc_id, c.source, c.dl
+             |  FROM c JOIN k ON c.doc_id = k.keep_id
+             |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+             |    AND c.dl BETWEEN 20 AND 2000),
+             |ps AS (
+             |  SELECT source, COUNT(*) AS docs_kept,
+             |    CAST(SUM(dl) AS BIGINT) AS tokens_kept,
+             |    CAST(floor(sqrt(CAST(SUM(dl) AS DOUBLE))) AS BIGINT) AS w
+             |  FROM kept GROUP BY source),
+             |t AS (SELECT CAST(SUM(tokens_kept) AS BIGINT) AS tt,
+             |             CAST(SUM(w) AS BIGINT) AS sw FROM ps)
+             |SELECT source, docs_kept, tokens_kept,
+             |  ((tt // 2) * w) // sw AS alloc_tokens,
+             |  LEAST((((tt // 2) * w) // sw) * 1000000 // tokens_kept,
+             |    1000000) AS rate_ppm
+             |FROM ps, t ORDER BY source""".stripMargin))
   )
 }

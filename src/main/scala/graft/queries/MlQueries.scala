@@ -761,6 +761,95 @@ object MlQueries extends Suite {
              |    CAST((det1 * 1000) // det AS BIGINT) FROM dets
              |  UNION ALL SELECT CAST(2 AS BIGINT),
              |    CAST((det2 * 1000) // det AS BIGINT) FROM dets)
-             |ORDER BY coef""".stripMargin))
+             |ORDER BY coef""".stripMargin)),
+
+    // M11: PCA — dominant principal direction of the lineitem
+    // numeric-feature second-moment matrix by POWER ITERATION, m10's
+    // closed-form stance applied to dimensionality reduction (the
+    // whitening / rotation step production vector pipelines run
+    // before quantized ANN indexing, e.g. OPQ's R — Ge et al.
+    // CVPR'13). The ONLY corpus pass at any scale is the Gram
+    // matrix: each row's 8x8 outer product flattens to one 64-long
+    // array (a HOF loop) and LongVecSumAgg sums them element-wise
+    // with constant-size map-side partials — no explode, no
+    // (i,j)-keyed shuffle of n*64 rows. The iteration itself is
+    // k-bounded driver math on the ONE collected row (m10's
+    // discipline): exact BigInt mat-vec products from v0 = ones,
+    // each round rescaled by the ADAPTIVE truncating division
+    // s = max(1, max|w| div 1e6) — keeps ~6 significant digits at
+    // any data scale (a fixed divisor truncates small-corpus rounds
+    // to single digits and loses the direction; BigInt `/` ==
+    // DuckDB `//` toward zero, verified on negatives), 3 rounds.
+    // The feature design (price dominates variance) gives the
+    // spectrum a ~250x top gap, so 3 rounds land within 1e-6 of the
+    // converged eigenvector (MlThresholdSpec asserts |cos| > 0.999
+    // against a float reference); the oracle replays the identical
+    // integer iteration in HUGEINT and the gate is hash-exact, sign
+    // convention included.
+    Q("m11_pca_power", (s, d) => {
+      import s.implicits._
+      val vsum = udaf(new graft.ops.LongVecSumAgg)
+      val op = Tables.load(s, d, "lineitem")
+        .select(expr(
+          """array(
+            |  CAST(floor(l_quantity) AS BIGINT),
+            |  CAST(floor(l_extendedprice) AS BIGINT) div 100,
+            |  CAST(floor(l_discount * 100) AS BIGINT),
+            |  CAST(floor(l_tax * 100) AS BIGINT),
+            |  CAST(month(l_shipdate) AS BIGINT),
+            |  CAST(day(l_shipdate) AS BIGINT),
+            |  CAST(year(l_shipdate) - 1992 AS BIGINT),
+            |  l_partkey % 97)""".stripMargin).as("v"))
+        .select(expr(
+          "flatten(transform(v, x -> transform(v, y -> x * y)))").as("xx"))
+      val g = op.agg(vsum(col("xx")).as("gs"))
+        .collect()(0).getSeq[Long](0).toArray
+      val dim = math.sqrt(g.length.toDouble).round.toInt
+      require(dim * dim == g.length, s"m11: non-square gram (${g.length})")
+      var v = Array.fill(dim)(BigInt(1))
+      for (_ <- 1 to 3) {
+        val w = Array.tabulate(dim) { i =>
+          (0 until dim).map(j => BigInt(g(i * dim + j)) * v(j)).sum
+        }
+        val sc = w.map(_.abs).max / BigInt(1000000) max BigInt(1)
+        v = w.map(_ / sc)
+      }
+      v.zipWithIndex
+        .map { case (c, i) => (i.toLong + 1L, c.toLong) }.toSeq
+        .toDF("dim", "comp").orderBy("dim")
+    },
+      Some("""WITH ev AS MATERIALIZED (
+             |  SELECT list_value(
+             |    CAST(floor(l_quantity) AS BIGINT),
+             |    CAST(floor(l_extendedprice) AS BIGINT) // 100,
+             |    CAST(floor(l_discount * 100) AS BIGINT),
+             |    CAST(floor(l_tax * 100) AS BIGINT),
+             |    CAST(month(l_shipdate) AS BIGINT),
+             |    CAST(day(l_shipdate) AS BIGINT),
+             |    CAST(year(l_shipdate) - 1992 AS BIGINT),
+             |    l_partkey % 97) AS v
+             |  FROM lineitem),
+             |g AS MATERIALIZED (
+             |  SELECT i, j, SUM(CAST(v[i] AS HUGEINT) * v[j]) AS gv
+             |  FROM ev, range(1, 9) r1(i), range(1, 9) r2(j)
+             |  GROUP BY i, j),
+             |w1 AS MATERIALIZED (SELECT i, SUM(gv) AS w FROM g GROUP BY i),
+             |s1 AS MATERIALIZED (
+             |  SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w1),
+             |v1 AS MATERIALIZED (SELECT i, w // s AS val FROM w1, s1),
+             |w2 AS MATERIALIZED (
+             |  SELECT g.i, SUM(g.gv * v1.val) AS w
+             |  FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i),
+             |s2 AS MATERIALIZED (
+             |  SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w2),
+             |v2 AS MATERIALIZED (SELECT i, w // s AS val FROM w2, s2),
+             |w3 AS MATERIALIZED (
+             |  SELECT g.i, SUM(g.gv * v2.val) AS w
+             |  FROM g JOIN v2 ON g.j = v2.i GROUP BY g.i),
+             |s3 AS MATERIALIZED (
+             |  SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w3),
+             |v3 AS (SELECT i, w // s AS val FROM w3, s3)
+             |SELECT CAST(i AS BIGINT) AS dim, CAST(val AS BIGINT) AS comp
+             |FROM v3 ORDER BY dim""".stripMargin))
   )
 }

@@ -1032,6 +1032,157 @@ object TextQueries2 extends Suite {
              |    AS BIGINT) AS vocab_cum
              |FROM dn LEFT JOIN tk ON tk.decile = dn.decile
              |     LEFT JOIN vb ON vb.decile = dn.decile
-             |ORDER BY dn.decile""".stripMargin))
+             |ORDER BY dn.decile""".stripMargin)),
+
+    // T30: BM25 ranked retrieval — the standard retrieval scorer
+    // (Robertson/Sparck Jones; the RAG corpus-search primitive t18's
+    // plain tf-idf lacks: tf SATURATION via k1 and document-LENGTH
+    // normalization via b). t20's integer discipline extended to the
+    // full BM25 form: the float ln-idf is replaced by its (monotone)
+    // argument scaled to ppm, and the k1=1.2 / b=0.75 rationals are
+    // multiplied through by 10*tok_total so the saturation term
+    //   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+    // becomes the exact integer
+    //   22*tf*tok*1e6 div (10*tf*tok + 3*tok + 9*dl*N).
+    // Scale shape: per-doc tf for the k query terms and the doc
+    // length are read NARROW off one split() — no token explode, the
+    // corpus never shuffles; N / tok_total / per-term df collapse to
+    // ONE aggregate row broadcast back; the top-10 is
+    // TakeOrderedAndProject. Scoring n docs for a k-term query costs
+    // one narrow scan at any corpus size.
+    Q("t30_bm25_topk", (s, d) => {
+      val terms = Seq("merge", "window", "batch", "sort")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        expr(s"size(filter(split(text, ' '), w -> w = '$t'))")
+          .cast("long").as(s"tf$i")
+      }
+      val base = docs(s, d).select(
+        col("doc_id") +:
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long").as("dl") +: tfCols: _*)
+        .localCheckpoint() // narrow 6-col frame; feeds stats + scoring
+      val statCols = count(lit(1)).as("n_docs") +: sum("dl").as("tok") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val score = terms.indices.map { i =>
+        expr(s"""(((2 * (n_docs - df$i) + 1) * 1000000) div (2 * df$i + 1))
+                | * ((22 * tf$i * tok * 1000000)
+                |    div (10 * tf$i * tok + 3 * tok + 9 * dl * n_docs))"""
+          .stripMargin)
+      }.reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select("rk", "doc_id", "dl", "score")
+        .orderBy("rk")
+    },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> len(w) > 0)) AS dl,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> w = 'merge')) AS tf0,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> w = 'window')) AS tf1,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> w = 'batch')) AS tf2,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> w = 'sort')) AS tf3
+             |  FROM documents),
+             |st AS (
+             |  SELECT COUNT(*) AS n_docs, SUM(dl) AS tok,
+             |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             |    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+             |  FROM b),
+             |sc AS (
+             |  SELECT doc_id, dl,
+             |    (((2 * (n_docs - df0) + 1) * 1000000) // (2 * df0 + 1))
+             |      * ((22 * tf0 * tok * 1000000)
+             |         // (10 * tf0 * tok + 3 * tok + 9 * dl * n_docs))
+             |    + (((2 * (n_docs - df1) + 1) * 1000000) // (2 * df1 + 1))
+             |      * ((22 * tf1 * tok * 1000000)
+             |         // (10 * tf1 * tok + 3 * tok + 9 * dl * n_docs))
+             |    + (((2 * (n_docs - df2) + 1) * 1000000) // (2 * df2 + 1))
+             |      * ((22 * tf2 * tok * 1000000)
+             |         // (10 * tf2 * tok + 3 * tok + 9 * dl * n_docs))
+             |    + (((2 * (n_docs - df3) + 1) * 1000000) // (2 * df3 + 1))
+             |      * ((22 * tf3 * tok * 1000000)
+             |         // (10 * tf3 * tok + 3 * tok + 9 * dl * n_docs))
+             |      AS score
+             |  FROM b, st),
+             |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+             |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+             |  doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+             |FROM top ORDER BY rk""".stripMargin)),
+
+    // D36: duplicated-SPAN REMOVAL — the corpus-cleaning ACTION that
+    // d28 only measures (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better", arXiv:2107.06499 removes the
+    // duplicated span, keeping one canonical copy, instead of
+    // dropping whole documents). Same one-exchange passage machinery
+    // as t23/d28, now carrying the chunk TEXT: each 10-token passage
+    // keeps exactly its first occurrence corpus-wide (min (doc_id,
+    // wid) per fingerprint — deterministic keeper, within-doc repeats
+    // removed too), and every doc is reconstructed from its kept
+    // passages in order. Scale shape: fp-keyed aggregate + fp-keyed
+    // join back (co-partitioned — one exchange pair) + doc-keyed
+    // rebuild; no all-pairs stage, no driver materialization. The
+    // rebuilt text is gated as md5 so the compare stays scalar.
+    Q("d36_span_removal", (s, d) => {
+      val passages = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          x => length(x) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(__w) - 1) div 10),
+            |  i -> concat_ws(' ', slice(__w, i * 10 + 1, 10)))"""
+            .stripMargin)))
+        .toDF("doc_id", "wid", "chunk")
+        .withColumn("fp", md5(col("chunk")))
+        .localCheckpoint() // feeds the owner aggregate AND the join back
+      val owner = passages.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("wid"))).as("own"))
+      passages.join(owner, "fp") // fp-keyed, co-partitioned with owner
+        .withColumn("keep",
+          col("own.doc_id") === col("doc_id") && col("own.wid") === col("wid"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("wid"), col("chunk"))))),
+            x => x.getField("chunk")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH w0 AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             |    word
+             |  FROM w0 WHERE len(word) > 0),
+             |p AS (
+             |  SELECT doc_id, (pos - 1) // 10 AS wid,
+             |    string_agg(word, ' ' ORDER BY pos) AS chunk
+             |  FROM w GROUP BY doc_id, (pos - 1) // 10),
+             |f AS (
+             |  SELECT doc_id, wid, chunk,
+             |    row_number() OVER (PARTITION BY md5(chunk)
+             |      ORDER BY doc_id, wid) AS rn
+             |  FROM p)
+             |SELECT doc_id, COUNT(*) AS n_passages,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+             |    ' ' ORDER BY wid), '')) AS clean_md5
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

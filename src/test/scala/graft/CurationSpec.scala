@@ -226,4 +226,22 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(ws(2)) < 1e-12, "df == N (in every doc) → ln(1) == 0")
     assert(math.abs(ws(0) - 10.0 * math.log(101.0 / 2.0)) < 1e-12)
   }
+
+  test("a24 manifest: allocations fit the half-total budget (and fill " +
+    "most of it), rates capped at 1e6 ppm") {
+    val rows = SparkEntry.queries("a24_full_curation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = rows.map(_.getAs[Long]("tokens_kept"))
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    assert(toks.forall(_ > 0))
+    val budget = toks.sum / 2
+    assert(alloc.sum <= budget, "over-allocated the token budget")
+    assert(alloc.sum > (budget * 8) / 10,
+      "integer floors should not eat more than ~20% of the budget")
+    rows.foreach { r =>
+      val rp = r.getAs[Long]("rate_ppm")
+      assert(rp >= 0 && rp <= 1000000L, s"rate out of range: $rp")
+      assert(r.getAs[Long]("docs_kept") > 0)
+    }
+  }
 }

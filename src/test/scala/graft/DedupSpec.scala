@@ -380,4 +380,42 @@ class DedupSpec extends SparkSpec {
       "winnow guarantee violated: no shared fingerprint on a " +
         s"${K + W - 1}-word shared run")
   }
+
+  test("d36 span removal: every distinct passage survives exactly once " +
+    "corpus-wide; dup-free docs reconstruct verbatim") {
+    val out = SparkEntry.queries("d36_span_removal")(spark, sf).collect()
+    // each doc keeps a subset of its passages
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_passages"))
+    }
+    // the kept total equals the number of DISTINCT passage
+    // fingerprints — one canonical copy per distinct span, no more,
+    // no fewer (the keep-first-occurrence contract)
+    val chunks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        """filter(split(text, ' '), x -> length(x) > 0)""").as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, (size(__w) - 1) div 10),
+          |  i -> concat_ws(' ', slice(__w, i * 10 + 1, 10)))"""
+          .stripMargin)).as("chunk"))
+    val nDistinct = chunks.select("chunk").distinct().count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum === nDistinct)
+    // a doc whose passages are all unique reconstructs to exactly its
+    // (whitespace-normalized) original text
+    val allKept = out.filter(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_passages"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_md5"))
+      .toMap
+    assert(allKept.nonEmpty, "corpus should contain dup-free docs")
+    val expected = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(expr(
+        "array_join(filter(split(text, ' '), x -> length(x) > 0), ' ')"))
+        .as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("m"))
+      .toMap
+    allKept.foreach { case (id, m) =>
+      assert(m === expected(id), s"doc $id did not reconstruct verbatim")
+    }
+  }
 }

@@ -113,4 +113,48 @@ class MlThresholdSpec extends SparkSpec {
     val exact = joined.count(_.getAs[Double]("diff") == 0.0)
     assert(exact >= joined.length / 2, s"only $exact of ${joined.length} agree")
   }
+
+  test("m11: 3 integer power rounds align with the converged float " +
+    "dominant eigenvector (|cos| > 0.999)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("m11_pca_power")(spark, sf)
+      .orderBy("dim").collect()
+    val v = out.map(_.getAs[Long]("comp").toDouble)
+    val dim = v.length
+    assert(dim === 8)
+    // float reference on the SAME integer features, iterated far past
+    // the query's 3 rounds
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select(expr("""array(
+        CAST(floor(l_quantity) AS BIGINT),
+        CAST(floor(l_extendedprice) AS BIGINT) div 100,
+        CAST(floor(l_discount * 100) AS BIGINT),
+        CAST(floor(l_tax * 100) AS BIGINT),
+        CAST(month(l_shipdate) AS BIGINT),
+        CAST(day(l_shipdate) AS BIGINT),
+        CAST(year(l_shipdate) - 1992 AS BIGINT),
+        l_partkey % 97)""").as("v"))
+      .collect()
+    val g = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += a(i).toDouble * a(j).toDouble; j += 1 }
+        i += 1
+      }
+    }
+    var u = Array.fill(dim)(1.0)
+    for (_ <- 1 to 100) {
+      val nu = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * u(j)).sum)
+      val n = math.sqrt(nu.map(x => x * x).sum)
+      u = nu.map(_ / n)
+    }
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    assert(vn > 0, "integer iteration collapsed to zero")
+    val cos = math.abs((0 until dim).map(i => (v(i) / vn) * u(i)).sum)
+    assert(cos > 0.999, s"direction cos=$cos")
+  }
 }

@@ -75,4 +75,59 @@ class TextOpsSpec extends SparkSpec {
       assert(out(w) === want, s"word $w")
     }
   }
+
+  test("t30 BM25: integer saturation is monotone (up in tf, down in dl, " +
+    "diminishing returns); single-term ranking agrees with float BM25") {
+    def sat(tf: Long, dl: Long, tok: Long, n: Long): Long =
+      if (tf == 0) 0L
+      else (22L * tf * tok * 1000000L) /
+        (10L * tf * tok + 3L * tok + 9L * dl * n)
+    assert(sat(2, 50, 10000, 100) > sat(1, 50, 10000, 100), "monotone in tf")
+    assert(sat(1, 30, 10000, 100) > sat(1, 80, 10000, 100),
+      "longer docs score lower at equal tf")
+    val g1 = sat(2, 50, 10000, 100) - sat(1, 50, 10000, 100)
+    val g2 = sat(3, 50, 10000, 100) - sat(2, 50, 10000, 100)
+    assert(g1 > g2, "tf saturation must have diminishing returns")
+
+    // single-term ranking: the integer scorer's strict order never
+    // inverts float BM25 (k1=1.2, b=0.75, ln idf) — the idf surrogate
+    // is constant per term, so doc order rides on the saturation term
+    val docs = Tables.load(spark, sf, "documents").select(
+      expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("long").as("dl"),
+      expr("size(filter(split(text, ' '), w -> w = 'merge'))")
+        .cast("long").as("tf")).collect()
+      .map(r => (r.getAs[Long]("tf"), r.getAs[Long]("dl")))
+    val n = docs.length.toLong
+    val tok = docs.map(_._2).sum
+    val df = docs.count(_._1 > 0).toLong
+    assert(df > 0, "test term must occur in the corpus")
+    val avgdl = tok.toDouble / n
+    def intScore(tf: Long, dl: Long): Long =
+      (((2 * (n - df) + 1) * 1000000L) / (2 * df + 1)) * sat(tf, dl, tok, n)
+    def floatScore(tf: Long, dl: Long): Double =
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val scored = docs.map { case (tf, dl) =>
+      (intScore(tf, dl), floatScore(tf, dl))
+    }
+    for {
+      (a, ai) <- scored.zipWithIndex
+      (b, bi) <- scored.zipWithIndex if ai < bi
+    } {
+      if (a._1 > b._1)
+        assert(a._2 >= b._2 - 1e-12, s"inversion: $a vs $b")
+      if (b._1 > a._1)
+        assert(b._2 >= a._2 - 1e-12, s"inversion: $b vs $a")
+    }
+
+    // and the query itself: 10 rows, ranked by non-increasing score
+    val top = SparkEntry.queries("t30_bm25_topk")(spark, sf)
+      .orderBy("rk").collect()
+    assert(top.length === 10)
+    val scores = top.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(scores.head > 0, "top document must match at least one term")
+  }
 }
