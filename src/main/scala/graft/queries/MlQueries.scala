@@ -769,10 +769,13 @@ object MlQueries extends Suite {
     // whitening / rotation step production vector pipelines run
     // before quantized ANN indexing, e.g. OPQ's R — Ge et al.
     // CVPR'13). The ONLY corpus pass at any scale is the Gram
-    // matrix: each row's 8x8 outer product flattens to one 64-long
-    // array (a HOF loop) and LongVecSumAgg sums them element-wise
-    // with constant-size map-side partials — no explode, no
-    // (i,j)-keyed shuffle of n*64 rows. The iteration itself is
+    // matrix: 36 plain sum() columns (upper triangle of the 8x8,
+    // mirrored driver-side) in ONE whole-stage-codegen aggregate
+    // with constant-size map-side partials — no per-row array
+    // allocation, no HOF lambda, no UDAF serialization (the
+    // outer-product-array + LongVecSumAgg form of the same pass
+    // measured 4.6 s vs 0.5 s at sf0.1), no explode, no (i,j)-keyed
+    // shuffle of n*64 rows. The iteration itself is
     // k-bounded driver math on the ONE collected row (m10's
     // discipline): exact BigInt mat-vec products from v0 = ones,
     // each round rescaled by the ADAPTIVE truncating division
@@ -788,24 +791,28 @@ object MlQueries extends Suite {
     // convention included.
     Q("m11_pca_power", (s, d) => {
       import s.implicits._
-      val vsum = udaf(new graft.ops.LongVecSumAgg)
-      val op = Tables.load(s, d, "lineitem")
-        .select(expr(
-          """array(
-            |  CAST(floor(l_quantity) AS BIGINT),
-            |  CAST(floor(l_extendedprice) AS BIGINT) div 100,
-            |  CAST(floor(l_discount * 100) AS BIGINT),
-            |  CAST(floor(l_tax * 100) AS BIGINT),
-            |  CAST(month(l_shipdate) AS BIGINT),
-            |  CAST(day(l_shipdate) AS BIGINT),
-            |  CAST(year(l_shipdate) - 1992 AS BIGINT),
-            |  l_partkey % 97)""".stripMargin).as("v"))
-        .select(expr(
-          "flatten(transform(v, x -> transform(v, y -> x * y)))").as("xx"))
-      val g = op.agg(vsum(col("xx")).as("gs"))
-        .collect()(0).getSeq[Long](0).toArray
-      val dim = math.sqrt(g.length.toDouble).round.toInt
-      require(dim * dim == g.length, s"m11: non-square gram (${g.length})")
+      val dim = 8
+      val feats = Seq(
+        "CAST(floor(l_quantity) AS BIGINT)",
+        "CAST(floor(l_extendedprice) AS BIGINT) div 100",
+        "CAST(floor(l_discount * 100) AS BIGINT)",
+        "CAST(floor(l_tax * 100) AS BIGINT)",
+        "CAST(month(l_shipdate) AS BIGINT)",
+        "CAST(day(l_shipdate) AS BIGINT)",
+        "CAST(year(l_shipdate) - 1992 AS BIGINT)",
+        "l_partkey % 97")
+      val base = Tables.load(s, d, "lineitem").select(
+        feats.zipWithIndex.map { case (f, i) => expr(f).as(s"f$i") }: _*)
+      val upper = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+      val sums = upper.map { case (i, j) =>
+        sum(col(s"f$i") * col(s"f$j")).as(s"g${i}_$j")
+      }
+      val row = base.agg(sums.head, sums.tail: _*).collect()(0)
+      val g = Array.ofDim[Long](dim * dim)
+      upper.zipWithIndex.foreach { case ((i, j), k) =>
+        g(i * dim + j) = row.getLong(k)
+        g(j * dim + i) = row.getLong(k)
+      }
       var v = Array.fill(dim)(BigInt(1))
       for (_ <- 1 to 3) {
         val w = Array.tabulate(dim) { i =>
