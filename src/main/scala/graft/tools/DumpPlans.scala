@@ -84,7 +84,15 @@ object DumpPlans {
     "g03_cc_star" ->
       "star-contraction CC: each alternation is a node-keyed min aggregate + node-keyed join over the checkpointed edge set — O(log n) rounds total where min-label propagation needs graph-diameter rounds",
     "b23_cov_months" ->
-      "ONE shuffle: the pruned scan pre-partitions on suppkey, and the daily aggregate, monthly aggregate AND consecutive-month lead() window all run partition-local (suppkey subset-satisfies every downstream distribution; (suppkey,date) is ~unique so map-side partials had nothing to combine anyway)")
+      "ONE shuffle: the pruned scan pre-partitions on suppkey, and the daily aggregate, monthly aggregate AND consecutive-month lead() window all run partition-local (suppkey subset-satisfies every downstream distribution; (suppkey,date) is ~unique so map-side partials had nothing to combine anyway)",
+    "t30_bm25_topk" ->
+      "BM25 without a token stream: per-doc tf and length are NARROW projections off one split() (no Generate anywhere), the 1-row corpus-stats frame broadcasts back, and the top-10 is TakeOrderedAndProject — scoring n docs for a k-term query is one corpus scan at any size",
+    "m11_pca_power" ->
+      "the Gram matrix is 36 plain sum() columns in ONE whole-stage-codegen aggregate (constant-size map-side partials) — the only corpus pass; the 3-round power iteration is k-bounded driver BigInt on the single collected row",
+    "d36_span_removal" ->
+      "the checkpointed passage table is the ONLY input to both the keeper aggregate and the fp-keyed join back (no Generate in the final plan — chunking ran exactly once); owner and occurrence shuffle on the SAME fp key, and the rebuild is one doc-keyed aggregate",
+    "a24_full_curation" ->
+      "the full curation manifest in one plan: keeper resolution is an fp-keyed aggregate + doc-keyed join, the eval n-gram dictionary BROADCASTS for the decontamination anti-gate (the corpus shingle stream never shuffles for membership), and everything downstream is a source-keyed rollup over 20 rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

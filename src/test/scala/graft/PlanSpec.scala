@@ -284,4 +284,33 @@ class PlanSpec extends SparkSpec {
     val expected = o.filter(col("yr") === 1996).count()
     assert(filtered.count() === expected)
   }
+
+  test("t30: BM25 is narrow scan + broadcast stats + TakeOrdered — " +
+    "no token explode, no corpus shuffle before the top-k") {
+    val p = plan("t30_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n${p.take(3000)}")
+    assert(!p.contains("Generate"),
+      s"per-doc tf/dl must be read narrow off split(), not exploded:\n${
+        p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row stats frame must broadcast:\n${p.take(3000)}")
+  }
+
+  test("d36: passage pipeline runs once (checkpoint); the keeper join " +
+    "stays fp-keyed") {
+    val p = plan("d36_span_removal")
+    assert(!p.contains("Generate"),
+      s"passage Generate re-executes in the final plan:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("a24: eval n-gram set broadcasts for decontamination; no " +
+    "cartesian anywhere in the composite") {
+    val p = plan("a24_full_curation")
+    assert(p.contains("BroadcastExchange"),
+      s"eval shingle set must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
