@@ -1096,6 +1096,61 @@ object Extras extends Suite {
              |  CAST((SUM(CASE WHEN dupf.fp IS NOT NULL THEN 1 ELSE 0 END)
              |    * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
              |FROM sf LEFT JOIN dupf ON sf.fp = dupf.fp
-             |GROUP BY sf.doc_id ORDER BY sf.doc_id""".stripMargin))
+             |GROUP BY sf.doc_id ORDER BY sf.doc_id""".stripMargin)),
+
+    // X27: streaming ingest CURATION GATE — a24's front door run
+    // statelessly at ingest: arriving docs pass a length band and a
+    // content-fingerprint DECONTAMINATION check against the broadcast
+    // eval-set blocklist (exact-dup membership, so eval docs
+    // themselves self-drop on arrival), then roll up into the
+    // per-source manifest. No state store, no watermark, no in-stream
+    // shuffle before the final aggregate: every gate is a narrow
+    // projection or a broadcast anti-join, which is exactly what lets
+    // this front the firehose at any rate — the expensive near-dup /
+    // allocation machinery (d04/a24) runs downstream on the survivors
+    // (x25/x26's extract-at-ingest, resolve-offline discipline). The
+    // checksum is sum(portable_hash % 1e9) over surviving docs, so
+    // the gate pins the exact surviving SET, not just its size.
+    Q("x27_stream_ingest_gate", (s, d) => {
+      val spark = s
+      val evalFps = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .select(graft.ops.Text.fingerprint(col("text")).as("bfp"))
+        .distinct()
+      val stream = Tables.loadStream(s, d, "documents")
+        .withColumn("dl",
+          expr("size(filter(split(text, ' '), w -> w != ''))").cast("long"))
+        .filter(col("dl").between(20, 2000))
+        .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+        .join(broadcast(evalFps), col("fp") === col("bfp"), "left_anti")
+      val agg = stream.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"),
+          sum(pmod(graft.ops.Text.portableHash(col("fp")),
+            lit(1000000000L))).as("fp_checksum"))
+      graft.streaming.StreamConf.runToTable(s, agg,
+        "graft_stream_gate", "complete")
+      spark.table("graft_stream_gate").orderBy("source")
+    },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT md5(trim(regexp_replace(lower(text),
+             |    ' +', ' ', 'g'))) AS bfp
+             |  FROM documents WHERE doc_id % 100 = 0),
+             |g AS (
+             |  SELECT source,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> len(w) > 0)) AS dl,
+             |    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |kept AS (
+             |  SELECT source, dl,
+             |    CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT)
+             |      % 1000000000 AS h
+             |  FROM g
+             |  WHERE dl BETWEEN 20 AND 2000
+             |    AND fp NOT IN (SELECT bfp FROM ev))
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(dl) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(h) AS BIGINT) AS fp_checksum
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -201,6 +201,55 @@ object GraphQueries extends Suite {
               |SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS root
               |FROM documents d LEFT JOIN roots r ON d.doc_id = r.node
               |ORDER BY d.doc_id""".stripMargin)
+    }),
+
+    // g04: k-core of the part co-purchase graph (support >= 2) —
+    // Seidman's dense-backbone extraction, the graph-side curation
+    // gate (spam rings / boilerplate farms are high-core; singleton
+    // chaff peels away). Edges are the one-shuffle o13 pair form
+    // with a support filter; each peel round is ops/KCore's two
+    // chained window counts (simultaneous-peel semantics, one LINEAR
+    // job across all 6 rounds — no keep-node table, no per-round
+    // checkpoint). 6 rounds reach the k=2 fixpoint at every gated
+    // scale (GraphSpec asserts a 7th round changes nothing); the
+    // oracle replays the identical rounds in materialized CTEs.
+    Q("g04_kcore", (s, d) => {
+      val pairs = Tables.load(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
+        .select(graft.expressions.ArrayPairs.array_pairs(col("_ps"))
+          .as(Seq("src", "dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2).select("src", "dst")
+      val e0 = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.KCore.coreNodes(e0, k = 2, rounds = 6)
+        .orderBy("node")
+    }, {
+      val rounds = (1 to 6).map { r =>
+        s"""e$r AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst,
+           |      COUNT(*) OVER (PARTITION BY src) AS ds,
+           |      COUNT(*) OVER (PARTITION BY dst) AS dd
+           |    FROM e${r - 1})
+           |  WHERE ds >= 2 AND dd >= 2)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH p0 AS (
+              |  SELECT DISTINCT a.l_orderkey AS ok,
+              |    a.l_partkey AS src, b.l_partkey AS dst
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey
+              |   AND a.l_partkey < b.l_partkey),
+              |ps AS (
+              |  SELECT src, dst FROM p0
+              |  GROUP BY src, dst HAVING COUNT(*) >= 2),
+              |e0 AS MATERIALIZED (
+              |  SELECT src, dst FROM ps
+              |  UNION ALL SELECT dst, src FROM ps),
+              |$rounds
+              |SELECT src AS node, COUNT(*) AS deg
+              |FROM e6 GROUP BY src ORDER BY node""".stripMargin)
     })
   )
 }

@@ -92,7 +92,9 @@ object DumpPlans {
     "d36_span_removal" ->
       "the checkpointed passage table is the ONLY input to both the keeper aggregate and the fp-keyed join back (no Generate in the final plan — chunking ran exactly once); owner and occurrence shuffle on the SAME fp key, and the rebuild is one doc-keyed aggregate",
     "a24_full_curation" ->
-      "the full curation manifest in one plan: keeper resolution is an fp-keyed aggregate + doc-keyed join, the eval n-gram dictionary BROADCASTS for the decontamination anti-gate (the corpus shingle stream never shuffles for membership), and everything downstream is a source-keyed rollup over 20 rows")
+      "the full curation manifest in one plan: keeper resolution is an fp-keyed aggregate + doc-keyed join, the eval n-gram dictionary BROADCASTS for the decontamination anti-gate (the corpus shingle stream never shuffles for membership), and everything downstream is a source-keyed rollup over 20 rows",
+    "g04_kcore" ->
+      "all 6 simultaneous peel rounds plan as ONE linear job: each round is two chained node-keyed Window counts over the symmetrized edge table (no keep-node table, no join, no per-round checkpoint); edge volume is non-increasing per round and the committed round count is the proven fixpoint (GraphOpsSpec)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
