@@ -864,6 +864,113 @@ object CurationQueries extends Suite {
              |  ((tt // 2) * w) // sw AS alloc_tokens,
              |  LEAST((((tt // 2) * w) // sw) * 1000000 // tokens_kept,
              |    1000000) AS rate_ppm
-             |FROM ps, t ORDER BY source""".stripMargin))
+             |FROM ps, t ORDER BY source""".stripMargin)),
+
+    // A25: LEARNED quality filter — the CCNet / GPT-3 shape (train a
+    // cheap linear model to imitate a labeling rule, then gate the
+    // corpus with the model) with m10's exact-integer discipline so
+    // even the TRAINING is oracle-replayable: ridge normal equations
+    // on [1, n_words, stop_ppm] against the a02 heuristic label, 3x3
+    // Cramer solve in driver BigInt (nano-scaled coefficients — the
+    // ppm-scale feature needs ~1e-6 coefficient resolution, so m10's
+    // milli scale would truncate beta_2 to zero), then one scoring
+    // pass and the probe-vs-heuristic confusion matrix. The
+    // disagreement cells are the POINT: a linear probe cannot express
+    // the label's length BAND (non-monotone in n_words), which is
+    // exactly the fidelity question a production probe audit asks.
+    // Scale shape: ONE aggregate (9 sums, map-side partials) trains;
+    // ONE narrow pass scores; the confusion is a 4-row rollup.
+    Q("a25_quality_probe", (s, d) => {
+      import s.implicits._
+      // integer label: stop_ratio < 0.2  <=>  5 * n_stop < n_words
+      val f = docs(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("x1"),
+        Text.markerCount(col("text"), "the").as("ns"))
+        .select(col("x1"), expr("ns * 1000000 div x1").as("x2"),
+          when(col("x1").between(30, 1000) &&
+            col("ns") * 5 < col("x1"), 1L).otherwise(0L).as("y"))
+        .localCheckpoint() // feeds the training aggregate AND scoring
+      val r = f.agg(
+        count(lit(1)).as("n"), sum("x1").as("sx1"), sum("x2").as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum("y").as("sy"), sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y")).collect()(0)
+      val lam = BigInt(1000)
+      val a00 = BigInt(r.getLong(0)); val a01 = BigInt(r.getLong(1))
+      val a02c = BigInt(r.getLong(2))
+      val a11 = BigInt(r.getLong(3)) + lam; val a12 = BigInt(r.getLong(4))
+      val a22 = BigInt(r.getLong(5)) + lam
+      val b0 = BigInt(r.getLong(6)); val b1 = BigInt(r.getLong(7))
+      val b2 = BigInt(r.getLong(8))
+      val det = a00 * (a11 * a22 - a12 * a12) -
+        a01 * (a01 * a22 - a12 * a02c) + a02c * (a01 * a12 - a11 * a02c)
+      val det0 = b0 * (a11 * a22 - a12 * a12) -
+        a01 * (b1 * a22 - a12 * b2) + a02c * (b1 * a12 - a11 * b2)
+      val det1 = a00 * (b1 * a22 - b2 * a12) -
+        b0 * (a01 * a22 - a12 * a02c) + a02c * (a01 * b2 - b1 * a02c)
+      val det2 = a00 * (a11 * b2 - a12 * b1) -
+        a01 * (a01 * b2 - b1 * a02c) + b0 * (a01 * a12 - a11 * a02c)
+      require(det != 0, "a25: singular probe system")
+      val nano = BigInt(1000000000L)
+      val (c0, c1, c2) = ((det0 * nano / det).toLong,
+        (det1 * nano / det).toLong, (det2 * nano / det).toLong)
+      f.withColumn("score",
+          lit(c0) + lit(c1) * col("x1") + lit(c2) * col("x2"))
+        .withColumn("pred",
+          when(col("score") * 2 >= 1000000000L, 1L).otherwise(0L))
+        .groupBy(col("y").as("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+      Some("""WITH f AS (
+             |  SELECT
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+             |    (((len(' '||text||' ') -
+             |        len(replace(' '||text||' ', ' the ', ''))) // 5)
+             |      * 1000000) // len(string_split(text, ' ')) AS x2,
+             |    CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000
+             |      AND ((len(' '||text||' ') -
+             |           len(replace(' '||text||' ', ' the ', ''))) // 5) * 5
+             |          < len(string_split(text, ' '))
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |m AS (
+             |  SELECT COUNT(*) AS n, SUM(x1) AS sx1, SUM(x2) AS sx2,
+             |    SUM(x1*x1) AS sx11, SUM(x1*x2) AS sx12,
+             |    SUM(x2*x2) AS sx22, SUM(y) AS sy,
+             |    SUM(x1*y) AS sx1y, SUM(x2*y) AS sx2y
+             |  FROM f),
+             |a AS (
+             |  SELECT CAST(n AS HUGEINT) AS a00, CAST(sx1 AS HUGEINT) AS a01,
+             |    CAST(sx2 AS HUGEINT) AS a02,
+             |    CAST(sx11 + 1000 AS HUGEINT) AS a11,
+             |    CAST(sx12 AS HUGEINT) AS a12,
+             |    CAST(sx22 + 1000 AS HUGEINT) AS a22,
+             |    CAST(sy AS HUGEINT) AS b0, CAST(sx1y AS HUGEINT) AS b1,
+             |    CAST(sx2y AS HUGEINT) AS b2
+             |  FROM m),
+             |dets AS (
+             |  SELECT
+             |    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+             |      + a02*(a01*a12 - a11*a02) AS det,
+             |    b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2)
+             |      + a02*(b1*a12 - a11*b2) AS det0,
+             |    a00*(b1*a22 - b2*a12) - b0*(a01*a22 - a12*a02)
+             |      + a02*(a01*b2 - b1*a02) AS det1,
+             |    a00*(a11*b2 - a12*b1) - a01*(a01*b2 - b1*a02)
+             |      + b0*(a01*a12 - a11*a02) AS det2
+             |  FROM a),
+             |sc AS (
+             |  SELECT f.y,
+             |    CASE WHEN 2 * (CAST((det0 * 1000000000) // det AS BIGINT)
+             |        + CAST((det1 * 1000000000) // det AS BIGINT) * f.x1
+             |        + CAST((det2 * 1000000000) // det AS BIGINT) * f.x2)
+             |      >= 1000000000 THEN 1 ELSE 0 END AS pred
+             |  FROM f, dets)
+             |SELECT CAST(y AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+             |  COUNT(*) AS n
+             |FROM sc GROUP BY y, pred ORDER BY label, pred""".stripMargin))
   )
 }
