@@ -41,13 +41,42 @@ object KCore {
       .filter(col("__ds") >= k && col("__dd") >= k)
       .drop("__ds", "__dd")
 
-  /** R peel rounds; returns the surviving edge table. */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(edges)((e, _) => peelRound(e, k))
+  /** R peel rounds; returns the surviving edge table.
+    *
+    * `checkEvery = 0` (the gated g04 default) keeps all R rounds in
+    * ONE linear job with no materialization barrier — right when R is
+    * a committed fixpoint for the data (GraphOpsSpec's one-extra-round
+    * assertion). A runtime caller at NEW data has no such assertion;
+    * `checkEvery = N > 0` inserts a survivors-count probe every N
+    * rounds (localCheckpoint + count — peeling only removes edges, so
+    * an unchanged count IS the fixpoint) and stops early, trading one
+    * materialization per probe window for a convergence signal and a
+    * bound on wasted rounds. */
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+      checkEvery: Int = 0): DataFrame =
+    if (checkEvery <= 0) {
+      (1 to rounds).foldLeft(edges)((e, _) => peelRound(e, k))
+    } else {
+      var e = edges.localCheckpoint()
+      var last = e.count()
+      var done = last == 0L
+      var r = 0
+      while (r < rounds && !done) {
+        val step = math.min(checkEvery, rounds - r)
+        e = (1 to step).foldLeft(e)((acc, _) => peelRound(acc, k))
+          .localCheckpoint()
+        r += step
+        val n = e.count()
+        done = n == last || n == 0L
+        last = n
+      }
+      e
+    }
 
   /** Surviving nodes with their in-core degree after R rounds. */
-  def coreNodes(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    peel(edges, k, rounds)
+  def coreNodes(edges: DataFrame, k: Int, rounds: Int,
+      checkEvery: Int = 0): DataFrame =
+    peel(edges, k, rounds, checkEvery)
       .groupBy("src")
       .agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

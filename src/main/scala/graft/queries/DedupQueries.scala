@@ -790,29 +790,18 @@ object DedupQueries extends Suite {
     Q("d23_semdedup", (s, d) => {
       val Tau = 0.45
       val e = embs(s, d).select("vec_id", "embedding")
-      // assignment via the argmax_cos KERNEL against the collected
-      // k*dim centroid matrix (the m02/d31 lesson): one narrow pass
-      // per vector instead of materializing an n*k scored crossJoin
-      // stream through codegen + max_by partials (that form, itself
-      // the fix for the row_number window's n*k shuffle, still cost
-      // ~6 s of row plumbing at sf1; the kernel does the identical
-      // round-6 cosines with the query norm hoisted). Tie-break
-      // (highest ccos, then lowest cid) matches the oracle's
-      // ROW_NUMBER ORDER BY ccos DESC, cid. The collect is k = n/61
-      // rows — bounded like the m02/d31 codebook collects at bench
-      // scale; at corpus sizes where k outgrows a task, assignment
-      // goes through d32's PQ-ADC index instead (the documented
-      // SemDeDup scale path).
-      val cRows = e.filter(col("vec_id") % 61 === 0)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val dim = cRows.head._2.length
-      val cFlat = new Array[Float](cRows.length * dim)
-      cRows.zipWithIndex.foreach { case ((_, v), i) =>
-        System.arraycopy(v, 0, cFlat, i * dim, dim)
-      }
-      val cIds = cRows.map(_._1)
+      // Assignment goes through the EXPLICIT k-switch in
+      // ops/SemDedup.assignCos: at the gated scales (k = n/61 <=
+      // MaxLiteralK) it is the argmax_cos kernel against a k-bounded
+      // collected centroid matrix (one narrow pass, the m02/d31
+      // lesson — identical round-6 cosines and the oracle's
+      // ROW_NUMBER ORDER BY ccos DESC, cid tie-break); past the bound
+      // the every-61st rule is abandoned for FIXED-k distributed
+      // Lloyd centroids kept as a table with broadcast-join
+      // struct-max assignment — never driver-collected, never a
+      // codegen literal. See the SemDedup scaladoc for the regime
+      // rule; SemDedupSpec gates both sides.
+      val asg = graft.ops.SemDedup.assignCos(e)
       // One cid-keyed aggregation replaces the whole dup stage: the
       // cid self-join + cosine filter + distinct + left_outer count
       // materialized ~3.7M joined rows at sf1, each dragging two
@@ -820,13 +809,10 @@ object DedupQueries extends Suite {
       // collected once (sorted by vec_id, so "earlier doc" is the
       // array prefix) and the semdedup_dups kernel runs the same
       // round-6 cosine scan in-place with an early break per member.
-      // Hot-cluster skew lands one task per cluster — bounded here
-      // by the every-61st centroid rule; d32's PQ path is the answer
-      // when a cluster outgrows a task.
-      e.select(col("vec_id"),
-          graft.expressions.GraftFunctions.argmax_cos(col("embedding"),
-            cFlat, cIds).as("cid"),
-          col("embedding"))
+      // Hot-cluster skew lands one task per cluster — bounded on the
+      // literal path by the every-61st centroid rule and on the
+      // fixed-k path by AQE splitting the cid-keyed exchange.
+      asg
         .groupBy(col("cid").as("cluster"))
         .agg(count(lit(1)).as("n_docs"),
           sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -1258,29 +1244,22 @@ object DedupQueries extends Suite {
     // only the bucketing, where an assignment flip moves a vector
     // between clusters but never fabricates a false duplicate pair.
     Q("d32_semdedup_pq", (s, d) => {
-      import graft.expressions.GraftFunctions.{pq_assign_adc, pq_encode}
       val Tau = 0.45
-      val M = graft.ops.Pq.M
       val e = embs(s, d).select("vec_id", "embedding")
-      // k-bounded collect of the centroid CODES (k = n/61; M ints +
-      // one id each — the x25 centroid-splice discipline): the whole
-      // argmin then runs as ONE narrow kernel pass per corpus row
-      // (pq_assign_adc builds the vector's M*K LUT in-kernel and
-      // scans the code matrix), with NO join. The broadcast-join form
-      // of the same argmin copies the 1 KB LUT into every n*k joined
-      // row — measured 14.4 s of row-copy at sf1 vs ~0.5 s for the
-      // kernel. At a k too large to ship as a literal, fall back to
-      // d23's broadcast-join shape.
-      val centRows = e.filter(col("vec_id") % 61 === 0)
-        .select(col("vec_id").as("cid"),
-          pq_encode(col("embedding")).as("ccodes"))
-        .orderBy("cid").collect()
-      val centIds = centRows.map(_.getLong(0))
-      val codesFlat = centRows.flatMap(_.getSeq[Int](1))
-      val asg = e.select(col("vec_id"),
-        pq_assign_adc(col("embedding"), typedlit(codesFlat),
-          typedlit(centIds)).as("cid"),
-        col("embedding"))
+      // Assignment goes through the EXPLICIT k-switch in
+      // ops/SemDedup.assignAdc: at the gated scales it is the
+      // pq_assign_adc kernel over k-bounded collected centroid CODES
+      // (per-vector M*K LUT built in-kernel, code matrix scanned in
+      // place — the broadcast-join form of the same argmin copies the
+      // 1 KB LUT into every n*k joined row, measured 14.4 s of pure
+      // row copy at sf1 vs ~0.5 s for the kernel); past MaxLiteralK
+      // the every-61st rule is abandoned for FIXED-k Lloyd centroids
+      // whose CODES ride as a broadcast (cid, s, code) table joined
+      // against the corpus's exploded M*K LUT — the relational form
+      // of this oracle's `adc` CTE, never driver-collected. See the
+      // SemDedup scaladoc for the regime rule; SemDedupSpec gates
+      // both sides.
+      val asg = graft.ops.SemDedup.assignAdc(e)
       val dups = asg.as("a").join(asg.as("b"),
           col("a.cid") === col("b.cid") &&
             col("b.vec_id") < col("a.vec_id"))
@@ -1507,6 +1486,94 @@ object DedupQueries extends Suite {
              |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(1000000 // nc) AS BIGINT) AS eff_ppm
              |FROM h JOIN c USING (h)
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // A26: NEAR-dup-aware curation manifest — the seam a24 stops
+    // short of: its keeper stage is exact-dedup only, while a
+    // training run's sampler should see the near-dup structure the
+    // pipeline already computes. Here the keep/weight column comes
+    // from the near-dup GROUPS themselves: d12's edge stage
+    // (Dedup.dupEdges — bucketed/prefix-filtered, quadratic only
+    // within bounded buckets, never all-pairs) + star-contraction
+    // group resolution, then each doc carries the d35 soft weight
+    // 1/|group| so every near-duplicate CONTENT contributes one unit
+    // of token mass however many times it was crawled. The per-source
+    // rollup allocates a half-budget by temperature weights over the
+    // EFFECTIVE (dup-discounted) token mass — a24's allocation stage
+    // driven by near-dup-derived weights. Scale shape: one windowed
+    // group-size count on the group key (no group materialization,
+    // no second corpus exchange), everything downstream a
+    // sources-bounded rollup.
+    Q("a26_neardup_manifest", (s, d) => {
+      val base = docs(s, d)
+      val edges = Dedup.dupEdges(base, "doc_id", "text", 3, tPct = 10)
+      val roots = graft.ops.StarCC.components(edges, rounds = 4,
+        distinctInput = false, dedupEvery = 2)
+      val g = base.select(col("doc_id"), col("source"),
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long").as("dl"))
+        .join(roots, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"), col("source"), col("dl"),
+          coalesce(col("root"), col("doc_id")).as("group_id"))
+      val gw = g.withColumn("nc",
+        count(lit(1)).over(Window.partitionBy("group_id")))
+      val ps = gw.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("tokens_raw"),
+          sum(expr("(dl * 1000000) div nc")).as("eff_tokens_ppm"))
+        .withColumn("eff", expr("eff_tokens_ppm div 1000000"))
+        .withColumn("w",
+          floor(sqrt(col("eff").cast("double"))).cast("long"))
+      val tot = ps.agg(sum("eff").as("tt"), sum("w").as("sw"))
+      ps.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens_raw"),
+          col("eff_tokens_ppm"),
+          expr("((tt div 2) * w) div sw").as("alloc_tokens"),
+          least(expr("(((tt div 2) * w) div sw) * 1000000 div eff"),
+            lit(1000000L)).as("rate_ppm"))
+        .orderBy("source")
+    },
+      Some {
+        s"""WITH docs_c AS (SELECT * FROM documents),
+           |${ngram3ShinglesSql("docs_c")},
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+           |common AS (
+           |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+           |  FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |e0 AS MATERIALIZED (
+           |  SELECT id_1 AS u, id_2 AS v FROM common
+           |  JOIN sizes za ON za.doc_id = id_1
+           |  JOIN sizes zb ON zb.doc_id = id_2
+           |  WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= 0.1),
+           |${StarSql.rounds(4)},
+           |roots AS (
+           |  SELECT GREATEST(u, v) AS node, MIN(LEAST(u, v)) AS root
+           |  FROM e4 GROUP BY 1),
+           |g AS (
+           |  SELECT d2.doc_id, d2.source,
+           |    CAST(len(list_filter(string_split(d2.text, ' '),
+           |        w -> len(w) > 0)) AS BIGINT) AS dl,
+           |    COALESCE(r.root, d2.doc_id) AS group_id
+           |  FROM docs_c d2 LEFT JOIN roots r ON d2.doc_id = r.node),
+           |gw AS (
+           |  SELECT *, COUNT(*) OVER (PARTITION BY group_id) AS nc FROM g),
+           |ps AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(dl) AS BIGINT) AS tokens_raw,
+           |    CAST(SUM((dl * 1000000) // nc) AS BIGINT) AS eff_tokens_ppm,
+           |    CAST(SUM((dl * 1000000) // nc) AS BIGINT) // 1000000 AS eff,
+           |    CAST(floor(sqrt(CAST(
+           |      CAST(SUM((dl * 1000000) // nc) AS BIGINT) // 1000000
+           |      AS DOUBLE))) AS BIGINT) AS w
+           |  FROM gw GROUP BY source),
+           |t AS (SELECT CAST(SUM(eff) AS BIGINT) AS tt,
+           |             CAST(SUM(w) AS BIGINT) AS sw FROM ps)
+           |SELECT source, n_docs, tokens_raw, eff_tokens_ppm,
+           |  ((tt // 2) * w) // sw AS alloc_tokens,
+           |  LEAST((((tt // 2) * w) // sw) * 1000000 // eff,
+           |    1000000) AS rate_ppm
+           |FROM ps, t ORDER BY source""".stripMargin
+      })
   )
 }

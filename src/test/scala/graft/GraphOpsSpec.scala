@@ -58,4 +58,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(at6 === at7, "6 rounds must be a k=2 fixpoint at this scale")
     assert(at6.nonEmpty, "the sf0.001 co-purchase graph has a 2-core")
   }
+
+  test("checkEvery probe: early-stops at the fixpoint with the same " +
+    "result as the fixed-round form, and empties a chain") {
+    // triangle + tail: fixpoint after 2 rounds; a 50-round budget with
+    // checkEvery=1 must stop at the probe and match the fixed form
+    val e = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val fixed = KCore.peel(e, 2, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = KCore.peel(e, 2, 50, checkEvery = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed === fixed)
+    assert(probed === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 3L), (3L, 1L)))
+    // pure chain peels to EMPTY and the zero-count probe halts there
+    val chain = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(KCore.peel(chain, 2, 50, checkEvery = 2).count() === 0L)
+    // coreNodes passes the flag through
+    val core = KCore.coreNodes(e, k = 2, rounds = 50, checkEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

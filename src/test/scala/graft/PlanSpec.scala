@@ -149,6 +149,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cid"), p.take(3000))
   }
 
+  test("a26: near-dup manifest has no all-pairs stage") {
+    // the near-dup group machinery inside the manifest keeps its
+    // bucketed shape: every join is keyed (shingle bucket / node /
+    // group / doc), never a CartesianProduct; the only nested-loop
+    // join allowed is the 1-row totals broadcast splice.
+    val p = plan("a26_neardup_manifest")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("group_id"), p.take(3000))
+  }
+
   test("x12: binned range join shuffles, no nested-loop join") {
     val p = plan("x12_binned_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
