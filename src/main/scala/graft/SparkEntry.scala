@@ -7,7 +7,7 @@ import graft.queries._
   * Aggregates every suite's queries and oracles.
   */
 object SparkEntry {
-  private val suites: Seq[Suite] = Seq(Relational, Sessions, TextQueries, DedupQueries, MlQueries, BdbShapes, BdbShapes2, Extras, Relational2, TextQueries2, CurationQueries, GraphQueries)
+  private val suites: Seq[Suite] = Seq(Relational, Sessions, TextQueries, DedupQueries, MlQueries, BdbShapes, BdbShapes2, Extras, Relational2, TextQueries2, CurationQueries, GraphQueries, graft.bdb.BdbDirect)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -27,7 +27,8 @@ class EntrySpec extends SparkSpec {
     import graft.queries._
     val all = Seq(Relational, Sessions, TextQueries, DedupQueries,
       MlQueries, BdbShapes, BdbShapes2, Extras, Relational2, TextQueries2,
-      CurationQueries, GraphQueries).flatMap(_.qs.map(_.name))
+      CurationQueries, GraphQueries, graft.bdb.BdbDirect)
+      .flatMap(_.qs.map(_.name))
     assert(all.size === all.distinct.size,
       all.diff(all.distinct).mkString("duplicate names: ", ", ", ""))
     // and the suite list above is complete — a suite missing from it
