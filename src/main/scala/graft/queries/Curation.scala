@@ -781,6 +781,60 @@ object CurationQueries extends Suite {
               |    % 10000 < 9000 THEN 'train' ELSE 'test' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // A27: per-source DISTRIBUTION-DRIFT monitor — the corpus-ops
+    // check a continuously-ingesting pipeline runs so one source
+    // drifting (shorter docs, boilerplate floods, truncation bugs)
+    // is caught BEFORE it skews the training mixture. Each source's
+    // doc-length histogram (10 fixed 100-word bands, top band open) is
+    // compared to the whole corpus's as an integer chi-square-style
+    // statistic: drift_ppb = sum_b (obs_ppm - exp_ppm)^2 * 1000 /
+    // max(exp_ppm, 1), where exp is the corpus band share and obs the
+    // source's. Pure integer arithmetic (ppm shares, floor division)
+    // so the oracle replays it bit-exactly; the (source x band) table
+    // is bounded at any corpus size, and the only corpus pass is one
+    // narrow length scan into a keyed aggregate with map-side
+    // partials.
+    Q("a27_source_drift", (s, d) => {
+      val b = docs(s, d).select(col("source"),
+        least(expr("size(filter(split(text, ' '), w -> w != '')) div 100"),
+          lit(9L)).as("band"))
+        .groupBy("source", "band").agg(count(lit(1)).as("n_sb"))
+        .localCheckpoint() // feeds corpus bands + per-source rollup
+      val corp = b.groupBy("band").agg(sum("n_sb").as("n_b"))
+        .crossJoin(broadcast(
+          b.agg(sum("n_sb").as("n"))))
+        .select(col("band"), expr("(n_b * 1000000) div n").as("exp_ppm"))
+      val src = b.groupBy("source").agg(sum("n_sb").as("n_s"))
+      b.join(src, "source")
+        .withColumn("obs_ppm", expr("(n_sb * 1000000) div n_s"))
+        .join(broadcast(corp), "band")
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"),
+          sum(expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000)" +
+            " div greatest(exp_ppm, 1)")).as("drift_ppb"))
+        .select(col("source"), col("n_docs"), col("drift_ppb"))
+        .orderBy("source")
+    },
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    LEAST(len(list_filter(string_split(text, ' '),
+             |      w -> len(w) > 0)) // 100, 9) AS band,
+             |    COUNT(*) AS n_sb
+             |  FROM documents GROUP BY 1, 2),
+             |corp AS (
+             |  SELECT band,
+             |    (SUM(n_sb) * 1000000) // (SELECT SUM(n_sb) FROM b) AS exp_ppm
+             |  FROM b GROUP BY band),
+             |src AS (SELECT source, SUM(n_sb) AS n_s FROM b GROUP BY source)
+             |SELECT b.source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+             |  CAST(SUM(
+             |    (((n_sb * 1000000) // n_s - exp_ppm)
+             |     * ((n_sb * 1000000) // n_s - exp_ppm) * 1000)
+             |    // GREATEST(exp_ppm, 1)) AS BIGINT) AS drift_ppb
+             |FROM b JOIN src ON b.source = src.source
+             |JOIN corp ON b.band = corp.band
+             |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
     // A24: the END-TO-END curation manifest — the whole preprocessing
     // chain a training run actually consumes, composed in ONE plan:
     // exact-dedup keepers (d01's fingerprint), a length band, eval-set

@@ -1488,6 +1488,52 @@ object DedupQueries extends Suite {
              |FROM h JOIN c USING (h)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // D37: HARD-NEGATIVE mining for contrastive embedding training —
+    // for each anchor vector, the top-k most-similar corpus vectors
+    // with a DIFFERENT label (the "hard" negatives: high-similarity,
+    // wrong-class examples that dominate the contrastive gradient —
+    // the standard mining step for training retrieval/embedding
+    // models on curated corpora). Same scale shape as d09: the
+    // k-bounded anchor set broadcasts against ONE corpus scan (no
+    // corpus shuffle), the label inequality prunes before scoring,
+    // and per-anchor top-k is a bounded window. At 10^9 vectors the
+    // scan fraction drops through the same IVF/PQ ladder as d10/d33 —
+    // mining composes with any of the ANN indexes because it is just
+    // a filtered top-k.
+    Q("d37_hard_negatives", (s, d) => {
+      val e = embs(s, d)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("long").as("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("rnk"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding,
+              |    CAST(label AS BIGINT) AS q_label
+              |  FROM embeddings WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id AS neg_id,
+              |    CAST(e.label AS BIGINT) AS neg_label,
+              |    ${cosSql("q", "e")} AS cos
+              |  FROM q, embeddings e
+              |  WHERE CAST(e.label AS BIGINT) <> q.q_label),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos DESC, neg_id) AS rnk FROM scored)
+              |SELECT q_id, neg_id, neg_label, rnk, cos
+              |FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // A26: NEAR-dup-aware curation manifest — the seam a24 stops
     // short of: its keeper stage is exact-dedup only, while a
     // training run's sampler should see the near-dup structure the

@@ -857,6 +857,66 @@ object MlQueries extends Suite {
              |  SELECT GREATEST(1, MAX(ABS(w)) // 1000000) AS s FROM w3),
              |v3 AS (SELECT i, w // s AS val FROM w3, s3)
              |SELECT CAST(i AS BIGINT) AS dim, CAST(val AS BIGINT) AS comp
-             |FROM v3 ORDER BY dim""".stripMargin))
+             |FROM v3 ORDER BY dim""".stripMargin)),
+
+    // M12: kNN-label evaluation — the standard embedding-quality
+    // probe for a curated corpus (predict each held-out vector's
+    // label by majority vote of its 5 nearest neighbors by cosine;
+    // report the confusion matrix). A training-data pipeline runs
+    // this to decide whether an embedding space is good enough to
+    // drive semantic dedup (d23/d32) and ANN curation — kNN accuracy
+    // IS the recall proxy. Scale shape: the k-bounded probe set
+    // broadcasts against ONE corpus scan (d09's discipline), top-k is
+    // a bounded window, the vote is two label-bounded aggregates with
+    // the m04 min_by argmax (ties to the smaller label). Composes
+    // with the IVF/PQ indexes for the scan fraction at 10^9 vectors.
+    Q("m12_knn_label", (s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("true_label"))
+      val train = e.filter(col("vec_id") >= 50)
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+      train.crossJoin(broadcast(q))
+        .withColumn("cos",
+          graft.ops.Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("v"))
+        .groupBy("q_id", "true_label")
+        .agg(min_by(col("label"),
+          struct((-col("v")).as("nv"), col("label"))).as("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding,
+              |    CAST(label AS BIGINT) AS true_label
+              |  FROM embeddings WHERE vec_id < 50),
+              |tr AS (
+              |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+              |  FROM embeddings WHERE vec_id >= 50),
+              |scored AS (
+              |  SELECT q.q_id, q.true_label, tr.label, tr.vec_id,
+              |    ${DedupQueries.cosSql("q", "tr")} AS cos
+              |  FROM q, tr),
+              |nn AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+              |  WHERE rnk <= 5),
+              |votes AS (
+              |  SELECT q_id, true_label, label, COUNT(*) AS v
+              |  FROM nn GROUP BY 1, 2, 3),
+              |pred AS (
+              |  SELECT q_id, true_label, label AS pred_label FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY v DESC, label) AS rn FROM votes)
+              |  WHERE rn = 1)
+              |SELECT true_label, pred_label, COUNT(*) AS n
+              |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

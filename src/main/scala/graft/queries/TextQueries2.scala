@@ -1120,6 +1120,124 @@ object TextQueries2 extends Suite {
              |  doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
              |FROM top ORDER BY rk""".stripMargin)),
 
+    // T31: RECIPROCAL-RANK-FUSION hybrid retrieval — the standard RAG
+    // retrieval composition (Cormack et al., SIGIR'09): a lexical arm
+    // (t30's integer BM25 over a term query) and a dense arm (cosine
+    // against an anchor embedding, d09's broadcast-probe shape) each
+    // produce a top-20 ranking, fused as sum of 1e9/(60+rank) over the
+    // UNION of both lists (a doc present in one arm scores that arm
+    // alone) — integer floor division, so both engines replay the
+    // fusion bit-exactly. Scale shape: each arm is one corpus scan +
+    // bounded top-k (TakeOrderedAndProject); the fusion itself joins
+    // two 20-row frames — free at any corpus size. The dense arm
+    // composes with the IVF/PQ indexes exactly as d10/d33.
+    Q("t31_rrf_hybrid", (s, d) => {
+      // lexical arm: t30's exact-integer BM25 (k1=1.2, b=0.75 in
+      // tenths; same saturation + length-norm algebra)
+      val terms = Seq("merge", "window", "batch", "sort")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        expr(s"size(filter(split(text, ' '), w -> w = '$t'))")
+          .cast("long").as(s"tf$i")
+      }
+      val base = docs(s, d).select(
+        col("doc_id") +:
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long").as("dl") +: tfCols: _*)
+        .localCheckpoint() // feeds corpus stats + scoring
+      val statCols = count(lit(1)).as("n_docs") +: sum("dl").as("tok") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val score = terms.indices.map { i =>
+        expr(s"""(((2 * (n_docs - df$i) + 1) * 1000000) div (2 * df$i + 1))
+                | * ((22 * tf$i * tok * 1000000)
+                |    div (10 * tf$i * tok + 3 * tok + 9 * dl * n_docs))"""
+          .stripMargin)
+      }.reduce(_ + _)
+      val lex = base.crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .withColumn("lex_rk", row_number()
+          .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("lex_rk"))
+      // dense arm: cosine against anchor vec 0 (1-row broadcast)
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val den = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("cos",
+          graft.ops.Similarity.cosine(col("q_emb"), col("embedding")))
+        .orderBy(desc("cos"), col("vec_id")).limit(20)
+        .withColumn("den_rk", row_number()
+          .over(Window.orderBy(desc("cos"), col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("den_rk"))
+      lex.join(den, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000 div (60 + lex_rk)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + den_rk)"), lit(0L)))
+        .orderBy(desc("rrf"), col("id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(desc("rrf"), col("id"))).cast("long"))
+        .select("rk", "id", "lex_rk", "den_rk", "rrf")
+        .orderBy("rk")
+    },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> len(w) > 0)) AS dl,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> w = 'merge')) AS tf0,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> w = 'window')) AS tf1,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> w = 'batch')) AS tf2,
+              |    len(list_filter(string_split(text, ' '),
+              |        w -> w = 'sort')) AS tf3
+              |  FROM documents),
+              |st AS (
+              |  SELECT COUNT(*) AS n_docs, SUM(dl) AS tok,
+              |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+              |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              |    SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+              |  FROM b),
+              |sc AS (
+              |  SELECT doc_id,
+              |    (((2 * (n_docs - df0) + 1) * 1000000) // (2 * df0 + 1))
+              |      * ((22 * tf0 * tok * 1000000)
+              |         // (10 * tf0 * tok + 3 * tok + 9 * dl * n_docs))
+              |    + (((2 * (n_docs - df1) + 1) * 1000000) // (2 * df1 + 1))
+              |      * ((22 * tf1 * tok * 1000000)
+              |         // (10 * tf1 * tok + 3 * tok + 9 * dl * n_docs))
+              |    + (((2 * (n_docs - df2) + 1) * 1000000) // (2 * df2 + 1))
+              |      * ((22 * tf2 * tok * 1000000)
+              |         // (10 * tf2 * tok + 3 * tok + 9 * dl * n_docs))
+              |    + (((2 * (n_docs - df3) + 1) * 1000000) // (2 * df3 + 1))
+              |      * ((22 * tf3 * tok * 1000000)
+              |         // (10 * tf3 * tok + 3 * tok + 9 * dl * n_docs))
+              |      AS score
+              |  FROM b, st),
+              |lex AS (
+              |  SELECT doc_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+              |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)),
+              |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+              |den0 AS (
+              |  SELECT e.vec_id AS id, ${DedupQueries.cosSql("qv", "e")} AS cos
+              |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+              |den AS (
+              |  SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS den_rk
+              |  FROM (SELECT * FROM den0 ORDER BY cos DESC, id LIMIT 20)),
+              |f AS (
+              |  SELECT COALESCE(lex.id, den.id) AS id, lex_rk, den_rk,
+              |    COALESCE(1000000000 // (60 + lex_rk), 0)
+              |      + COALESCE(1000000000 // (60 + den_rk), 0) AS rrf
+              |  FROM lex FULL OUTER JOIN den ON lex.id = den.id)
+              |SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rk,
+              |  id, lex_rk, den_rk, rrf
+              |FROM (SELECT * FROM f ORDER BY rrf DESC, id LIMIT 10)
+              |ORDER BY rk""".stripMargin)),
+
     // D36: duplicated-SPAN REMOVAL — the corpus-cleaning ACTION that
     // d28 only measures (Lee et al., "Deduplicating Training Data
     // Makes Language Models Better", arXiv:2107.06499 removes the
