@@ -355,6 +355,62 @@ object CurationQueries extends Suite {
              |WHERE doc_id % 100 <> 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // D38: BLOOM-prefiltered decontamination — a11's exact shared-
+    // 3-gram test in the shape that survives an eval set too large to
+    // broadcast as a hash relation: the 64 KiB bloom bitset of the
+    // eval shingles broadcasts instead (a codegen'd filter AT the
+    // corpus shingle stream, d19's discipline), so only shingles that
+    // MIGHT be eval shingles reach the keyed verify join — at a ~1%
+    // false-positive rate the exchange carries ~1% of a clean
+    // corpus's shingles instead of all of them, and the exact join
+    // erases the bloom's false positives, making the result provably
+    // identical to the plain join. The oracle is therefore the plain
+    // exact-join rollup — algorithm-independent, like d19's. Output
+    // is the per-source decontamination report (docs, contaminated,
+    // clean ppm) a curation run logs.
+    Q("d38_bloom_decontaminate", (s, d) => {
+      val base = docs(s, d)
+      val sh = Dedup.ngramShingles(base, "doc_id", "text", 3)
+      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("sh").as("ev_sh")).distinct()
+      val trainSh = sh.filter(col("doc_id") % 100 =!= 0)
+      val contaminated = Bloom.prefilterJoin(trainSh, evalSh,
+          col("sh"), col("ev_sh"), bits = 1 << 19, k = 4)
+        .select("doc_id").distinct()
+        .withColumn("is_c", lit(1L))
+      base.filter(col("doc_id") % 100 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("is_c"), lit(0L)).as("n_contaminated"))
+        .withColumn("clean_ppm",
+          expr("((n_docs - n_contaminated) * 1000000) div n_docs"))
+        .orderBy("source")
+    },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split(text,' '),1) AS pos,
+             |    unnest(string_split(text,' ')) AS word
+             |  FROM documents),
+             |g3 AS (
+             |  SELECT DISTINCT a.doc_id,
+             |    a.word || ' ' || b.word || ' ' || c.word AS sh
+             |  FROM w a
+             |  JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |ev AS (SELECT DISTINCT sh FROM g3 WHERE doc_id % 100 = 0),
+             |contam AS (
+             |  SELECT DISTINCT g3.doc_id FROM g3 JOIN ev USING (sh)
+             |  WHERE g3.doc_id % 100 <> 0)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             |  ((COUNT(*) - SUM(CASE WHEN contam.doc_id IS NOT NULL
+             |    THEN 1 ELSE 0 END)) * 1000000) // COUNT(*) AS clean_ppm
+             |FROM documents dd LEFT JOIN contam ON dd.doc_id = contam.doc_id
+             |WHERE dd.doc_id % 100 <> 0
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Priority dedup keeper: within each exact-dup group keep the
     // BEST doc (longest, then lowest id) instead of d01's min-id —
     // the curation policy that preserves the richest copy. One
@@ -834,6 +890,76 @@ object CurationQueries extends Suite {
              |FROM b JOIN src ON b.source = src.source
              |JOIN corp ON b.band = corp.band
              |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
+    // A28: CAPPED temperature mixture — the water-filling step real
+    // mixture planning needs on top of a21/a24's raw temperature
+    // weights: a small high-weight source can be allocated more
+    // tokens than it HAS (upsampling beyond ~1 epoch degrades), so
+    // each source is capped at its own token mass and the excess is
+    // redistributed among uncapped sources proportionally to their
+    // weights — one redistribution round here (sources that cap in
+    // round 1 are fixed, round 2 reallocates the freed budget; at 20
+    // sources the fixpoint is reached in 1-2 rounds and every round
+    // is a source-bounded 20-row computation, free at any corpus
+    // size). All integer floor division; epochs_ppm = alloc/tokens
+    // shows the sampling pressure per source.
+    Q("a28_capped_mixture", (s, d) => {
+      val ps = docs(s, d).select(col("source"),
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long").as("dl"))
+        .groupBy("source").agg(sum("dl").as("tokens"))
+        .withColumn("w",
+          floor(sqrt(col("tokens").cast("double"))).cast("long"))
+        .localCheckpoint() // 20-row frame; feeds three total splices
+      val t0 = ps.agg(sum("tokens").as("tt"), sum("w").as("sw"))
+      val r1 = ps.crossJoin(broadcast(t0))
+        .withColumn("b", expr("tt div 2"))
+        .withColumn("raw1", expr("(b * w) div sw"))
+        .withColumn("capped", (col("raw1") >= col("tokens")).cast("long"))
+      val t1 = r1.agg(
+        sum(when(col("capped") === 1L, col("tokens"))).as("fixed"),
+        sum(when(col("capped") === 0L, col("w"))).as("sw2"))
+      r1.crossJoin(broadcast(t1))
+        .withColumn("alloc",
+          when(col("capped") === 1L, col("tokens"))
+            .otherwise(least(col("tokens"),
+              expr("((b - coalesce(fixed, 0)) * w) div sw2"))))
+        .select(col("source"), col("tokens"), col("w"), col("capped"),
+          col("alloc"),
+          expr("(alloc * 1000000) div tokens").as("epochs_ppm"))
+        .orderBy("source")
+    },
+      Some("""WITH ps AS (
+             |  SELECT source,
+             |    CAST(SUM(len(list_filter(string_split(text, ' '),
+             |      w -> len(w) > 0))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source),
+             |pw AS (
+             |  SELECT source, tokens,
+             |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+             |  FROM ps),
+             |t0 AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+             |              CAST(SUM(w) AS BIGINT) AS sw FROM pw),
+             |r1 AS (
+             |  SELECT pw.*, tt // 2 AS b, ((tt // 2) * w) // sw AS raw1,
+             |    CASE WHEN ((tt // 2) * w) // sw >= tokens
+             |      THEN 1 ELSE 0 END AS capped
+             |  FROM pw, t0),
+             |t1 AS (
+             |  SELECT CAST(SUM(CASE WHEN capped = 1 THEN tokens END)
+             |           AS BIGINT) AS fixed,
+             |         CAST(SUM(CASE WHEN capped = 0 THEN w END)
+             |           AS BIGINT) AS sw2
+             |  FROM r1)
+             |SELECT source, tokens, w, CAST(capped AS BIGINT) AS capped,
+             |  CASE WHEN capped = 1 THEN tokens
+             |    ELSE LEAST(tokens,
+             |      ((b - COALESCE(fixed, 0)) * w) // sw2) END AS alloc,
+             |  (CASE WHEN capped = 1 THEN tokens
+             |    ELSE LEAST(tokens,
+             |      ((b - COALESCE(fixed, 0)) * w) // sw2) END * 1000000)
+             |    // tokens AS epochs_ppm
+             |FROM r1, t1 ORDER BY source""".stripMargin)),
 
     // A24: the END-TO-END curation manifest — the whole preprocessing
     // chain a training run actually consumes, composed in ONE plan:

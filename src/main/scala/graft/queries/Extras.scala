@@ -1151,6 +1151,62 @@ object Extras extends Suite {
              |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(dl) AS BIGINT) AS n_tokens,
              |  CAST(SUM(h) AS BIGINT) AS fp_checksum
-             |FROM kept GROUP BY source ORDER BY source""".stripMargin))
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
+
+    // X28: streaming SOURCE-DRIFT gate — a27's corpus-ops monitor at
+    // the ingest firehose: each arriving doc maps narrowly to its
+    // length band, the stream maintains only the (source x band)-
+    // bounded count table (no per-doc state, no in-stream shuffle
+    // beyond the bounded aggregate), and the post-drain finishing
+    // rollup scores each source's histogram against the STATIC
+    // corpus reference shares with a27's exact-integer chi-square
+    // statistic. Result-equivalent to batch a27 (same oracle) — the
+    // x26/d34 extract-at-ingest, match-offline discipline: at a real
+    // firehose the reference shares come from yesterday's corpus and
+    // the gate flags a drifting source BEFORE it enters the mixture.
+    Q("x28_stream_drift", (s, d) => {
+      val spark = s
+      val stream = Tables.loadStream(s, d, "documents")
+        .withColumn("band",
+          least(expr("size(filter(split(text, ' '), w -> w != '')) div 100"),
+            lit(9L)))
+      val agg = stream.groupBy("source", "band")
+        .agg(count(lit(1)).as("n_sb"))
+      graft.streaming.StreamConf.runToTable(s, agg,
+        "graft_stream_drift", "complete")
+      val b = spark.table("graft_stream_drift")
+      val corp = b.groupBy("band").agg(sum("n_sb").as("n_b"))
+        .crossJoin(broadcast(b.agg(sum("n_sb").as("n"))))
+        .select(col("band"), expr("(n_b * 1000000) div n").as("exp_ppm"))
+      val src = b.groupBy("source").agg(sum("n_sb").as("n_s"))
+      b.join(src, "source")
+        .withColumn("obs_ppm", expr("(n_sb * 1000000) div n_s"))
+        .join(broadcast(corp), "band")
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"),
+          sum(expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000)" +
+            " div greatest(exp_ppm, 1)")).as("drift_ppb"))
+        .select(col("source"), col("n_docs"), col("drift_ppb"))
+        .orderBy("source")
+    },
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    LEAST(len(list_filter(string_split(text, ' '),
+             |      w -> len(w) > 0)) // 100, 9) AS band,
+             |    COUNT(*) AS n_sb
+             |  FROM documents GROUP BY 1, 2),
+             |corp AS (
+             |  SELECT band,
+             |    (SUM(n_sb) * 1000000) // (SELECT SUM(n_sb) FROM b) AS exp_ppm
+             |  FROM b GROUP BY band),
+             |src AS (SELECT source, SUM(n_sb) AS n_s FROM b GROUP BY source)
+             |SELECT b.source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+             |  CAST(SUM(
+             |    (((n_sb * 1000000) // n_s - exp_ppm)
+             |     * ((n_sb * 1000000) // n_s - exp_ppm) * 1000)
+             |    // GREATEST(exp_ppm, 1)) AS BIGINT) AS drift_ppb
+             |FROM b JOIN src ON b.source = src.source
+             |JOIN corp ON b.band = corp.band
+             |GROUP BY b.source ORDER BY b.source""".stripMargin))
   )
 }
