@@ -405,8 +405,8 @@ object CurationQueries extends Suite {
              |SELECT source, COUNT(*) AS n_docs,
              |  CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-             |  ((COUNT(*) - SUM(CASE WHEN contam.doc_id IS NOT NULL
-             |    THEN 1 ELSE 0 END)) * 1000000) // COUNT(*) AS clean_ppm
+             |  CAST(((COUNT(*) - SUM(CASE WHEN contam.doc_id IS NOT NULL
+             |    THEN 1 ELSE 0 END)) * 1000000) // COUNT(*) AS BIGINT) AS clean_ppm
              |FROM documents dd LEFT JOIN contam ON dd.doc_id = contam.doc_id
              |WHERE dd.doc_id % 100 <> 0
              |GROUP BY source ORDER BY source""".stripMargin)),

@@ -1174,7 +1174,11 @@ object Extras extends Suite {
         .agg(count(lit(1)).as("n_sb"))
       graft.streaming.StreamConf.runToTable(s, agg,
         "graft_stream_drift", "complete")
-      val b = spark.table("graft_stream_drift")
+      // Pin the drained MemorySink before multi-consumer use: Spark's
+      // DeduplicateRelations cannot re-instance a MemoryPlan, so the
+      // self-joins below hit INTERNAL_ERROR (conflicting attributes)
+      // without this — same pattern as x26 and batch a27.
+      val b = spark.table("graft_stream_drift").localCheckpoint()
       val corp = b.groupBy("band").agg(sum("n_sb").as("n_b"))
         .crossJoin(broadcast(b.agg(sum("n_sb").as("n"))))
         .select(col("band"), expr("(n_b * 1000000) div n").as("exp_ppm"))
