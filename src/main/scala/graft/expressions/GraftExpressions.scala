@@ -462,30 +462,60 @@ object Kernels {
       s"argmax_cos: vector dim $dim vs index dim ${idx.dim}")
     val cents = idx.flat
     val nc = idx.ids.length
+    // One primitive copy per row: the k-loop below reads the query
+    // vector nc times, and ArrayData.getFloat in that inner loop is
+    // nc*dim virtual calls with bounds checks (measured ~6x the whole
+    // kernel cost at engine sf1). Same values, same left-to-right
+    // accumulation — cosines stay bit-identical.
+    val vf = v.toFloatArray()
     var na = 0.0
     var j = 0
     while (j < dim) {
-      val x = v.getFloat(j).toDouble
+      val x = vf(j).toDouble
       na += x * x; j += 1
     }
     val sna = math.sqrt(na)
-    var best = Double.NegativeInfinity; var bestId = Long.MaxValue
-    var haveBest = false
+    // Two-pass argmax so round-to-6 (a BigDecimal over the EXACT
+    // binary expansion — ~400 ns/call, and nc calls/row made it the
+    // whole kernel's cost) runs only on near-winners. Pass 1 tracks
+    // the RAW max (NaN greatest, Spark's ordering); pass 2 rounds
+    // only candidates within 1.01e-6 of it — round6 is monotone and
+    // two values rounding equal differ by < 1e-6, so every possible
+    // round-6 co-winner is a candidate and the selected id is
+    // IDENTICAL to rounding all nc cosines.
+    val raw = new Array[Double](nc)
+    var rawMax = Double.NaN
+    var haveRaw = false
     var c = 0
     while (c < nc) {
       var dot = 0.0
       var i = 0
       val off = c * dim
       while (i < dim) {
-        dot += v.getFloat(i).toDouble * cents(off + i)
+        dot += vf(i).toDouble * cents(off + i)
         i += 1
       }
-      val cos = roundOrPass6(dot / (sna * idx.norms(c)))
-      val id = idx.ids(c)
-      // Double.compare: NaN > +Inf, matching Spark's struct ordering
-      val cmp = java.lang.Double.compare(cos, best)
-      if (!haveBest || cmp > 0 || (cmp == 0 && id < bestId)) {
-        best = cos; bestId = id; haveBest = true
+      val cos = dot / (sna * idx.norms(c))
+      raw(c) = cos
+      if (!haveRaw || java.lang.Double.compare(cos, rawMax) > 0) {
+        rawMax = cos; haveRaw = true
+      }
+      c += 1
+    }
+    val floor = rawMax - 1.01e-6 // NaN floor -> only compare==0 passes
+    var best = Double.NegativeInfinity; var bestId = Long.MaxValue
+    var haveBest = false
+    c = 0
+    while (c < nc) {
+      val rc = raw(c)
+      if (java.lang.Double.compare(rc, rawMax) == 0 || rc >= floor) {
+        val cos = roundOrPass6(rc)
+        val id = idx.ids(c)
+        // Double.compare: NaN > +Inf, matching Spark's struct ordering
+        val cmp = java.lang.Double.compare(cos, best)
+        if (!haveBest || cmp > 0 || (cmp == 0 && id < bestId)) {
+          best = cos; bestId = id; haveBest = true
+        }
       }
       c += 1
     }
@@ -511,6 +541,11 @@ object Kernels {
       val dim = flat.numElements() / m
       require(flat.numElements() == m * dim,
         s"semdedup_dups: ${flat.numElements()} values for $m members")
+      // One primitive copy per cluster: the i*j dup scan reads each
+      // member up to m times and ArrayData.getFloat there is virtual
+      // calls + bounds checks (the argmaxCos lesson). Same values,
+      // same accumulation order — cosines stay bit-identical.
+      val ff = flat.toFloatArray()
       // hoist norms
       val norms = new Array[Double](m)
       var i = 0
@@ -519,12 +554,21 @@ object Kernels {
         var j = 0
         val off = i * dim
         while (j < dim) {
-          val x = flat.getFloat(off + j).toDouble
+          val x = ff(off + j).toDouble
           s += x * x; j += 1
         }
         norms(i) = math.sqrt(s)
         i += 1
       }
+      // round6 (BigDecimal over the exact binary expansion) only in
+      // the 1e-6 band around tau: raw >= tau+1.01e-6 rounds >= tau
+      // for sure, raw < tau-1.01e-6 rounds < tau for sure (round6 is
+      // monotone with error < 0.5e-6+ulp), and NaN (zero-norm) falls
+      // through both raw tests to the exact compare, where it orders
+      // GREATER (Spark's NaN ordering). Decisions identical to
+      // rounding every pair.
+      val hi = tau + 1.01e-6
+      val lo = tau - 1.01e-6
       i = 1
       while (i < m) {
         var j = 0
@@ -534,12 +578,13 @@ object Kernels {
           var k = 0
           val oi = i * dim; val oj = j * dim
           while (k < dim) {
-            dot += flat.getFloat(oi + k).toDouble *
-              flat.getFloat(oj + k).toDouble
+            dot += ff(oi + k).toDouble * ff(oj + k).toDouble
             k += 1
           }
-          val cos = roundOrPass6(dot / (norms(i) * norms(j)))
-          if (java.lang.Double.compare(cos, tau) >= 0) dup = true
+          val cos = dot / (norms(i) * norms(j))
+          if (cos >= hi) dup = true
+          else if (!(cos < lo) &&
+            java.lang.Double.compare(roundOrPass6(cos), tau) >= 0) dup = true
           j += 1
         }
         if (dup) { out(nOut) = ids.getLong(i); nOut += 1 }

@@ -73,20 +73,31 @@ object SemDedup {
   // ------------------------------------------------------------------
 
   /** Exact-cosine cluster assignment with the explicit k-switch.
-    * Returns (vec_id, cid, embedding). */
+    * Returns (vec_id, cid, embedding).
+    *
+    * The switch costs ONE bounded pass: collect up to maxLiteralK+1
+    * sampled centroids — if that returns <= maxLiteralK rows it IS
+    * the complete set and feeds the kernel directly (no separate
+    * count action, no second execution of the sampled pipeline);
+    * k+1 rows back means the bound is exceeded and the collected
+    * prefix is discarded for the fixed-k join path. */
   def assignCos(e: DataFrame, maxLiteralK: Long = MaxLiteralK,
       fixedK: Int = DefaultFixedK, lloydIters: Int = 2): DataFrame = {
-    val sampled = sampledCentroids(e)
-    if (sampled.count() <= maxLiteralK) assignCosLiteral(e, sampled)
+    val head = sampledCentroids(e)
+      .limit(maxLiteralK.toInt + 1).collect()
+    if (head.length <= maxLiteralK) assignCosLiteralRows(e, head)
     else assignCosJoin(e, lloydCentroids(e, fixedK, lloydIters))
   }
 
-  /** PQ-ADC cluster assignment (d32) with the same k-switch.
-    * Returns (vec_id, cid, embedding). */
+  /** PQ-ADC cluster assignment (d32) with the same k-switch (and the
+    * same single bounded collect — see [[assignCos]]). */
   def assignAdc(e: DataFrame, maxLiteralK: Long = MaxLiteralK,
       fixedK: Int = DefaultFixedK, lloydIters: Int = 2): DataFrame = {
-    val sampled = sampledCentroids(e)
-    if (sampled.count() <= maxLiteralK) assignAdcLiteral(e, sampled)
+    import graft.expressions.GraftFunctions.pq_encode
+    val head = sampledCentroids(e)
+      .select(col("cid"), pq_encode(col("cvec")).as("ccodes"))
+      .limit(maxLiteralK.toInt + 1).collect()
+    if (head.length <= maxLiteralK) assignAdcLiteralRows(e, head)
     else assignAdcJoin(e, lloydCentroids(e, fixedK, lloydIters))
   }
 
@@ -97,8 +108,14 @@ object SemDedup {
   /** Collect the k-bounded centroid set and assign via the argmax_cos
     * kernel: one narrow pass per vector, query norm hoisted, no join
     * (vs ~6 s of n*k row plumbing for the join form at sf1). */
-  def assignCosLiteral(e: DataFrame, cents: DataFrame): DataFrame = {
-    val cRows = cents.select("cid", "cvec").collect()
+  def assignCosLiteral(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCosLiteralRows(e, cents.select("cid", "cvec").collect())
+
+  /** Kernel assignment from already-collected (cid, cvec) rows —
+    * what [[assignCos]]'s single bounded collect feeds. */
+  def assignCosLiteralRows(e: DataFrame,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val cRows = rows
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     val dim = cRows.head._2.length
@@ -118,10 +135,18 @@ object SemDedup {
     * argmin copies the LUT into every joined row, measured 14.4 s of
     * pure row copy at sf1 vs ~0.5 s for the kernel). */
   def assignAdcLiteral(e: DataFrame, cents: DataFrame): DataFrame = {
-    import graft.expressions.GraftFunctions.{pq_assign_adc, pq_encode}
-    val centRows = cents
+    import graft.expressions.GraftFunctions.pq_encode
+    assignAdcLiteralRows(e, cents
       .select(col("cid"), pq_encode(col("cvec")).as("ccodes"))
-      .orderBy("cid").collect()
+      .collect())
+  }
+
+  /** Kernel assignment from already-collected (cid, ccodes) rows —
+    * what [[assignAdc]]'s single bounded collect feeds. */
+  def assignAdcLiteralRows(e: DataFrame,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import graft.expressions.GraftFunctions.pq_assign_adc
+    val centRows = rows.sortBy(_.getLong(0))
     val centIds = centRows.map(_.getLong(0))
     val codesFlat = centRows.flatMap(_.getSeq[Int](1))
     e.select(col("vec_id"),
