@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object BdbDirect extends Suite {
 
-  /** Committed fixture location — absolute because the driver's
-    * DuckDB process has its own cwd. */
-  val Base = "/root/repo/bench/bdb_oracle"
+  /** Committed fixture location — absolutized at session start from
+    * the repo-relative path (the JVM and the driver's DuckDB both
+    * start in the repo root), so the gate works from any checkout
+    * location; GRAFT_BDB_ORACLE_DIR overrides for odd layouts. */
+  val Base: String = sys.env.getOrElse("GRAFT_BDB_ORACLE_DIR",
+    new java.io.File("bench/bdb_oracle").getAbsolutePath)
 
   private def reg(s: SparkSession): Unit =
     BdbSchemas.tables.foreach { t =>
@@ -126,6 +129,113 @@ object BdbDirect extends Suite {
               |    AS DOUBLE) AS sales_before,
               |  CAST(SUM(CASE WHEN dd >= DATE '2001-03-16' THEN net END)
               |    AS DOUBLE) AS sales_after
-              |FROM j GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin))
+              |FROM j GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin)),
+
+    // q02 (sessionize + co-view): the REAL timeout sessionization on
+    // the fixture clickstream. Item 2 is the fixture's most-clicked
+    // item; the fixture has no (user, ts) collisions, so the oracle's
+    // untie-broken window ordering reproduces the Spark session ids
+    // exactly.
+    Q("b34_bdb_q02", (s, _) => {
+      reg(s)
+      BdbQueries1.q02(s, itemSk = 2L)
+    },
+      Some(s"""WITH c AS (
+              |  SELECT wcs_user_sk AS u, wcs_item_sk AS i,
+              |    wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+              |  FROM ${rp("web_clickstreams")}
+              |  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL),
+              |f AS (
+              |  SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY u ORDER BY ts) IS NULL
+              |      OR ts - lag(ts) OVER (PARTITION BY u ORDER BY ts) > 3600
+              |    THEN 1 ELSE 0 END AS new_s
+              |  FROM c),
+              |sess AS (
+              |  SELECT u, i, CAST(SUM(new_s) OVER (PARTITION BY u ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+              |  FROM f),
+              |su AS (SELECT DISTINCT u, seq, i FROM sess),
+              |tgt AS (SELECT DISTINCT u, seq FROM su WHERE i = 2)
+              |SELECT i AS item_sk_1, COUNT(*) AS cnt
+              |FROM su JOIN tgt USING (u, seq)
+              |WHERE i <> 2
+              |GROUP BY 1 ORDER BY cnt DESC, item_sk_1 LIMIT 30""".stripMargin)),
+
+    // q08 (boundary sessionization): review-page boundary, purchases
+    // within 3 days after. Spark returns the two revenue decimals as
+    // strings (BigDecimal.toString); cast BOTH sides to DOUBLE for
+    // the gate.
+    Q("b35_bdb_q08", (s, _) => {
+      reg(s)
+      BdbQueries1.q08(s)
+        .select(col("review_revenue").cast("double").as("review_revenue"),
+          col("no_review_revenue").cast("double").as("no_review_revenue"))
+    },
+      Some(s"""WITH dd AS (
+              |  SELECT d_date_sk FROM ${rp("date_dim")}
+              |  WHERE CAST(d_date AS DATE) >= DATE '2001-09-02'
+              |    AND CAST(d_date AS DATE) < DATE '2002-09-02'),
+              |c AS (
+              |  SELECT wcs_user_sk AS u, wcs_sales_sk AS sales,
+              |    wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts,
+              |    wcs_web_page_sk IN (SELECT wp_web_page_sk
+              |      FROM ${rp("web_page")} WHERE wp_type = 'review') AS is_review
+              |  FROM ${rp("web_clickstreams")}
+              |  JOIN dd ON wcs_click_date_sk = d_date_sk
+              |  WHERE wcs_user_sk IS NOT NULL),
+              |b AS (
+              |  SELECT *, MAX(CASE WHEN is_review THEN ts END) OVER
+              |    (PARTITION BY u ORDER BY ts
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS boundary_ts
+              |  FROM c),
+              |rs AS (
+              |  SELECT DISTINCT sales FROM b
+              |  WHERE sales IS NOT NULL AND boundary_ts IS NOT NULL
+              |    AND ts - boundary_ts <= 259200),
+              |ws AS (
+              |  SELECT ws_net_paid, ws_order_number FROM ${rp("web_sales")}
+              |  JOIN dd ON ws_sold_date_sk = d_date_sk),
+              |t AS (SELECT COALESCE(SUM(ws_net_paid), 0) AS total FROM ws),
+              |r AS (SELECT COALESCE(SUM(ws_net_paid), 0) AS rev FROM ws
+              |      WHERE ws_order_number IN (SELECT sales FROM rs))
+              |SELECT CAST(r.rev AS DOUBLE) AS review_revenue,
+              |  CAST(t.total - r.rev AS DOUBLE) AS no_review_revenue
+              |FROM t, r""".stripMargin)),
+
+    // q10 (sentence/word explode + lexicon): the REAL NLP splitters on
+    // the fixture reviews — sentence split on [.?!] via the è
+    // sentinel, word split on whitespace runs after punctuation
+    // scrub, broadcast lexicon join. DuckDB regexp_replace needs the
+    // 'g' flag to match Spark's replace-all.
+    Q("b36_bdb_q10", (s, _) => {
+      reg(s)
+      BdbQueries1.q10(s)
+    },
+      Some {
+        val lexValues =
+          (BdbQueries1.defaultPositive.map(w => s"('$w','POS')") ++
+            BdbQueries1.defaultNegative.map(w => s"('$w','NEG')"))
+            .mkString(", ")
+        s"""WITH lex(sentiment_word, sentiment) AS (VALUES $lexValues),
+           |r AS (
+           |  SELECT pr_item_sk, lower(pr_review_content) AS content
+           |  FROM ${rp("product_reviews")}
+           |  WHERE pr_review_content IS NOT NULL),
+           |sen AS (
+           |  SELECT pr_item_sk,
+           |    unnest(string_split(
+           |      regexp_replace(content, '[.?!]', 'è', 'g'), 'è')) AS sentence
+           |  FROM r),
+           |sen2 AS (SELECT * FROM sen WHERE len(trim(sentence)) > 0),
+           |w AS (
+           |  SELECT pr_item_sk, sentence,
+           |    unnest(string_split_regex(
+           |      trim(regexp_replace(sentence, '[,;"-]', ' ', 'g')), ' +')) AS word
+           |  FROM sen2)
+           |SELECT pr_item_sk AS item_sk, sentence AS review_sentence,
+           |  sentiment, sentiment_word
+           |FROM w JOIN lex ON word = sentiment_word
+           |WHERE len(word) > 0""".stripMargin
+      })
   )
 }
