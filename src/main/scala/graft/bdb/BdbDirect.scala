@@ -17,12 +17,24 @@ import org.apache.spark.sql.functions._
   * by absolute path via `read_parquet` — no table registration
   * needed, so the driver's DuckDB gate reaches the second dataset.
   *
-  * Chosen trio (the verdict's pick): q01 (basket pairs — collect_set +
-  * ArrayPairs vs a relational self-join), q06 (YoY ratio — dual
-  * channel conditional sums + float ratio compare), q16 (pivot-date
-  * sales±returns — left-join decimal arithmetic). Decimal sums are
-  * cast to DOUBLE on both sides (DuckDB's DECIMAL(38,2) vs Spark's
-  * DECIMAL(17,2) would otherwise dtype-drift through the gate).
+  * Coverage (rounds 11-12): 23 of the 30 BDB queries are direct-gated
+  * here — q01-q04, q06-q12, q14-q19, q21-q24, q29, q30 (b31-b53).
+  * The remaining seven stay on goldens + independent parity checks by
+  * design: q05 (MLlib logistic regression), q20/q25/q26 (MLlib
+  * k-means — WSSSE thresholds), q27 (pluggable NER, explicitly
+  * unverified upstream), q28 (naive bayes — pinned against MLlib on
+  * identical vectors in BdbQueriesSpec), and q13, which IS q06 with
+  * the same defaults (one body, already gated by b32).
+  *
+  * Conventions: decimal sums are cast to DOUBLE on both sides
+  * (DuckDB's DECIMAL(38,2)/HUGEINT vs Spark's DECIMAL(17,2)/BIGINT
+  * would otherwise dtype-drift through the gate); derived float
+  * statistics are rounded to 6 decimals on both sides; parameters
+  * are rescaled to the floor-scale fixture where the reference's
+  * SF-scale defaults would select nothing (each entry documents its
+  * pick). Sessionization oracles exploit that the fixture has no
+  * (user, ts) collisions, so an untie-broken window ordering
+  * reproduces Spark's (ts, eid) session ids exactly.
   */
 object BdbDirect extends Suite {
 
@@ -236,6 +248,536 @@ object BdbDirect extends Suite {
            |  sentiment, sentiment_word
            |FROM w JOIN lex ON word = sentiment_word
            |WHERE len(word) > 0""".stripMargin
-      })
+      }),
+
+    // q03 (lag-window lookback): views of category-2/3 items in the
+    // last 5 clicks within 864000 s before a purchase of item 2 (the
+    // b34 probe item). The oracle unrolls the 5 lag columns exactly
+    // like the b03 testdata twin.
+    Q("b37_bdb_q03", (s, _) => {
+      reg(s)
+      BdbQueries1.q03(s, purchasedItem = 2L)
+    },
+      Some {
+        val lags = (1 to 5).map(k =>
+          s"lag(i,$k) OVER w AS p_i$k, lag(ts,$k) OVER w AS p_ts$k, " +
+            s"lag(sales,$k) OVER w AS p_s$k").mkString(",\n              |  ")
+        val unions = (1 to 5).map(k =>
+          s"SELECT p_i$k AS item, ts, p_ts$k AS pts, p_s$k AS psales FROM pur")
+          .mkString("\n              |  UNION ALL ")
+        s"""WITH c AS (
+           |  SELECT wcs_user_sk AS u, wcs_item_sk AS i, wcs_sales_sk AS sales,
+           |    wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+           |  FROM ${rp("web_clickstreams")}
+           |  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL),
+           |lb AS (SELECT u, i, sales, ts,
+           |  $lags
+           |  FROM c WINDOW w AS (PARTITION BY u ORDER BY ts)),
+           |pur AS (SELECT * FROM lb WHERE sales IS NOT NULL AND i = 2),
+           |ex AS (
+           |  $unions),
+           |cat AS (SELECT i_item_sk FROM ${rp("item")}
+           |        WHERE i_category_id IN (2,3))
+           |SELECT item AS lastviewed_item, COUNT(*) AS cnt
+           |FROM ex JOIN cat ON item = i_item_sk
+           |WHERE item IS NOT NULL AND psales IS NULL AND ts - pts <= 864000
+           |GROUP BY 1 ORDER BY cnt DESC, lastviewed_item LIMIT 100""".stripMargin
+      }),
+
+    // q04 (abandoned carts): sessions whose last dynamic/order page is
+    // 'dynamic'; page average over abandoned sessions.
+    Q("b38_bdb_q04", (s, _) => {
+      reg(s)
+      BdbQueries1.q04(s)
+    },
+      Some(s"""WITH c AS (
+              |  SELECT wcs_user_sk AS u, wp_type,
+              |    wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+              |  FROM ${rp("web_clickstreams")}
+              |  JOIN ${rp("web_page")} wp ON wcs_web_page_sk = wp_web_page_sk
+              |  WHERE wcs_user_sk IS NOT NULL),
+              |f AS (
+              |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+              |      OR ts - lag(ts) OVER w > 3600 THEN 1 ELSE 0 END AS new_s
+              |  FROM c WINDOW w AS (PARTITION BY u ORDER BY ts)),
+              |sess AS (
+              |  SELECT u, wp_type, ts, SUM(new_s) OVER (PARTITION BY u ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+              |  FROM f),
+              |per AS (
+              |  SELECT u, seq, COUNT(*) AS pages,
+              |    max_by(wp_type,
+              |      CASE WHEN wp_type IN ('dynamic','order') THEN ts END) AS last_do
+              |  FROM sess GROUP BY 1, 2)
+              |SELECT CAST(SUM(pages) AS DOUBLE) / COUNT(*)
+              |    AS avg_pages_per_abandoned_session,
+              |  COUNT(*) AS n_abandoned_sessions
+              |FROM per WHERE last_do = 'dynamic'""".stripMargin)),
+
+    // q07 (pricey-item states): items above 1.2x their category's
+    // average price, sold in 2004-07; floor-scale minCnt=1 (the
+    // reference's 10 assumes SF-scale volume, the b31 rescale rule).
+    Q("b39_bdb_q07", (s, _) => {
+      reg(s)
+      BdbQueries1.q07(s, minCnt = 1)
+    },
+      Some(s"""WITH ca AS (
+              |  SELECT i_category,
+              |    CAST(SUM(i_current_price) AS DOUBLE) / COUNT(i_current_price)
+              |      AS avg_price
+              |  FROM ${rp("item")} GROUP BY 1),
+              |hi AS (
+              |  SELECT i_item_sk FROM ${rp("item")} i JOIN ca USING (i_category)
+              |  WHERE i_current_price > avg_price * 1.2),
+              |dd AS (SELECT d_date_sk FROM ${rp("date_dim")}
+              |       WHERE d_year = 2004 AND d_moy = 7)
+              |SELECT ca_state, COUNT(*) AS cnt
+              |FROM ${rp("store_sales")}
+              |JOIN dd ON ss_sold_date_sk = d_date_sk
+              |JOIN hi ON ss_item_sk = i_item_sk
+              |JOIN ${rp("customer")} c ON ss_customer_sk = c_customer_sk
+              |JOIN ${rp("customer_address")} a ON c_current_addr_sk = ca_address_sk
+              |WHERE ca_state IS NOT NULL
+              |GROUP BY 1 HAVING COUNT(*) >= 1
+              |ORDER BY cnt DESC, ca_state LIMIT 10""".stripMargin)),
+
+    // q09 (OR-of-ANDs single aggregate) with the reference's three
+    // demographic x address x price arms.
+    Q("b40_bdb_q09", (s, _) => {
+      reg(s)
+      BdbQueries1.q09(s)
+    },
+      Some(s"""SELECT CAST(SUM(ss_quantity) AS BIGINT) AS total_quantity
+              |FROM ${rp("store_sales")}
+              |JOIN ${rp("date_dim")} d ON ss_sold_date_sk = d_date_sk
+              |JOIN ${rp("customer_demographics")} cd ON ss_cdemo_sk = cd_demo_sk
+              |JOIN ${rp("customer_address")} ca ON ss_addr_sk = ca_address_sk
+              |WHERE d_year = 2001 AND (
+              |  (cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+              |   AND ss_sales_price BETWEEN 100 AND 150
+              |   AND ca_country = 'United States' AND ca_state IN ('KY','GA','NM')
+              |   AND ss_net_profit BETWEEN 0 AND 2000)
+              |  OR (cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+              |   AND ss_sales_price BETWEEN 50 AND 200
+              |   AND ca_country = 'United States' AND ca_state IN ('MT','OR','IN')
+              |   AND ss_net_profit BETWEEN 150 AND 3000)
+              |  OR (cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+              |   AND ss_sales_price BETWEEN 150 AND 200
+              |   AND ca_country = 'United States' AND ca_state IN ('WI','MO','WV')
+              |   AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin)),
+
+    // q11 (corr of review stats vs revenue window) — the Exact.dcorr
+    // closed form, decimal components cast to double, round-6.
+    Q("b41_bdb_q11", (s, _) => {
+      reg(s)
+      BdbQueries1.q11(s)
+    },
+      Some(s"""WITH dd AS (
+              |  SELECT d_date_sk FROM ${rp("date_dim")}
+              |  WHERE CAST(d_date AS DATE) >= DATE '2003-01-02'
+              |    AND CAST(d_date AS DATE) < DATE '2003-02-02'),
+              |rev AS (
+              |  SELECT ws_item_sk, SUM(ws_net_paid) AS revenue
+              |  FROM ${rp("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
+              |  GROUP BY 1),
+              |rat AS (
+              |  SELECT pr_item_sk, COUNT(*) AS review_count,
+              |    CAST(SUM(pr_review_rating) AS DOUBLE) / COUNT(*) AS avg_rating
+              |  FROM ${rp("product_reviews")} GROUP BY 1),
+              |j AS (SELECT CAST(review_count AS DOUBLE) AS x, avg_rating AS y
+              |      FROM rev JOIN rat ON ws_item_sk = pr_item_sk),
+              |c AS (
+              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(x AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(y AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+              |    CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+              |    COUNT(*) AS n_items
+              |  FROM j)
+              |SELECT CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+              |    THEN round((n*sxy - sx*sy) /
+              |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0 END
+              |    AS corr_reviews_rating,
+              |  n_items
+              |FROM c""".stripMargin)),
+
+    // q12 (click online, buy in store within 90 days).
+    Q("b42_bdb_q12", (s, _) => {
+      reg(s)
+      BdbQueries1.q12(s)
+    },
+      Some(s"""WITH it AS (SELECT i_item_sk FROM ${rp("item")}
+              |           WHERE i_category IN ('Books','Electronics')),
+              |cl AS (
+              |  SELECT wcs_user_sk AS u, wcs_click_date_sk AS cd
+              |  FROM ${rp("web_clickstreams")} JOIN it ON wcs_item_sk = i_item_sk
+              |  WHERE wcs_user_sk IS NOT NULL),
+              |sa AS (
+              |  SELECT ss_customer_sk AS u2, ss_sold_date_sk AS sd
+              |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
+              |  WHERE ss_customer_sk IS NOT NULL)
+              |SELECT DISTINCT u AS user_sk
+              |FROM cl JOIN sa ON u = u2 AND cd < sd AND sd - cd <= 90""".stripMargin)),
+
+    // q14 (am/pm web-sales ratio for dep_count=5 households on
+    // 5000-6000-char pages).
+    Q("b43_bdb_q14", (s, _) => {
+      reg(s)
+      BdbQueries1.q14(s)
+    },
+      Some(s"""WITH hd AS (SELECT hd_demo_sk FROM ${rp("household_demographics")}
+              |           WHERE hd_dep_count = 5),
+              |wp AS (SELECT wp_web_page_sk FROM ${rp("web_page")}
+              |       WHERE wp_char_count BETWEEN 5000 AND 6000),
+              |a AS (
+              |  SELECT
+              |    CAST(SUM(CASE WHEN t_hour BETWEEN 7 AND 8 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS amc,
+              |    CAST(SUM(CASE WHEN t_hour BETWEEN 19 AND 20 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS pmc
+              |  FROM ${rp("web_sales")}
+              |  JOIN hd ON ws_ship_hdemo_sk = hd_demo_sk
+              |  JOIN wp ON ws_web_page_sk = wp_web_page_sk
+              |  JOIN ${rp("time_dim")} t ON ws_sold_time_sk = t_time_sk)
+              |SELECT CASE WHEN pmc > 0 THEN CAST(amc AS DOUBLE) / pmc END
+              |    AS am_pm_ratio, amc, pmc
+              |FROM a""".stripMargin)),
+
+    // q15 (declining store categories): closed-form least-squares
+    // slope/intercept per category for store 10 — the b15/b18 decimal
+    // component recipe, slope AND intercept rounded to 6.
+    Q("b44_bdb_q15", (s, _) => {
+      reg(s)
+      BdbQueries1.q15(s)
+    },
+      Some(s"""WITH dd AS (
+              |  SELECT d_date_sk FROM ${rp("date_dim")}
+              |  WHERE CAST(d_date AS DATE) >= DATE '2001-09-02'
+              |    AND CAST(d_date AS DATE) < DATE '2002-09-02'),
+              |daily AS (
+              |  SELECT i_category_id AS cat, ss_sold_date_sk AS d,
+              |    SUM(ss_net_paid) AS rev
+              |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+              |  JOIN ${rp("item")} i ON ss_item_sk = i_item_sk
+              |  WHERE ss_store_sk = 10 AND i_category_id IS NOT NULL
+              |  GROUP BY 1, 2),
+              |sums AS (
+              |  SELECT cat, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(d AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+              |    CAST(SUM(CAST(d AS DECIMAL(18,0)) * CAST(d AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(d AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+              |  FROM daily GROUP BY cat),
+              |fit AS (
+              |  SELECT cat,
+              |    CASE WHEN n*sxx - sx*sx <> 0
+              |      THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS raw
+              |  , n, sx, sy FROM sums)
+              |SELECT cat, round(raw, 6) + 0 AS slope,
+              |  round((sy - raw * sx) / n, 6) + 0 AS intercept
+              |FROM fit WHERE round(raw, 6) + 0 <= 0
+              |ORDER BY cat""".stripMargin)),
+
+    // q17 (promoted sales ratio, one month / one timezone band) —
+    // decimal sums cast to DOUBLE both sides, the b33 rule.
+    Q("b45_bdb_q17", (s, _) => {
+      reg(s)
+      BdbQueries2.q17(s)
+        .select(col("promotional").cast("double").as("promotional"),
+          col("total").cast("double").as("total"), col("promo_pct"))
+    },
+      Some(s"""WITH dd AS (SELECT d_date_sk FROM ${rp("date_dim")}
+              |           WHERE d_year = 2001 AND d_moy = 12),
+              |st AS (SELECT s_store_sk FROM ${rp("store")}
+              |       WHERE s_gmt_offset = -5.0),
+              |a AS (
+              |  SELECT
+              |    SUM(CASE WHEN p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+              |      OR p_channel_tv = 'Y' THEN ss_ext_sales_price END) AS promo,
+              |    SUM(ss_ext_sales_price) AS total
+              |  FROM ${rp("store_sales")}
+              |  JOIN dd ON ss_sold_date_sk = d_date_sk
+              |  JOIN st ON ss_store_sk = s_store_sk
+              |  JOIN ${rp("promotion")} p ON ss_promo_sk = p_promo_sk)
+              |SELECT CAST(promo AS DOUBLE) AS promotional,
+              |  CAST(total AS DOUBLE) AS total,
+              |  CASE WHEN total IS NOT NULL AND total <> 0
+              |    THEN CAST(COALESCE(promo, 0) AS DOUBLE) * 100.0
+              |      / CAST(total AS DOUBLE) END AS promo_pct
+              |FROM a""".stripMargin)),
+
+    // q18 (declining stores named in reviews): slope filter + the
+    // multi-needle store-name match as a contains join (the needle
+    // list is distinct and no fixture store name is a substring of
+    // another, so per-sentence results match Aho-Corasick's distinct
+    // matches exactly).
+    Q("b46_bdb_q18", (s, _) => {
+      reg(s)
+      BdbQueries2.q18(s)
+    },
+      Some {
+        val negcond = BdbQueries1.defaultNegative
+          .map(w => s"instr(sentence, '$w') > 0").mkString("\n              |    OR ")
+        s"""WITH dd AS (
+           |  SELECT d_date_sk FROM ${rp("date_dim")}
+           |  WHERE CAST(d_date AS DATE) >= DATE '2001-05-02'
+           |    AND CAST(d_date AS DATE) < DATE '2001-09-02'),
+           |daily AS (
+           |  SELECT ss_store_sk AS st, ss_sold_date_sk AS d,
+           |    SUM(ss_net_paid) AS rev
+           |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+           |  GROUP BY 1, 2),
+           |sums AS (
+           |  SELECT st, CAST(COUNT(*) AS DOUBLE) AS n,
+           |    CAST(SUM(CAST(d AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(d AS DECIMAL(18,0)) * CAST(d AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(d AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+           |  FROM daily GROUP BY st),
+           |decl AS (
+           |  SELECT s_store_sk, lower(s_store_name) AS store_name
+           |  FROM sums JOIN ${rp("store")} st2 ON st = s_store_sk
+           |  WHERE n*sxx - sx*sx <> 0
+           |    AND round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0 <= 0),
+           |rev AS (
+           |  SELECT pr_review_sk, pr_review_date,
+           |    lower(pr_review_content) AS content
+           |  FROM ${rp("product_reviews")} WHERE pr_review_content IS NOT NULL),
+           |sen AS (
+           |  SELECT pr_review_sk, pr_review_date,
+           |    unnest(string_split(
+           |      regexp_replace(content, '[.?!]', 'è', 'g'), 'è')) AS sentence
+           |  FROM rev),
+           |sen2 AS (SELECT * FROM sen WHERE len(trim(sentence)) > 0)
+           |SELECT s_store_sk AS store_sk, store_name,
+           |  pr_review_date AS review_date, sentence,
+           |  CASE WHEN $negcond
+           |  THEN 'NEG' ELSE 'POS' END AS sentiment
+           |FROM sen2 JOIN decl ON instr(sentence, store_name) > 0""".stripMargin
+      }),
+
+    // q19 (balanced-returns items' negative review sentences): the
+    // default return dates don't week-align at floor scale, so the
+    // fixture parameterization picks four weeks where store and web
+    // returns balance within +/-10% (the b31 rescale rule).
+    Q("b47_bdb_q19", (s, _) => {
+      reg(s)
+      BdbQueries2.q19(s, returnDates =
+        Seq("2001-11-26", "2002-04-29", "2002-09-30", "2003-02-24"))
+    },
+      Some {
+        val negcond = BdbQueries1.defaultNegative
+          .map(w => s"instr(sentence, '$w') > 0").mkString("\n              |   OR ")
+        s"""WITH wk AS (
+           |  SELECT DISTINCT d_week_seq FROM ${rp("date_dim")}
+           |  WHERE CAST(d_date AS DATE) IN (DATE '2001-11-26',
+           |    DATE '2002-04-29', DATE '2002-09-30', DATE '2003-02-24')),
+           |dd AS (SELECT d_date_sk FROM ${rp("date_dim")} d2
+           |       JOIN wk USING (d_week_seq)),
+           |sr AS (
+           |  SELECT sr_item_sk AS item_sk, SUM(sr_return_quantity) AS sq
+           |  FROM ${rp("store_returns")} JOIN dd ON sr_returned_date_sk = d_date_sk
+           |  GROUP BY 1),
+           |wr AS (
+           |  SELECT wr_item_sk AS item_sk, SUM(wr_return_quantity) AS wq
+           |  FROM ${rp("web_returns")} JOIN dd ON wr_returned_date_sk = d_date_sk
+           |  GROUP BY 1),
+           |bal AS (
+           |  SELECT item_sk FROM sr JOIN wr USING (item_sk)
+           |  WHERE wq > 0 AND CAST(sq AS DOUBLE) >= wq * 0.9
+           |    AND CAST(sq AS DOUBLE) <= wq * 1.1),
+           |rev AS (
+           |  SELECT pr_item_sk, pr_review_sk,
+           |    lower(pr_review_content) AS content
+           |  FROM ${rp("product_reviews")} JOIN bal ON pr_item_sk = item_sk
+           |  WHERE pr_review_content IS NOT NULL),
+           |sen AS (
+           |  SELECT pr_item_sk, pr_review_sk,
+           |    unnest(string_split(
+           |      regexp_replace(content, '[.?!]', 'è', 'g'), 'è')) AS sentence
+           |  FROM rev),
+           |sen2 AS (SELECT * FROM sen WHERE len(trim(sentence)) > 0)
+           |SELECT pr_item_sk AS item_sk, pr_review_sk, sentence
+           |FROM sen2
+           |WHERE $negcond
+           |ORDER BY 1, 2, 3""".stripMargin
+      }),
+
+    // q21 (returned then re-bought on the web).
+    Q("b48_bdb_q21", (s, _) => {
+      reg(s)
+      BdbQueries2.q21(s)
+    },
+      Some(s"""WITH d1 AS (SELECT d_date_sk FROM ${rp("date_dim")}
+              |           WHERE d_year = 2003 AND d_moy = 1),
+              |d2 AS (SELECT d_date_sk FROM ${rp("date_dim")}
+              |      WHERE d_year = 2003 AND d_moy BETWEEN 1 AND 7),
+              |d3 AS (SELECT d_date_sk FROM ${rp("date_dim")}
+              |      WHERE d_year BETWEEN 2003 AND 2005)
+              |SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+              |  CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+              |  CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+              |  CAST(SUM(ws_quantity) AS BIGINT) AS web_sales_quantity
+              |FROM ${rp("store_sales")}
+              |JOIN d1 ON ss_sold_date_sk = d1.d_date_sk
+              |JOIN ${rp("store_returns")} sr ON ss_item_sk = sr_item_sk
+              |  AND ss_customer_sk = sr_customer_sk
+              |  AND ss_ticket_number = sr_ticket_number
+              |JOIN d2 ON sr_returned_date_sk = d2.d_date_sk
+              |JOIN ${rp("web_sales")} ws ON sr_item_sk = ws_item_sk
+              |  AND sr_customer_sk = ws_bill_customer_sk
+              |JOIN d3 ON ws_sold_date_sk = d3.d_date_sk
+              |JOIN ${rp("item")} i ON ss_item_sk = i_item_sk
+              |JOIN ${rp("store")} st ON ss_store_sk = s_store_sk
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY store_sales_quantity DESC, i_item_id, s_store_id
+              |LIMIT 100""".stripMargin)),
+
+    // q22 (inventory before/after a price-change date, ratio-banded).
+    Q("b49_bdb_q22", (s, _) => {
+      reg(s)
+      BdbQueries2.q22(s)
+    },
+      Some(s"""WITH dd AS (
+              |  SELECT d_date_sk, CAST(d_date AS DATE) AS dd
+              |  FROM ${rp("date_dim")}
+              |  WHERE abs(datediff('day', DATE '2001-05-08',
+              |    CAST(d_date AS DATE))) <= 30),
+              |it AS (SELECT i_item_sk, i_item_id FROM ${rp("item")}
+              |       WHERE i_current_price BETWEEN 0.98 AND 1.5)
+              |SELECT w_warehouse_name, i_item_id,
+              |  CAST(SUM(CASE WHEN dd < DATE '2001-05-08'
+              |    THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+              |  CAST(SUM(CASE WHEN dd >= DATE '2001-05-08'
+              |    THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+              |FROM ${rp("inventory")}
+              |JOIN dd ON inv_date_sk = d_date_sk
+              |JOIN it ON inv_item_sk = i_item_sk
+              |JOIN ${rp("warehouse")} w ON inv_warehouse_sk = w_warehouse_sk
+              |GROUP BY 1, 2
+              |HAVING inv_before > 0
+              |  AND CAST(inv_after AS DOUBLE) / inv_before >= 2.0 / 3.0
+              |  AND CAST(inv_after AS DOUBLE) / inv_before <= 3.0 / 2.0
+              |ORDER BY 1, 2 LIMIT 100""".stripMargin)),
+
+    // q23 (inventory cov >= 1.3 in two consecutive months) — the
+    // Exact.dstddev/davg recipe: sample stddev from exact decimal
+    // components rounded to 6, THEN the cov ratio rounded to 6.
+    Q("b50_bdb_q23", (s, _) => {
+      reg(s)
+      BdbQueries2.q23(s)
+    },
+      Some(s"""WITH dd AS (SELECT d_date_sk, d_moy FROM ${rp("date_dim")}
+              |           WHERE d_year = 2001 AND d_moy IN (1, 2)),
+              |g AS (
+              |  SELECT inv_warehouse_sk AS w, inv_item_sk AS i, d_moy,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(inv_quantity_on_hand AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(inv_quantity_on_hand AS DECIMAL(14,2))
+              |      * CAST(inv_quantity_on_hand AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+              |  FROM ${rp("inventory")} JOIN dd ON inv_date_sk = d_date_sk
+              |  GROUP BY 1, 2, 3),
+              |st AS (
+              |  SELECT w, i, d_moy, sx / n AS mean,
+              |    CASE WHEN n > 1
+              |      THEN round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) + 0
+              |    END AS sd
+              |  FROM g),
+              |cov AS (
+              |  SELECT w, i, d_moy, round(sd / mean, 6) + 0 AS cov
+              |  FROM st WHERE mean > 0 AND sd >= mean * 1.3)
+              |SELECT m1.w AS inv_warehouse_sk, m1.i AS inv_item_sk,
+              |  m1.cov AS cov_m1, m2.cov AS cov_m2
+              |FROM cov m1 JOIN cov m2 ON m1.w = m2.w AND m1.i = m2.i
+              |  AND m1.d_moy = 1 AND m2.d_moy = 2
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // q24 (cross-price elasticity): item 3 is the one fixture item
+    // with sales on both channels inside a competitor price window;
+    // the elasticity is rounded to 6 on BOTH sides (raw double
+    // division otherwise hash-fragile).
+    Q("b51_bdb_q24", (s, _) => {
+      reg(s)
+      BdbQueries2.q24(s, itemSk = 3L)
+        .select(round(col("cross_price_elasticity"), 6)
+          .as("cross_price_elasticity"), col("ws_item_sk"))
+    },
+      Some(s"""WITH pc AS (
+              |  SELECT i_item_sk, imp_sk,
+              |    CAST(imp_competitor_price - i_current_price AS DOUBLE)
+              |      / CAST(i_current_price AS DOUBLE) AS price_change,
+              |    imp_start_date, imp_end_date - imp_start_date AS no_days
+              |  FROM ${rp("item_marketprices")}
+              |  JOIN ${rp("item")} i ON imp_item_sk = i_item_sk
+              |  WHERE i_item_sk = 3),
+              |ssp AS (SELECT imp_sk, price_change, SUM(ss_quantity) AS ss_prev
+              |  FROM ${rp("store_sales")} JOIN pc ON ss_item_sk = i_item_sk
+              |  WHERE ss_sold_date_sk >= imp_start_date - no_days
+              |    AND ss_sold_date_sk < imp_start_date GROUP BY 1, 2),
+              |ssc AS (SELECT imp_sk, price_change, SUM(ss_quantity) AS ss_curr
+              |  FROM ${rp("store_sales")} JOIN pc ON ss_item_sk = i_item_sk
+              |  WHERE ss_sold_date_sk >= imp_start_date
+              |    AND ss_sold_date_sk < imp_start_date + no_days GROUP BY 1, 2),
+              |wsp AS (SELECT imp_sk, price_change, SUM(ws_quantity) AS ws_prev
+              |  FROM ${rp("web_sales")} JOIN pc ON ws_item_sk = i_item_sk
+              |  WHERE ws_sold_date_sk >= imp_start_date - no_days
+              |    AND ws_sold_date_sk < imp_start_date GROUP BY 1, 2),
+              |wsc AS (SELECT imp_sk, price_change, SUM(ws_quantity) AS ws_curr
+              |  FROM ${rp("web_sales")} JOIN pc ON ws_item_sk = i_item_sk
+              |  WHERE ws_sold_date_sk >= imp_start_date
+              |    AND ws_sold_date_sk < imp_start_date + no_days GROUP BY 1, 2),
+              |j AS (
+              |  SELECT CAST(ss_curr + ws_curr - ss_prev - ws_prev AS DOUBLE)
+              |    / (CAST(ss_prev + ws_prev AS DOUBLE) * price_change) AS delta
+              |  FROM ssp JOIN ssc USING (imp_sk, price_change)
+              |  JOIN wsp USING (imp_sk, price_change)
+              |  JOIN wsc USING (imp_sk, price_change))
+              |SELECT round(SUM(delta) / COUNT(delta), 6) + 0
+              |    AS cross_price_elasticity,
+              |  CAST(3 AS BIGINT) AS ws_item_sk
+              |FROM j""".stripMargin)),
+
+    // q29 (categories co-purchased in one web order).
+    Q("b52_bdb_q29", (s, _) => {
+      reg(s)
+      BdbQueries2.q29(s)
+    },
+      Some(s"""WITH b AS (
+              |  SELECT DISTINCT ws_order_number AS o, i_category_id AS cid,
+              |    i_category AS cat
+              |  FROM ${rp("web_sales")}
+              |  JOIN ${rp("item")} i ON ws_item_sk = i_item_sk
+              |  WHERE i_category_id IS NOT NULL)
+              |SELECT a.cat AS category_1, c.cat AS category_2, COUNT(*) AS cnt
+              |FROM b a JOIN b c ON a.o = c.o AND a.cid < c.cid
+              |GROUP BY 1, 2 ORDER BY cnt DESC, category_1, category_2
+              |LIMIT 100""".stripMargin)),
+
+    // q30 (categories co-viewed in one click session).
+    Q("b53_bdb_q30", (s, _) => {
+      reg(s)
+      BdbQueries2.q30(s)
+    },
+      Some(s"""WITH c AS (
+              |  SELECT wcs_user_sk AS u, i_category AS cat,
+              |    wcs_click_date_sk * 86400 + wcs_click_time_sk AS ts
+              |  FROM ${rp("web_clickstreams")}
+              |  JOIN ${rp("item")} i ON wcs_item_sk = i_item_sk
+              |  WHERE wcs_user_sk IS NOT NULL AND wcs_item_sk IS NOT NULL
+              |    AND i_category_id IS NOT NULL),
+              |f AS (
+              |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+              |      OR ts - lag(ts) OVER w > 3600 THEN 1 ELSE 0 END AS new_s
+              |  FROM c WINDOW w AS (PARTITION BY u ORDER BY ts)),
+              |sess AS (
+              |  SELECT u, cat, SUM(new_s) OVER (PARTITION BY u ORDER BY ts
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+              |  FROM f),
+              |su AS (SELECT DISTINCT u, seq, cat FROM sess)
+              |SELECT a.cat AS category_1, b.cat AS category_2, COUNT(*) AS cnt
+              |FROM su a JOIN su b ON a.u = b.u AND a.seq = b.seq AND a.cat < b.cat
+              |GROUP BY 1, 2 ORDER BY cnt DESC, category_1, category_2
+              |LIMIT 40""".stripMargin))
   )
 }

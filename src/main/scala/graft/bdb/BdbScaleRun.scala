@@ -94,9 +94,23 @@ object BdbScaleRun {
         "q03" -> (s => BdbQueries1.q03(s, purchasedItem = probeItem)),
         "q24" -> (s => BdbQueries2.q24(s, itemSk = probeItem)),
         "q27" -> (s => BdbQueries2.q27(s, itemSk = probeItem)))
+      // SPARK_GRAFT_BDB_ONLY=q01,q06 limits the run (slope probes of
+      // individual queries without paying the 30-query suite) — the
+      // SPARK_GRAFT_ONLY convention; results.csv then only carries
+      // the probed queries, so point it at a scratch file.
+      val only = sys.env.get("SPARK_GRAFT_BDB_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val selected = only match {
+        case Some(names) => queries.filter { case (n, _) => names(n) }
+        case None => queries
+      }
+      val resultsPath = only match {
+        case Some(_) => s"$base/results_probe.csv"
+        case None => s"$base/results.csv"
+      }
       BdbBenchmarkRunner.run(spark, s"$base/parquet",
-        s"$base/results.csv", repeats, queries,
-        mustHaveRows = queries.keySet -- mayBeEmpty)
+        resultsPath, repeats, selected,
+        mustHaveRows = selected.keySet -- mayBeEmpty)
     } finally spark.stop()
   }
 }
