@@ -485,13 +485,22 @@ object Extras extends Suite {
     // exact distinct for the accuracy read.
     Q("d14_hll_sketch", (s, d) => {
       val hll = udaf(new graft.ops.HllAgg())
+      // HLL registers depend only on the SET of hash values (insert
+      // is a per-register max), so distinct (grp, partkey) FIRST:
+      // the md5 portable hash runs once per distinct key instead of
+      // once per row (6M -> ~600k at engine sf1, measured 5.6 -> ~1 s),
+      // the exact count becomes a plain count over the same distinct
+      // frame (no countDistinct expand), and both aggregates reuse
+      // the one (grp, partkey) exchange with map-side partials.
       Tables.load(s, d, "lineitem")
-        .select(col("l_returnflag").as("grp"), col("l_partkey"),
+        .select(col("l_returnflag").as("grp"), col("l_partkey"))
+        .distinct()
+        .select(col("grp"),
           graft.ops.Text.portableHash(col("l_partkey").cast("string"))
             .as("hv"))
         .groupBy("grp")
         .agg(hll(col("hv")).as("hll_nd"),
-          countDistinct(col("l_partkey")).as("exact_nd"))
+          count(lit(1)).as("exact_nd"))
         .orderBy("grp")
     },
       Some(s"""WITH hashed AS (
