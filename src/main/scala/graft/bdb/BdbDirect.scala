@@ -45,10 +45,29 @@ object BdbDirect extends Suite {
   val Base: String = sys.env.getOrElse("GRAFT_BDB_ORACLE_DIR",
     new java.io.File("bench/bdb_oracle").getAbsolutePath)
 
-  private def reg(s: SparkSession): Unit =
-    BdbSchemas.tables.foreach { t =>
-      s.read.parquet(s"$Base/$t.parquet").createOrReplaceTempView(t)
+  /** Cache the fixture DataFrames per SparkSession (the parquet
+    * footer read is the per-call cost — 23 of these queries run
+    * back-to-back in one Bench/Verify session), but re-register the
+    * temp views on EVERY call: view names like `customer` collide
+    * with Tables.registerAll's testdata views, so a cached
+    * registration flag would read the wrong table when an o-series
+    * spark.sql query runs in between. createOrReplaceTempView on a
+    * cached plan is a catalog op, not a scan. */
+  private val frames = new java.util.WeakHashMap[SparkSession,
+    Seq[(String, org.apache.spark.sql.DataFrame)]]()
+
+  private def reg(s: SparkSession): Unit = {
+    val fs = frames.synchronized {
+      var v = frames.get(s)
+      if (v == null) {
+        v = BdbSchemas.tables.map(t =>
+          t -> s.read.parquet(s"$Base/$t.parquet"))
+        frames.put(s, v)
+      }
+      v
     }
+    fs.foreach { case (t, df) => df.createOrReplaceTempView(t) }
+  }
 
   private def rp(t: String): String = s"read_parquet('$Base/$t.parquet')"
 
