@@ -171,10 +171,11 @@ object BdbQueries1 {
     * 100 iter, tol 1e-9 (q05_utils.py:37-43); features are CASE-WHEN
     * counts (q05_dask_sql.py:39-74). Returns the metrics row.
     */
-  def q05(s: SparkSession, categoryId: Int = 1): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-    import org.apache.spark.ml.feature.VectorAssembler
+  /** q05's deterministic feature frame (everything upstream of the
+    * MLlib fit) — exposed so the direct DuckDB gate (b54) can verify
+    * the relational core the same way as the SQL-expressible queries;
+    * only the LogisticRegression fit remains on parity thresholds. */
+  def q05Features(s: SparkSession, categoryId: Int = 1): DataFrame = {
     val i = s.table("item").select("i_item_sk", "i_category_id")
     val clicks = s.table("web_clickstreams")
       .filter(col("wcs_user_sk").isNotNull)
@@ -183,7 +184,7 @@ object BdbQueries1 {
       .agg(count(lit(1)).as("clicks_total"),
         sum(when(col("i_category_id") === categoryId, 1).otherwise(0))
           .as("clicks_in_category"))
-    val users = clicks
+    clicks
       .join(s.table("customer").select("c_customer_sk", "c_current_cdemo_sk"),
         col("wcs_user_sk") === col("c_customer_sk"))
       .join(broadcast(s.table("customer_demographics")
@@ -196,6 +197,13 @@ object BdbQueries1 {
       .withColumn("male", when(col("cd_gender") === "M", 1.0).otherwise(0.0))
       .withColumn("label",
         when(col("clicks_in_category") > 0, 1.0).otherwise(0.0))
+  }
+
+  def q05(s: SparkSession, categoryId: Int = 1): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+    val users = q05Features(s, categoryId)
     val assembled = new VectorAssembler()
       .setInputCols(Array("clicks_total", "college_education", "male"))
       .setOutputCol("features").transform(users)

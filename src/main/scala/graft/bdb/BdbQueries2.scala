@@ -188,8 +188,9 @@ object BdbQueries2 {
   /** q20: customer segmentation on return ratios -> k-means(8,20).
     * Returns cluster sizes + WSSSE. Ref: q20_dask_sql.py:36-96.
     */
-  def q20(s: SparkSession): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+  /** q20's deterministic feature frame (upstream of the k-means fit)
+    * — exposed for the direct DuckDB gate (b55); see q05Features. */
+  def q20Features(s: SparkSession): DataFrame = {
     val sales = s.table("store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .groupBy(col("ss_customer_sk").as("cust"))
@@ -202,7 +203,7 @@ object BdbQueries2 {
       .agg(countDistinct("sr_ticket_number").as("r_orders"),
         sum("sr_return_quantity").as("r_items"),
         sum("sr_return_amt").as("r_amount"))
-    val feats = sales.join(returns, col("cust") === col("cust2"), "left_outer")
+    sales.join(returns, col("cust") === col("cust2"), "left_outer")
       .select(col("cust"),
         (coalesce(col("r_orders"), lit(0L)).cast("double") / col("orders"))
           .as("order_ratio"),
@@ -211,6 +212,11 @@ object BdbQueries2 {
         (coalesce(col("r_amount").cast("double"), lit(0.0)) /
           col("amount").cast("double")).as("amount_ratio"))
       .na.fill(0.0)
+  }
+
+  def q20(s: SparkSession): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = q20Features(s)
     val data = new VectorAssembler()
       .setInputCols(Array("order_ratio", "item_ratio", "amount_ratio"))
       .setOutputCol("features").transform(feats)
@@ -379,8 +385,9 @@ object BdbQueries2 {
   /** q25: RFM features per customer from both channels (cutoff date)
     * -> k-means(8, 20). Ref: q25_dask_sql.py:55-147.
     */
-  def q25(s: SparkSession, cutoff: String = "2002-01-02"): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+  /** q25's deterministic RFM feature frame (upstream of the k-means
+    * fit) — exposed for the direct DuckDB gate (b56). */
+  def q25Features(s: SparkSession, cutoff: String = "2002-01-02"): DataFrame = {
     val dd = s.table("date_dim")
       .withColumn("dd", to_date(col("d_date"))).select("d_date_sk", "dd")
     val store = s.table("store_sales").filter(col("ss_customer_sk").isNotNull)
@@ -393,11 +400,15 @@ object BdbQueries2 {
       .select(col("ws_bill_customer_sk").as("cid"),
         col("ws_order_number").as("oid"), col("dd"),
         col("ws_net_paid").as("amount"))
-    val all = store.unionByName(web)
-    val feats = all.groupBy("cid").agg(
+    store.unionByName(web).groupBy("cid").agg(
       max(when(col("dd") >= lit(cutoff), 1.0).otherwise(0.0)).as("recency"),
       countDistinct("oid").cast("double").as("frequency"),
       sum("amount").cast("double").as("totalspend"))
+  }
+
+  def q25(s: SparkSession, cutoff: String = "2002-01-02"): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = q25Features(s, cutoff)
     val data = new VectorAssembler()
       .setInputCols(Array("recency", "frequency", "totalspend"))
       .setOutputCol("features").transform(feats)
@@ -411,9 +422,10 @@ object BdbQueries2 {
   /** q26: per-customer counts across the 15 class ids of a category
     * (>5 items) -> k-means(8, 20). Ref: q26_dask_sql.py:37-66.
     */
-  def q26(s: SparkSession, category: String = "Books",
+  /** q26's deterministic per-class count feature frame (upstream of
+    * the k-means fit) — exposed for the direct DuckDB gate (b57). */
+  def q26Features(s: SparkSession, category: String = "Books",
       minItems: Long = 5): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
     val items = s.table("item")
       .filter(col("i_category") === category)
       .select("i_item_sk", "i_class_id")
@@ -423,10 +435,16 @@ object BdbQueries2 {
     val classCols = (1 to 15).map(i =>
       sum(when(col("i_class_id") === i, 1).otherwise(0))
         .cast("double").as(s"id$i"))
-    val feats = base.groupBy(col("ss_customer_sk").as("cid"))
+    base.groupBy(col("ss_customer_sk").as("cid"))
       .agg(classCols.head, classCols.tail: _*)
       .withColumn("total", (1 to 15).map(i => col(s"id$i")).reduce(_ + _))
       .filter(col("total") > minItems)
+  }
+
+  def q26(s: SparkSession, category: String = "Books",
+      minItems: Long = 5): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = q26Features(s, category, minItems)
     val data = new VectorAssembler()
       .setInputCols((1 to 15).map(i => s"id$i").toArray)
       .setOutputCol("features").transform(feats)
