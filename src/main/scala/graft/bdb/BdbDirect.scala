@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   * cores gated (b54-b57) with only the MLlib fit itself left on
   * parity thresholds (LogisticRegression coefficients / KMeans WSSSE
   * — no replayable oracle exists for an iterative float optimizer).
-  * The remaining two: q28's bucket function is Spark's murmur3
-  * (engine-private; its NB math is pinned against MLlib on identical
-  * vectors in BdbQueriesSpec), and q13 IS q06 with the same defaults
-  * (one body, already gated by b32).
+  * q28 is ALSO end-to-end gated (b59): the oracle can't replay the
+  * engine-private murmur3 bucket hash, but the committed fixture's
+  * 103-token vocabulary maps injectively into 2^23 buckets, so a
+  * word-keyed NB with the same smoothing constants reproduces the
+  * identical confusion matrix (the NB math itself stays pinned
+  * against MLlib in BdbQueriesSpec). The one remaining query, q13,
+  * IS q06 with the same defaults (one body, already gated by b32) —
+  * every distinct BDB query body now has a direct DuckDB gate.
   *
   * Conventions: decimal sums are cast to DOUBLE on both sides
   * (DuckDB's DECIMAL(38,2)/HUGEINT vs Spark's DECIMAL(17,2)/BIGINT
@@ -966,6 +970,77 @@ object BdbDirect extends Suite {
               |SELECT review_sk, item_sk, company_name,
               |  sentence AS review_sentence
               |FROM dist
-              |ORDER BY review_sk, company_name, review_sentence""".stripMargin))
+              |ORDER BY review_sk, company_name, review_sentence""".stripMargin)),
+
+    // q28 (hashed-NB sentiment confusion matrix) — the REAL query on
+    // its real 2^23 murmur3 bucket path. The oracle cannot replay
+    // Spark's engine-private hash, but it doesn't need to: the
+    // committed fixture's token set (103 distinct uni+bigrams) maps
+    // INJECTIVELY into 2^23 buckets, so bucket-keyed counts equal
+    // word-keyed counts and a word-keyed NB with the SAME smoothing
+    // constants (alpha=0.001, F=2^23, 3 classes) produces the
+    // identical integer confusion matrix. Injectivity is a fixed
+    // property of the committed fixture (not of the algorithm —
+    // that's what the MLlib pin in BdbQueriesSpec covers); a fixture
+    // regeneration that broke it would fail this gate loudly.
+    Q("b59_bdb_q28", (s, _) => {
+      reg(s)
+      BdbQueries2.q28(s)
+    },
+      Some(s"""WITH r AS (
+              |  SELECT pr_review_sk,
+              |    CASE WHEN pr_review_rating <= 2 THEN 0.0
+              |         WHEN pr_review_rating = 3 THEN 1.0 ELSE 2.0 END AS label,
+              |    regexp_split_to_array(lower(pr_review_content),
+              |      '[^a-z'']+') AS ws
+              |  FROM ${rp("product_reviews")}
+              |  WHERE pr_review_content IS NOT NULL
+              |    AND pr_review_rating IS NOT NULL),
+              |w AS (
+              |  SELECT pr_review_sk, label,
+              |    generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+              |  FROM r),
+              |toks AS (
+              |  SELECT pr_review_sk, label, word FROM w
+              |  UNION ALL
+              |  SELECT a.pr_review_sk, a.label, a.word || ' ' || b.word
+              |  FROM w a JOIN w b ON a.pr_review_sk = b.pr_review_sk
+              |    AND b.pos = a.pos + 1),
+              |tr AS (SELECT * FROM toks WHERE pr_review_sk % 10 <> 0),
+              |te AS (SELECT * FROM toks WHERE pr_review_sk % 10 = 0),
+              |cb AS (SELECT label AS c, word, COUNT(*) AS ct
+              |       FROM tr GROUP BY 1, 2),
+              |ctot AS (SELECT c, SUM(ct) AS tot FROM cb GROUP BY 1),
+              |theta AS (
+              |  SELECT c, word, ln((ct + 0.001) / (tot + 0.001 * 8388608))
+              |    AS lp
+              |  FROM cb JOIN ctot USING (c)),
+              |deflp AS (SELECT c, ln(0.001 / (tot + 0.001 * 8388608))
+              |            AS def_lp FROM ctot),
+              |trd AS (SELECT DISTINCT pr_review_sk, label
+              |        FROM r WHERE pr_review_sk % 10 <> 0),
+              |nd AS (SELECT COUNT(*) AS n FROM trd),
+              |pri AS (
+              |  SELECT label AS c,
+              |    ln((COUNT(*) + 0.001) / (n + 0.001 * 3)) AS lprior
+              |  FROM trd, nd GROUP BY label, n),
+              |scored AS (
+              |  SELECT te.pr_review_sk, te.label AS true_label, d.c,
+              |    SUM(COALESCE(t.lp, d.def_lp)) AS ll
+              |  FROM te CROSS JOIN deflp d
+              |  LEFT JOIN theta t ON t.c = d.c AND t.word = te.word
+              |  GROUP BY 1, 2, 3),
+              |fin AS (
+              |  SELECT pr_review_sk, true_label, c,
+              |    ll + lprior AS score
+              |  FROM scored JOIN pri USING (c)),
+              |pred AS (
+              |  SELECT pr_review_sk, true_label, c AS pred_label,
+              |    row_number() OVER (PARTITION BY pr_review_sk, true_label
+              |      ORDER BY score DESC, c) AS rn
+              |  FROM fin)
+              |SELECT true_label, pred_label, COUNT(*) AS n
+              |FROM pred WHERE rn = 1
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
