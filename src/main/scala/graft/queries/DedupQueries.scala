@@ -1553,16 +1553,28 @@ object DedupQueries extends Suite {
     Q("a26_neardup_manifest", (s, d) => {
       val base = docs(s, d)
       val edges = Dedup.dupEdges(base, "doc_id", "text", 3, tPct = 10)
+      // roots is dup-membership-bounded (tiny next to the corpus) and
+      // feeds two consumers below — pin it so the whole edge+star
+      // pipeline runs once
       val roots = graft.ops.StarCC.components(edges, rounds = 4,
-        distinctInput = false, dedupEvery = 2)
+        distinctInput = false, dedupEvery = 2).localCheckpoint()
+      // group sizes from roots alone: every non-root member appears
+      // exactly once as `node`, the root itself never does, so
+      // |group| = member-count + 1; singletons aren't in roots at all
+      // (coalesce 1). This replaces a COUNT window partitioned by
+      // group_id — a full-corpus exchange — with a dup-groups-bounded
+      // broadcast join: at 100 TB the corpus never reshuffles for the
+      // group size.
+      val sizes = roots.groupBy(col("root").as("group_id"))
+        .agg((count(lit(1)) + 1).as("nc"))
       val g = base.select(col("doc_id"), col("source"),
           expr("size(filter(split(text, ' '), w -> w != ''))")
             .cast("long").as("dl"))
         .join(roots, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"), col("source"), col("dl"),
           coalesce(col("root"), col("doc_id")).as("group_id"))
-      val gw = g.withColumn("nc",
-        count(lit(1)).over(Window.partitionBy("group_id")))
+      val gw = g.join(broadcast(sizes), Seq("group_id"), "left_outer")
+        .withColumn("nc", coalesce(col("nc"), lit(1L)))
       val ps = gw.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("dl").as("tokens_raw"),
