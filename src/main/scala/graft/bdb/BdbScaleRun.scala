@@ -101,7 +101,15 @@ object BdbScaleRun {
       val only = sys.env.get("SPARK_GRAFT_BDB_ONLY")
         .map(_.split(",").map(_.trim).toSet)
       val selected = only match {
-        case Some(names) => queries.filter { case (n, _) => names(n) }
+        case Some(names) =>
+          val sel = queries.filter { case (n, _) => names(n) }
+          val missing = names -- queries.keySet
+          require(missing.isEmpty,
+            s"SPARK_GRAFT_BDB_ONLY names unknown queries: " +
+              s"${missing.toSeq.sorted.mkString(",")} " +
+              s"(known: ${queries.keys.toSeq.sorted.mkString(",")})")
+          require(sel.nonEmpty, "SPARK_GRAFT_BDB_ONLY selected nothing")
+          sel
         case None => queries
       }
       val resultsPath = only match {

@@ -81,10 +81,17 @@ object SemDedup {
     * count action, no second execution of the sampled pipeline);
     * k+1 rows back means the bound is exceeded and the collected
     * prefix is discarded for the fixed-k join path. */
+  /** The probe limit for the k-switch: maxLiteralK+1 clamped into
+    * Int range (limit() takes an Int; a naive .toInt would WRAP for
+    * maxLiteralK > 2^31 and silently collect a partial centroid set
+    * down the literal path). */
+  private def probeLimit(maxLiteralK: Long): Int =
+    math.min(maxLiteralK + 1, Int.MaxValue.toLong).toInt
+
   def assignCos(e: DataFrame, maxLiteralK: Long = MaxLiteralK,
       fixedK: Int = DefaultFixedK, lloydIters: Int = 2): DataFrame = {
     val head = sampledCentroids(e)
-      .limit(maxLiteralK.toInt + 1).collect()
+      .limit(probeLimit(maxLiteralK)).collect()
     if (head.length <= maxLiteralK) assignCosLiteralRows(e, head)
     else assignCosJoin(e, lloydCentroids(e, fixedK, lloydIters))
   }
@@ -96,7 +103,7 @@ object SemDedup {
     import graft.expressions.GraftFunctions.pq_encode
     val head = sampledCentroids(e)
       .select(col("cid"), pq_encode(col("cvec")).as("ccodes"))
-      .limit(maxLiteralK.toInt + 1).collect()
+      .limit(probeLimit(maxLiteralK)).collect()
     if (head.length <= maxLiteralK) assignAdcLiteralRows(e, head)
     else assignAdcJoin(e, lloydCentroids(e, fixedK, lloydIters))
   }

@@ -256,28 +256,29 @@ object CurationQueries extends Suite {
       val uniH = Text.words(base, "doc_id", "text")
         .groupBy(xxhash64(col("word")).as("w1h"))
         .agg(count(lit(1)).as("c1"))
-      // ONE bigram-keyed aggregation carrying the doc ids as a list
-      // (mean occurrences per distinct bigram is ~1.2 on this corpus:
-      // 2.7M occurrences / 2.3M distinct at engine sf1), then explode
-      // back and aggregate per doc. The previous form localCheckpointed
-      // the full occurrence stream and equi-joined it against its own
-      // 2.3M-row count table — the checkpoint write plus the hash
-      // build/probe of a stream-sized table measured 3.9 s of the
-      // query's 4.0 s; this form is two stream exchanges, no join
-      // build, no materialization (every stage single-consumer).
-      // Identical integers: an n-occurrence bigram contributes its
-      // (c2*1e6 div c1) term once per listed doc_id occurrence.
-      Dedup.ngrams(base, "doc_id", "text", 2)
+      // Checkpoint the occurrence stream once (it feeds the bigram
+      // count AND the join probe), count per bigram hash with
+      // map-side partials, equi-join the stream back, roll up per
+      // doc. This is the skew-safe shape at the Zipfian design
+      // point: a stopword bigram collapses in the count's partial
+      // aggregation and the join's hot key is AQE-splittable. Two
+      // r12 rewrites were tried and REJECTED: a per-bigram
+      // collect_list(doc_id) (no join, fastest here) materializes a
+      // corpus-frequent bigram's whole doc list in one buffer —
+      // O(n_docs) skew the design point forbids; a (doc, h)
+      // pre-aggregation (k-compressed join) just adds an exchange on
+      // corpora without repeated per-doc bigrams (measured +1.4 s at
+      // engine sf1, where occurrences/distinct = 1.17).
+      val bi = Dedup.ngrams(base, "doc_id", "text", 2)
         .select(col("doc_id"), xxhash64(col("sh")).as("h"),
           xxhash64(substring_index(col("sh"), " ", 1)).as("w1h"))
-        .groupBy("h", "w1h")
-        .agg(count(lit(1)).as("c2"), collect_list(col("doc_id")).as("ds"))
+        .localCheckpoint() // feeds the bigram count AND the join probe
+      val biCount = bi.groupBy("h").agg(count(lit(1)).as("c2"))
+      bi.join(biCount, "h")
         .join(uniH, "w1h") // vocabulary-sized, broadcast by Catalyst
-        .select(explode(col("ds")).as("doc_id"),
-          expr("(c2 * 1000000) div c1").as("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(term) div count(1)").as("lm_ppm"))
+          expr("sum((c2 * 1000000) div c1) div count(1)").as("lm_ppm"))
         .orderBy("doc_id")
     },
       Some("""WITH w0 AS (

@@ -1558,22 +1558,31 @@ object DedupQueries extends Suite {
       // pipeline runs once
       val roots = graft.ops.StarCC.components(edges, rounds = 4,
         distinctInput = false, dedupEvery = 2).localCheckpoint()
-      // group sizes from roots alone: every non-root member appears
-      // exactly once as `node`, the root itself never does, so
-      // |group| = member-count + 1; singletons aren't in roots at all
-      // (coalesce 1). This replaces a COUNT window partitioned by
-      // group_id — a full-corpus exchange — with a dup-groups-bounded
-      // broadcast join: at 100 TB the corpus never reshuffles for the
-      // group size.
+      // group sizes from roots alone, SELF-CONSISTENT with the
+      // coalesce(root, doc_id) labeling for ANY (node, root) table —
+      // converged or not: rows labeled r = (#nodes with root = r)
+      // + (1 if r itself is not a node; if a fixed-round star left r
+      // pointing elsewhere, r's own row carries r's root, not r).
+      // Singletons aren't in roots at all (coalesce 1). This replaces
+      // a COUNT window partitioned by group_id — a full-corpus
+      // exchange — with a dup-groups-bounded join; no broadcast hint,
+      // so AQE broadcasts while sizes is small and falls back to a
+      // shuffle join on a pathologically dup-heavy corpus.
       val sizes = roots.groupBy(col("root").as("group_id"))
-        .agg((count(lit(1)) + 1).as("nc"))
+        .agg(count(lit(1)).as("_m"))
+        .join(roots.select(col("node").as("group_id")).distinct()
+            .withColumn("_isNode", lit(1L)),
+          Seq("group_id"), "left_outer")
+        .select(col("group_id"),
+          (col("_m") + when(col("_isNode").isNull, 1L).otherwise(0L))
+            .as("nc"))
       val g = base.select(col("doc_id"), col("source"),
           expr("size(filter(split(text, ' '), w -> w != ''))")
             .cast("long").as("dl"))
         .join(roots, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"), col("source"), col("dl"),
           coalesce(col("root"), col("doc_id")).as("group_id"))
-      val gw = g.join(broadcast(sizes), Seq("group_id"), "left_outer")
+      val gw = g.join(sizes, Seq("group_id"), "left_outer")
         .withColumn("nc", coalesce(col("nc"), lit(1L)))
       val ps = gw.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

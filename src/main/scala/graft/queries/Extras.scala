@@ -500,7 +500,11 @@ object Extras extends Suite {
             .as("hv"))
         .groupBy("grp")
         .agg(hll(col("hv")).as("hll_nd"),
-          count(lit(1)).as("exact_nd"))
+          // count(hv), not count(*): countDistinct ignored NULL keys
+          // and distinct() keeps a (grp, NULL) row, so a star-count
+          // would read one high per group on data with null keys;
+          // hv is null exactly when the key is null
+          count(col("hv")).as("exact_nd"))
         .orderBy("grp")
     },
       Some(s"""WITH hashed AS (
