@@ -141,4 +141,23 @@ object StarCC {
         least(col("u"), col("v")).as("r"))
       .groupBy("node").agg(min("r").as("root"))
   }
+
+  /** Per-label group sizes for the `coalesce(root, id)` labeling
+    * derived from a [[components]] table — SELF-CONSISTENT for ANY
+    * (node, root) table, converged or not: rows labeled r =
+    * (#nodes with root = r) + (1 if r itself is NOT a node — if a
+    * fixed-round star left r pointing elsewhere, r's own row carries
+    * r's root, not r). Returns (group_id, nc); labels absent from the
+    * result are singletons (size 1 — coalesce on the consumer side).
+    * Everything is roots-bounded: at 100 TB this replaces a COUNT
+    * window partitioned by group_id over the full corpus. */
+  def groupSizes(roots: DataFrame): DataFrame =
+    roots.groupBy(col("root").as("group_id"))
+      .agg(count(lit(1)).as("_m"))
+      .join(roots.select(col("node").as("group_id")).distinct()
+          .withColumn("_isNode", lit(1L)),
+        Seq("group_id"), "left_outer")
+      .select(col("group_id"),
+        (col("_m") + when(col("_isNode").isNull, 1L).otherwise(0L))
+          .as("nc"))
 }

@@ -1558,24 +1558,15 @@ object DedupQueries extends Suite {
       // pipeline runs once
       val roots = graft.ops.StarCC.components(edges, rounds = 4,
         distinctInput = false, dedupEvery = 2).localCheckpoint()
-      // group sizes from roots alone, SELF-CONSISTENT with the
-      // coalesce(root, doc_id) labeling for ANY (node, root) table —
-      // converged or not: rows labeled r = (#nodes with root = r)
-      // + (1 if r itself is not a node; if a fixed-round star left r
-      // pointing elsewhere, r's own row carries r's root, not r).
-      // Singletons aren't in roots at all (coalesce 1). This replaces
-      // a COUNT window partitioned by group_id — a full-corpus
-      // exchange — with a dup-groups-bounded join; no broadcast hint,
-      // so AQE broadcasts while sizes is small and falls back to a
-      // shuffle join on a pathologically dup-heavy corpus.
-      val sizes = roots.groupBy(col("root").as("group_id"))
-        .agg(count(lit(1)).as("_m"))
-        .join(roots.select(col("node").as("group_id")).distinct()
-            .withColumn("_isNode", lit(1L)),
-          Seq("group_id"), "left_outer")
-        .select(col("group_id"),
-          (col("_m") + when(col("_isNode").isNull, 1L).otherwise(0L))
-            .as("nc"))
+      // group sizes from roots alone (StarCC.groupSizes — self-
+      // consistent with the coalesce labeling for ANY star output,
+      // proven against the window form on non-converged tables in
+      // StarCCSpec). Singletons aren't in roots at all (coalesce 1).
+      // This replaces a COUNT window partitioned by group_id — a
+      // full-corpus exchange — with a dup-groups-bounded join; no
+      // broadcast hint, so AQE broadcasts while sizes is small and
+      // falls back to a shuffle join on a dup-heavy corpus.
+      val sizes = graft.ops.StarCC.groupSizes(roots)
       val g = base.select(col("doc_id"), col("source"),
           expr("size(filter(split(text, ' '), w -> w != ''))")
             .cast("long").as("dl"))

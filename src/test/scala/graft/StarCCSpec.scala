@@ -104,4 +104,41 @@ class StarCCSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  /** groupSizes must match a window count over the coalesce labeling
+    * for ANY (node, root) table — including NON-converged stars where
+    * a root value still appears as a node (the case a fixed-round run
+    * can produce and the correctness gates never do; a naive
+    * member-count+1 is off by one and misattributed exactly there). */
+  test("groupSizes == window count over the coalesce labeling, converged or not") {
+    import org.apache.spark.sql.expressions.Window
+    def check(rootRows: Seq[(Long, Long)], docs: Seq[Long]): Unit = {
+      val roots = rootRows.toDF("node", "root")
+      val base = docs.toDF("doc_id")
+      val labeled = base
+        .join(roots, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("group_id"))
+      val viaWindow = labeled
+        .withColumn("nc",
+          count(lit(1)).over(Window.partitionBy("group_id")))
+        .select("doc_id", "nc").orderBy("doc_id").collect().toSeq
+      val viaSizes = labeled
+        .join(StarCC.groupSizes(roots), Seq("group_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("nc"), lit(1L)).as("nc"))
+        .orderBy("doc_id").collect().toSeq
+      assert(viaSizes === viaWindow, s"roots=$rootRows")
+    }
+    val docs = (1L to 8L)
+    // converged: {1,2,3} rooted at 1; {5,6} at 5; 4,7,8 singletons
+    check(Seq((2L, 1L), (3L, 1L)), docs)
+    // NOT converged: 2 points at 1, 3 points at 2 — label "2" exists
+    // as a group id (doc3) while doc2 itself is labeled 1
+    check(Seq((2L, 1L), (3L, 2L)), docs)
+    // deeper chain, multiple half-contracted groups
+    check(Seq((2L, 1L), (3L, 2L), (4L, 3L), (6L, 5L), (8L, 7L)), docs)
+    // star root also mid-chain elsewhere
+    check(Seq((5L, 1L), (6L, 5L), (7L, 6L)), docs)
+  }
 }
