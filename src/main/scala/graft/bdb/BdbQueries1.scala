@@ -222,33 +222,48 @@ object BdbQueries1 {
   }
 
   /** q06: customers whose web YoY spend ratio beats their store ratio
-    * (year 2001 vs 2002), top-100. Ref: q06_dask_sql.py:36-95.
+    * (year 2001 vs 2002) on the COMPOSITE price measure
+    * ((ext_list_price - ext_wholesale_cost - ext_discount_amt)
+    * + ext_sales_price)/2, 8-column top-100.
+    * Ref: queries/q06/gpu_bdb_query_06_dask_sql.py:36-99.
+    *
+    * The reference halves the composite inside every SUM; both the
+    * y2/y1 ratio and the `HAVING y1 > 0` predicate are invariant
+    * under that common positive factor, so the sums here stay on the
+    * exact DECIMAL composite (no per-row float division, no
+    * accumulation-order sensitivity) and the ratio divides once in
+    * double at the end — bit-identical to halving first.
     */
   def q06(s: SparkSession, year: Int = 2001, limit: Int = 100): DataFrame = {
     val dd = s.table("date_dim").select("d_date_sk", "d_year")
-    def channel(t: String, itemCol: String, dateCol: String, custCol: String,
-        priceCol: String, ratioName: String) =
+    def channel(t: String, dateCol: String, custCol: String, pfx: String) = {
+      val comp = col(s"${pfx}_ext_list_price") -
+        col(s"${pfx}_ext_wholesale_cost") -
+        col(s"${pfx}_ext_discount_amt") + col(s"${pfx}_ext_sales_price")
       s.table(t)
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
         .filter(col("d_year").isin(year, year + 1))
         .groupBy(col(custCol).as("cust"))
         .agg(
-          sum(when(col("d_year") === year, col(priceCol))).as("y1"),
-          sum(when(col("d_year") === year + 1, col(priceCol))).as("y2"))
-        .filter(col("y1").isNotNull && col("y2").isNotNull && col("y1") > 0)
+          sum(when(col("d_year") === year, comp).otherwise(lit(0))).as("y1"),
+          sum(when(col("d_year") === year + 1, comp).otherwise(lit(0)))
+            .as("y2"))
+        .filter(col("y1") > 0)
         .select(col("cust"),
-          (col("y2").cast("double") / col("y1").cast("double"))
-            .as(ratioName))
-    val web = channel("web_sales", "ws_item_sk", "ws_sold_date_sk",
-      "ws_bill_customer_sk", "ws_net_paid", "web_ratio")
-    val store = channel("store_sales", "ss_item_sk", "ss_sold_date_sk",
-      "ss_customer_sk", "ss_net_paid", "store_ratio")
+          (col("y2").cast("double") / col("y1").cast("double")).as("ratio"))
+    }
+    val web = channel("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws").withColumnRenamed("ratio", "web_sales_increase_ratio")
+    val store = channel("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+      "ss").withColumnRenamed("ratio", "store_ratio")
     web.join(store, "cust")
-      .filter(col("web_ratio") > col("store_ratio"))
+      .filter(col("web_sales_increase_ratio") > col("store_ratio"))
       .join(s.table("customer"), col("cust") === col("c_customer_sk"))
-      .select(col("cust").as("c_customer_sk"), col("web_ratio"),
-        col("store_ratio"), col("c_first_name"), col("c_last_name"))
-      .orderBy(desc("web_ratio"), col("c_customer_sk"))
+      .select(col("web_sales_increase_ratio"), col("c_customer_sk"),
+        col("c_first_name"), col("c_last_name"),
+        col("c_preferred_cust_flag"), col("c_birth_country"),
+        col("c_login"), col("c_email_address"))
+      .orderBy(desc("web_sales_increase_ratio"), col("c_customer_sk"))
       .limit(limit)
   }
 
@@ -427,10 +442,41 @@ object BdbQueries1 {
   }
 
   /** q13: customers with both-channel sales in consecutive years,
-    * ordered by web growth — the q06 sibling. Ref: q13_dask_sql.py:36-97.
+    * ordered by web growth — the q06 sibling, but on the plain
+    * `net_paid` measure with BOTH channel ratios in the 5-column
+    * output (q06 outputs only the web ratio over the composite price
+    * expression). Ref: queries/q13/gpu_bdb_query_13_dask_sql.py:33-93.
     */
-  def q13(s: SparkSession, year: Int = 2001, limit: Int = 100): DataFrame =
-    q06(s, year, limit)
+  def q13(s: SparkSession, year: Int = 2001, limit: Int = 100): DataFrame = {
+    val dd = s.table("date_dim").select("d_date_sk", "d_year")
+      .filter(col("d_year").isin(year, year + 1))
+    def channel(t: String, dateCol: String, custCol: String,
+        priceCol: String, ratioName: String) =
+      s.table(t)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .groupBy(col(custCol).as("cust"))
+        .agg(
+          sum(when(col("d_year") === year, col(priceCol)).otherwise(lit(0)))
+            .as("y1"),
+          sum(when(col("d_year") === year + 1, col(priceCol))
+            .otherwise(lit(0))).as("y2"))
+        .filter(col("y1") > 0)
+        .select(col("cust"),
+          (col("y2").cast("double") / col("y1").cast("double"))
+            .as(ratioName))
+    val store = channel("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+      "ss_net_paid", "store_sales_increase_ratio")
+    val web = channel("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_net_paid", "web_sales_increase_ratio")
+    store.join(web, "cust")
+      .filter(col("web_sales_increase_ratio") >
+        col("store_sales_increase_ratio"))
+      .join(s.table("customer"), col("cust") === col("c_customer_sk"))
+      .select(col("c_customer_sk"), col("c_first_name"), col("c_last_name"),
+        col("store_sales_increase_ratio"), col("web_sales_increase_ratio"))
+      .orderBy(desc("web_sales_increase_ratio"), col("c_customer_sk"))
+      .limit(limit)
+  }
 
   /** q14: am/pm web-sales ratio for dep_count=5 households on pages of
     * 5000–6000 chars. Ref: q14_dask_sql.py:31-51.

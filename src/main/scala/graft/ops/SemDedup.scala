@@ -72,6 +72,15 @@ object SemDedup {
   // The k-switch entry points (what d23 / d32 call).
   // ------------------------------------------------------------------
 
+  /** The probe limit for the k-switch: maxLiteralK+1 clamped into
+    * Int range (limit() takes an Int; a naive .toInt would WRAP for
+    * maxLiteralK > 2^31 and silently collect a partial centroid set
+    * down the literal path — and the +1 itself wraps at
+    * Long.MaxValue, so the bound check comes BEFORE the increment). */
+  private[graft] def probeLimit(maxLiteralK: Long): Int =
+    if (maxLiteralK >= Int.MaxValue.toLong) Int.MaxValue
+    else (maxLiteralK + 1).toInt
+
   /** Exact-cosine cluster assignment with the explicit k-switch.
     * Returns (vec_id, cid, embedding).
     *
@@ -81,13 +90,6 @@ object SemDedup {
     * count action, no second execution of the sampled pipeline);
     * k+1 rows back means the bound is exceeded and the collected
     * prefix is discarded for the fixed-k join path. */
-  /** The probe limit for the k-switch: maxLiteralK+1 clamped into
-    * Int range (limit() takes an Int; a naive .toInt would WRAP for
-    * maxLiteralK > 2^31 and silently collect a partial centroid set
-    * down the literal path). */
-  private def probeLimit(maxLiteralK: Long): Int =
-    math.min(maxLiteralK + 1, Int.MaxValue.toLong).toInt
-
   def assignCos(e: DataFrame, maxLiteralK: Long = MaxLiteralK,
       fixedK: Int = DefaultFixedK, lloydIters: Int = 2): DataFrame = {
     val head = sampledCentroids(e)

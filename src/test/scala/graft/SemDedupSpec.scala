@@ -95,4 +95,12 @@ class SemDedupSpec extends SparkSpec {
     assert(c1.forall(_._2.length == 64))
     assert(c1.toList == c2.toList)
   }
+
+  test("probeLimit clamps without wrapping at the Long/Int edges") {
+    assert(SemDedup.probeLimit(5L) == 6)
+    assert(SemDedup.probeLimit(Int.MaxValue.toLong - 1) == Int.MaxValue)
+    assert(SemDedup.probeLimit(Int.MaxValue.toLong) == Int.MaxValue)
+    assert(SemDedup.probeLimit(Long.MaxValue) == Int.MaxValue)
+    assert(SemDedup.probeLimit(Long.MaxValue - 1) == Int.MaxValue)
+  }
 }
