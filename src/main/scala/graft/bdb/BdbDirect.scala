@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   * q06 carries the reference's composite price measure and q13 the
   * net_paid measure — two distinct bodies, separately gated).
   * Four more (q05/q20/q25/q26) have their DETERMINISTIC feature
-  * cores gated (b54-b57) with only the MLlib fit itself left on
-  * parity thresholds (LogisticRegression coefficients / KMeans WSSSE
-  * — no replayable oracle exists for an iterative float optimizer).
+  * cores gated (b54-b57) AND, as of round 13, their fits run end to
+  * end deterministic too: q20/q25/q26's clustering as exact-integer
+  * Lloyd over the real feature frames (b61-b63, oracle replaying the
+  * unrolled iterations) and q05's classifier as a closed-form
+  * least-squares linear-probability fit from exact moment sums (b64,
+  * oracle evaluating the identical Cramer formula strings). The
+  * optimized MLlib fits (LogisticRegression / KMeans maxIter=20)
+  * stay on parity thresholds — no replayable oracle exists for an
+  * iterative float optimizer, and that matches the reference's own
+  * methodology.
   * q28 is ALSO end-to-end gated (b59): the oracle can't replay the
   * engine-private murmur3 bucket hash, but the committed fixture's
   * 103-token vocabulary maps injectively into 2^23 buckets, so a
@@ -956,8 +963,10 @@ object BdbDirect extends Suite {
               |  FROM ${rp("store_returns")}
               |  WHERE sr_customer_sk IS NOT NULL GROUP BY 1)
               |-- each whole ratio is COALESCEd to 0 to mirror the
-              |-- Spark side's .na.fill(0.0): both engines yield NULL
-              |-- for x/NULL and x/0 (Spark non-ANSI Divide, DuckDB /)
+              |-- Spark side's .na.fill(0.0) on x/NULL (both engines
+              |-- NULL there). x/0 differs by design: DuckDB yields
+              |-- NULL->0 while Spark (ANSI) THROWS, so a zero-sum
+              |-- customer fails the gate loudly instead of silently
               |SELECT s.cust,
               |  round(COALESCE(CAST(COALESCE(r.r_orders, 0) AS DOUBLE)
               |    / s.orders, 0.0), 6) + 0 AS order_ratio,
@@ -1135,5 +1144,214 @@ object BdbDirect extends Suite {
               |SELECT true_label, pred_label, COUNT(*) AS n
               |FROM pred WHERE rn = 1
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
-  )
+  ) ++ lloydGates ++ linFitGate
+
+  /** Unrolled exact-Lloyd SQL for the b61–b63 k-means gates: replays
+    * [[graft.ops.ExactLloyd.fitLabels]] verbatim — quantize each
+    * feature to integer units, seed with the k smallest ids, `iters`
+    * rounds of (integer-L2 argmin with lowest-cid tie-break, exact
+    * floor-division recenter), then a final assignment whose labels
+    * and summed squared distances (WSSSE) are the result. `featSql`
+    * must yield columns (id, f1..fN); `outId` names the id column in
+    * the 3-column (outId, cluster, wssse) output.
+    */
+  private def lloydSql(featSql: String, nDims: Int, k: Int, iters: Int,
+      unit: Long, outId: String): String = {
+    val eq = (1 to nDims).map(i =>
+      s"""SELECT id, ${i - 1} AS dim,
+         |    CAST(round(f$i * $unit, 0) AS BIGINT) AS v FROM f""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val steps = (0 until iters).map { i =>
+      s"""s${i + 1} AS (
+         |  SELECT e.id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d2
+         |  FROM eq e JOIN c$i c USING (dim) GROUP BY e.id, c.cid),
+         |a${i + 1} AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid, ROW_NUMBER() OVER (
+         |      PARTITION BY id ORDER BY d2, cid) AS rn FROM s${i + 1})
+         |  WHERE rn = 1),
+         |c${i + 1} AS (
+         |  SELECT cid, dim, (sv - (((sv % n) + n) % n)) // n AS cv FROM (
+         |    SELECT a.cid, e.dim, CAST(SUM(e.v) AS BIGINT) AS sv,
+         |      COUNT(*) AS n
+         |    FROM a${i + 1} a JOIN eq e USING (id) GROUP BY a.cid, e.dim))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $featSql,
+       |eq AS (
+       |  $eq),
+       |seeds AS (SELECT DISTINCT id FROM eq ORDER BY id LIMIT $k),
+       |c0 AS (SELECT e.id AS cid, e.dim, e.v AS cv
+       |       FROM eq e JOIN seeds s USING (id)),
+       |$steps,
+       |sf AS (
+       |  SELECT e.id, c.cid, SUM((e.v - c.cv) * (e.v - c.cv)) AS d2
+       |  FROM eq e JOIN c$iters c USING (dim) GROUP BY e.id, c.cid),
+       |af AS (
+       |  SELECT id, cid, d2 FROM (
+       |    SELECT id, cid, d2, ROW_NUMBER() OVER (
+       |      PARTITION BY id ORDER BY d2, cid) AS rn FROM sf)
+       |  WHERE rn = 1),
+       |w AS (SELECT CAST(SUM(d2) AS BIGINT) AS wssse FROM af)
+       |SELECT af.id AS $outId, af.cid AS cluster, w.wssse
+       |FROM af, w ORDER BY af.id""".stripMargin
+  }
+
+  /** b61–b63: the q20/q25/q26 k-means fits END TO END deterministic —
+    * the REAL qNNFeatures frame feeding an exact-integer Lloyd run
+    * (k=8, 3 iterations, smallest-k-ids seeding) whose labels and
+    * integer WSSSE the oracle replays iteration by iteration. This
+    * retires the last non-replayable verification in the suite: the
+    * optimized MLlib fits (kmeans k=8 maxIter=20) stay as the parity
+    * check in MlThresholdSpec, matching the reference's own
+    * threshold methodology (bdb_tools/utils.py:957-1018).
+    *
+    * Quantization units are chosen so the sources are EXACT: q20
+    * ratios at 1e6 (6-decimal micro-units, the established rounding
+    * grain), q25 at 100 (recency 0/1, integer frequency, 2-decimal
+    * money — all exact at cents), q26 at 1 (class counts). Unit-space
+    * values stay <= ~1e7, so per-row squared distances fit a long
+    * with >6 decades of headroom (ExactLloyd sums them in decimal).
+    */
+  private def lloydGates: Seq[Q] = {
+    val iters = 3
+    val q20Feat =
+      s"""sales AS (
+         |  SELECT ss_customer_sk AS cust,
+         |    COUNT(DISTINCT ss_ticket_number) AS orders,
+         |    SUM(ss_quantity) AS items, SUM(ss_net_paid) AS amount
+         |  FROM ${rp("store_sales")}
+         |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
+         |ret AS (
+         |  SELECT sr_customer_sk AS cust,
+         |    COUNT(DISTINCT sr_ticket_number) AS r_orders,
+         |    SUM(sr_return_quantity) AS r_items,
+         |    SUM(sr_return_amt) AS r_amount
+         |  FROM ${rp("store_returns")}
+         |  WHERE sr_customer_sk IS NOT NULL GROUP BY 1),
+         |f AS (
+         |  SELECT s.cust AS id,
+         |    COALESCE(CAST(COALESCE(r.r_orders, 0) AS DOUBLE)
+         |      / s.orders, 0.0) AS f1,
+         |    COALESCE(CAST(COALESCE(r.r_items, 0) AS DOUBLE)
+         |      / s.items, 0.0) AS f2,
+         |    COALESCE(COALESCE(CAST(r.r_amount AS DOUBLE), 0.0)
+         |      / CAST(s.amount AS DOUBLE), 0.0) AS f3
+         |  FROM sales s LEFT JOIN ret r USING (cust))""".stripMargin
+    val q25Feat =
+      s"""dd AS (SELECT d_date_sk, CAST(d_date AS DATE) AS dd
+         |      FROM ${rp("date_dim")}),
+         |a AS (
+         |  SELECT ss_customer_sk AS cid, ss_ticket_number AS oid,
+         |    dd, ss_net_paid AS amount
+         |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+         |  WHERE ss_customer_sk IS NOT NULL
+         |  UNION ALL
+         |  SELECT ws_bill_customer_sk, ws_order_number, dd, ws_net_paid
+         |  FROM ${rp("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
+         |  WHERE ws_bill_customer_sk IS NOT NULL),
+         |f AS (
+         |  SELECT cid AS id,
+         |    CAST(MAX(CASE WHEN dd >= DATE '2002-01-02' THEN 1.0
+         |      ELSE 0.0 END) AS DOUBLE) AS f1,
+         |    CAST(COUNT(DISTINCT oid) AS DOUBLE) AS f2,
+         |    CAST(SUM(amount) AS DOUBLE) AS f3
+         |  FROM a GROUP BY 1)""".stripMargin
+    val q26Feat = {
+      val ids = (1 to 15).map(i =>
+        s"CAST(SUM(CASE WHEN i_class_id = $i THEN 1 ELSE 0 END) AS DOUBLE) AS f$i")
+        .mkString(",\n    ")
+      val tot = (1 to 15).map(i => s"f$i").mkString(" + ")
+      s"""it AS (SELECT i_item_sk, i_class_id FROM ${rp("item")}
+         |      WHERE i_category = 'Books'),
+         |f0 AS (
+         |  SELECT ss_customer_sk AS id,
+         |    $ids
+         |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
+         |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
+         |f AS (SELECT * FROM f0 WHERE ($tot) > 5)""".stripMargin
+    }
+    Seq(
+      Q("b61_bdb_q20_kmeans", (s, _) => {
+        reg(s)
+        graft.ops.ExactLloyd.fitLabels(BdbQueries2.q20Features(s), "cust",
+          Seq("order_ratio", "item_ratio", "amount_ratio"),
+          k = 8, iters = iters, unit = 1000000L)
+      }, Some(lloydSql(q20Feat, 3, 8, iters, 1000000L, "cust"))),
+      Q("b62_bdb_q25_kmeans", (s, _) => {
+        reg(s)
+        graft.ops.ExactLloyd.fitLabels(BdbQueries2.q25Features(s), "cid",
+          Seq("recency", "frequency", "totalspend"),
+          k = 8, iters = iters, unit = 100L)
+      }, Some(lloydSql(q25Feat, 3, 8, iters, 100L, "cid"))),
+      Q("b63_bdb_q26_kmeans", (s, _) => {
+        reg(s)
+        graft.ops.ExactLloyd.fitLabels(BdbQueries2.q26Features(s), "cid",
+          (1 to 15).map(i => s"id$i"),
+          k = 8, iters = iters, unit = 1L)
+      }, Some(lloydSql(q26Feat, 15, 8, iters, 1L, "cid"))))
+  }
+
+  /** b64: the q05 classifier fit END TO END deterministic — the REAL
+    * q05Features frame feeding [[graft.ops.ExactLinFit]]'s closed-form
+    * least-squares linear-probability fit; the oracle evaluates the
+    * IDENTICAL Cramer/score expression strings over the identically
+    * exact BIGINT moment sums, so coefficients, confusion counts and
+    * ppm accuracy all hash-match. The iterated LogisticRegression
+    * stays on its AUC/precision parity thresholds, the reference's
+    * own q05 methodology (bdb_tools/utils.py:548-581).
+    */
+  private def linFitGate: Seq[Q] = {
+    import graft.ops.ExactLinFit
+    val oracle =
+      s"""WITH clicks AS (
+         |  SELECT wcs_user_sk AS u, COUNT(*) AS clicks_total,
+         |    SUM(CASE WHEN i_category_id = 1 THEN 1 ELSE 0 END)
+         |      AS clicks_in_category
+         |  FROM ${rp("web_clickstreams")}
+         |  JOIN ${rp("item")} i ON wcs_item_sk = i_item_sk
+         |  WHERE wcs_user_sk IS NOT NULL GROUP BY 1),
+         |f AS (
+         |  SELECT clicks_total AS x1,
+         |    CAST(CASE WHEN cd_education_status IN ('Advanced Degree',
+         |      'College', '4 yr Degree', '2 yr Degree')
+         |      THEN 1 ELSE 0 END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN cd_gender = 'M' THEN 1 ELSE 0 END
+         |      AS BIGINT) AS x3,
+         |    CAST(CASE WHEN clicks_in_category > 0 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS y
+         |  FROM clicks JOIN ${rp("customer")} c ON u = c_customer_sk
+         |  JOIN ${rp("customer_demographics")} cd
+         |    ON c_current_cdemo_sk = cd_demo_sk),
+         |s AS (
+         |  SELECT ${ExactLinFit.sumsSql}
+         |  FROM f),
+         |c AS (
+         |  SELECT ${ExactLinFit.coefStrs(0)} AS b0,
+         |    ${ExactLinFit.coefStrs(1)} AS b1,
+         |    ${ExactLinFit.coefStrs(2)} AS b2,
+         |    ${ExactLinFit.coefStrs(3)} AS b3
+         |  FROM s),
+         |p AS (
+         |  SELECT y, CASE WHEN ${ExactLinFit.predStr} >= 0.5
+         |    THEN 1 ELSE 0 END AS pred
+         |  FROM f, c)
+         |SELECT c.b0, c.b1, c.b2, c.b3,
+         |  CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn,
+         |  CAST((SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS acc_ppm
+         |FROM p, c GROUP BY 1, 2, 3, 4""".stripMargin
+    Seq(Q("b64_bdb_q05_linfit", (s, _) => {
+      reg(s)
+      ExactLinFit.fitStats(BdbQueries1.q05Features(s),
+        "clicks_total", "college_education", "male", "label")
+    }, Some(oracle)))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{ExactLinFit, ExactLloyd}
+import org.apache.spark.sql.functions._
+
+/** Hand-checkable cases for the deterministic fit machinery behind
+  * the b61–b64 gates (exact-integer Lloyd, closed-form linear fit).
+  */
+class ExactFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ExactLloyd: hand-traced 2-cluster run (labels + exact WSSSE)") {
+    // seeds are the two smallest ids (both in the left group); the
+    // second Lloyd round still separates the groups: c1 captures
+    // (0,0),(0,1) and c2 captures (10,10),(10,11), WSSSE = 0+1+0+1.
+    val feats = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 10.0, 10.0), (4L, 10.0, 11.0))
+      .toDF("id", "fx", "fy")
+    val out = ExactLloyd.fitLabels(feats, "id", Seq("fx", "fy"),
+      k = 2, iters = 2, unit = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    assert(out.forall(_._3 == 2L))
+  }
+
+  test("ExactLloyd: rerun is bit-identical (order independence)") {
+    val feats = (1L to 60L).map(i =>
+      (i, (i % 7).toDouble * 3, (i % 5).toDouble)).toDF("id", "fx", "fy")
+      .repartition(4)
+    def run() = ExactLloyd.fitLabels(feats, "id", Seq("fx", "fy"),
+      k = 4, iters = 3, unit = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(run() == run())
+  }
+
+  test("ExactLinFit: recovers an exactly linear label") {
+    // y == x2 on a full factorial: least squares has the exact
+    // solution (0, 0, 1, 0); every prediction is 0 or 1 exactly.
+    val rows = for (x1 <- 1 to 2; x2 <- 0 to 1; x3 <- 0 to 1)
+      yield (x1.toLong, x2.toLong, x3.toLong, x2.toLong)
+    val feats = rows.toDF("x1", "x2", "x3", "y")
+    val r = ExactLinFit.fitStats(feats, "x1", "x2", "x3", "y").head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((4L, 0L, 0L, 4L)))
+    assert(r.getLong(8) == 1000000L)
+  }
+
+  test("ExactLinFit: shared formula strings parse in Spark expr()") {
+    // the oracle evaluates the same strings in DuckDB; this pins the
+    // Spark side of the contract (det4 well-formed, names resolve)
+    // moments of the non-singular design x1=(1,2,3,5), x2=(0,1,0,1),
+    // x3=(0,0,1,1), y=(1,0,1,0) — det(X) = 1, so the Cramer
+    // denominator is nonzero (ANSI Spark THROWS on a singular
+    // design's 0/0, by design: a degenerate fixture fails loudly)
+    val sums = Seq((4.0, 11.0, 2.0, 2.0, 39.0, 7.0, 8.0, 2.0, 1.0, 2.0,
+      2.0, 4.0, 0.0, 1.0))
+      .toDF("sn", "s1", "s2", "s3", "s11", "s12", "s13", "s22", "s23",
+        "s33", "sy", "s1y", "s2y", "s3y")
+    val vals = sums.select(ExactLinFit.coefStrs.map(c => expr(c)): _*)
+      .head()
+    assert((0 to 3).forall(i => !vals.isNullAt(i)))
+  }
+}
