@@ -34,13 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale notes (100 TB): the exchange is the algorithm's inherent
   * term-pair shuffle, just packed; reducers scale out with R. The
-  * dense slice costs T/R ints per reducer — guarded below; for
-  * vocabularies past ~1M words raise R or swap step 3 for an
-  * open-addressing map (the packing win in step 2 is unchanged). The
-  * head vocabulary (df >= cut) is collected and broadcast like the
-  * lexicon/centroid patterns — Heaps-sublinear in corpus size and
-  * bounded by total_tokens/minDf; a term-keyed join assigns ids at
-  * vocab scales past driver memory.
+  * dense slice costs T/R ints per reducer, which stops being L3/
+  * memory-sane past ~1M vocab words at practical R — so
+  * [[pairCounts]] carries an EXPLICIT route (the SemDedup k-switch
+  * discipline): slices <= [[MaxDenseSlice]] take the dense-array
+  * reducer; larger vocabularies take [[pairCountsSparse]], whose
+  * map side ships whole triangular indices as packed longs (8
+  * bytes/pair, still blob-dense) and whose reducer counts in an
+  * open-addressing map sized by the DISTINCT pairs a reducer
+  * actually observes (Zipfian corpora realize a tiny fraction of
+  * V²/2) rather than by the slice. CoOccurSpec proves dense ≡
+  * sparse row-for-row and pins the routing. The head vocabulary
+  * (df >= cut) is collected and broadcast like the lexicon/centroid
+  * patterns — Heaps-sublinear in corpus size and bounded by
+  * total_tokens/minDf; a term-keyed join assigns ids at vocab scales
+  * past driver memory.
   *
   * Reference: document co-occurrence / PMI as in gpu-bdb's text
   * analytics family; counts are exact, matching the naive pair
@@ -48,6 +56,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpora; t21's DuckDB oracle gates it end-to-end).
   */
 object CoOccur {
+
+  /** Dense/sparse reducer routing bound: the largest per-reducer
+    * triangular slice (in 4-byte count slots — 2^28 = 1 GiB) the
+    * dense-array reducer is allowed. Above it (≈1M+ vocab words at
+    * default R) [[pairCounts]] routes to the open-map reducer. */
+  val MaxDenseSlice: Long = 1L << 28
+
+  /** True iff a (V, parts) instance takes the dense-slice reducer —
+    * the routing predicate, exposed so the spec pins it. */
+  private[graft] def routesDense(vocabSize: Int, parts: Int,
+      maxDenseSlice: Long = MaxDenseSlice): Boolean = {
+    val t = vocabSize.toLong * (vocabSize - 1) / 2
+    math.max(1L, t / parts + 1) <= maxDenseSlice
+  }
+
+  private val pairSchema = StructType(Seq(
+    StructField("id1", IntegerType, nullable = false),
+    StructField("id2", IntegerType, nullable = false),
+    StructField("c_xy", LongType, nullable = false)))
 
   /** Count documents containing each vocab pair.
     *
@@ -60,22 +87,29 @@ object CoOccur {
     *                  id1 < id2 iff word1 < word2 lexicographically.
     * @param minCount  only pairs with c_xy >= minCount are returned.
     * @param parts     reducer count R (pair-space slices).
+    * @param maxDenseSlice routing bound, [[MaxDenseSlice]] unless a
+    *                  spec forces a path.
     * @return DataFrame(id1 INT, id2 INT, c_xy LONG), id1 < id2.
     */
   def pairCounts(docWords: DataFrame, wordsCol: String,
+      vocab: Array[String], minCount: Long, parts: Int,
+      maxDenseSlice: Long = MaxDenseSlice): DataFrame =
+    if (routesDense(vocab.length, parts, maxDenseSlice))
+      pairCountsDense(docWords, wordsCol, vocab, minCount, parts)
+    else pairCountsSparse(docWords, wordsCol, vocab, minCount, parts)
+
+  /** The dense-slice path — see the object scaladoc, steps 1-3. */
+  private[graft] def pairCountsDense(docWords: DataFrame, wordsCol: String,
       vocab: Array[String], minCount: Long, parts: Int): DataFrame = {
     val spark = docWords.sparkSession
-    val schema = StructType(Seq(
-      StructField("id1", IntegerType, nullable = false),
-      StructField("id2", IntegerType, nullable = false),
-      StructField("c_xy", LongType, nullable = false)))
+    val schema = pairSchema
     val V = vocab.length
     val R = parts
     val T = V.toLong * (V - 1) / 2
     val slice = math.max(1L, T / R + 1)
     require(slice <= (1L << 28),
       s"dense pair-space slice $slice too large: raise parts past $R " +
-        "or use an open-map reducer for this vocabulary size")
+        "or route via pairCounts to the open-map reducer")
     if (T == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
@@ -169,4 +203,167 @@ object CoOccur {
     }
     spark.createDataFrame(survivors, schema)
   }
+
+  /** The large-vocab path: identical doc-side pair generation, but
+    * blobs carry the WHOLE triangular idx as packed longs (8 bytes/
+    * pair — still one blob row per map-task x reducer, no per-pair
+    * UnsafeRow framing) and reducer p (owning {idx : idx % R == p})
+    * counts in an open-addressing map. Memory per reducer is
+    * ~16 bytes per DISTINCT observed pair / R — data-proportional
+    * like any hash aggregation, instead of the dense path's
+    * slice-proportional array; for a Zipfian corpus the realized
+    * pair set is a small fraction of V(V-1)/2, which is exactly the
+    * regime where V makes the dense slice unaffordable.
+    */
+  private[graft] def pairCountsSparse(docWords: DataFrame, wordsCol: String,
+      vocab: Array[String], minCount: Long, parts: Int): DataFrame = {
+    val spark = docWords.sparkSession
+    val schema = pairSchema
+    val V = vocab.length
+    val R = parts
+    val T = V.toLong * (V - 1) / 2
+    if (T == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+
+    val word2id = new java.util.HashMap[UTF8String, Integer](V * 2)
+    var i = 0
+    while (i < V) { word2id.put(UTF8String.fromString(vocab(i)), i); i += 1 }
+    val bcMap = spark.sparkContext.broadcast(word2id)
+    val minC = math.max(minCount, 1L)
+
+    val blobs = docWords.select(wordsCol).queryExecution.toRdd
+      .mapPartitions { rows =>
+        val m = bcMap.value
+        val bufs = new Array[Array[Long]](R)
+        val sizes = new Array[Int](R)
+        var p = 0
+        while (p < R) { bufs(p) = new Array[Long](1 << 12); p += 1 }
+        var ids = new Array[Int](1 << 12)
+        rows.foreach { r =>
+          val arr = r.getArray(0)
+          val nw = arr.numElements()
+          if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
+          var n = 0
+          var k = 0
+          while (k < nw) {
+            val v = m.get(arr.getUTF8String(k))
+            if (v != null) { ids(n) = v.intValue(); n += 1 }
+            k += 1
+          }
+          java.util.Arrays.sort(ids, 0, n)
+          var w = 0
+          var rd = 0
+          while (rd < n) {
+            if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
+            rd += 1
+          }
+          n = w
+          var a = 0
+          while (a < n) {
+            val ai = ids(a).toLong
+            val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
+            var b = a + 1
+            while (b < n) {
+              val idx = base + ids(b)
+              val tp = (idx % R).toInt
+              var buf = bufs(tp)
+              if (sizes(tp) == buf.length) {
+                buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+                bufs(tp) = buf
+              }
+              buf(sizes(tp)) = idx
+              sizes(tp) += 1
+              b += 1
+            }
+            a += 1
+          }
+        }
+        (0 until R).iterator.filter(sizes(_) > 0).map { p =>
+          (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
+        }
+      }
+
+    val survivors = blobs.partitionBy(new Partitioner {
+      def numPartitions: Int = R
+      def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).mapPartitions { it =>
+      val cnt = new OpenLongCount(1 << 16)
+      it.foreach { case (_, blob) =>
+        var i = 0
+        while (i < blob.length) { cnt.add(blob(i)); i += 1 }
+      }
+      val twoVm1 = 2.0 * V - 1
+      cnt.iterator.filter(_._2 >= minC).map { case (idx, c) =>
+        var a = ((twoVm1 - math.sqrt(twoVm1 * twoVm1 - 8.0 * idx)) / 2).toLong
+        if (a < 0) a = 0
+        if (a > V - 2) a = V - 2
+        def off(x: Long): Long = x * (V - 1) - x * (x - 1) / 2
+        while (a + 1 <= V - 2 && off(a + 1) <= idx) a += 1
+        while (a > 0 && off(a) > idx) a -= 1
+        val b = idx - off(a) + a + 1
+        Row(a.toInt, b.toInt, c.toLong)
+      }
+    }
+    spark.createDataFrame(survivors, schema)
+  }
+}
+
+/** Minimal open-addressing long->count map for the sparse co-occur
+  * reducer: power-of-two capacity, linear probing, murmur fmix64
+  * spread, grow at 3/4 load. Keys are stored +1 so 0 marks empty
+  * (triangular idx 0 is a valid key).
+  */
+private[graft] final class OpenLongCount(initialCapacity: Int) {
+  private var cap = math.max(
+    Integer.highestOneBit(math.max(initialCapacity, 2) - 1) << 1, 16)
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Int](cap)
+  private var n = 0
+
+  private def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  def size: Int = n
+
+  def add(key: Long): Unit = {
+    val k = key + 1
+    var i = (mix(key) & (cap - 1)).toInt
+    var done = false
+    while (!done) {
+      val cur = keys(i)
+      if (cur == k) { vals(i) += 1; done = true }
+      else if (cur == 0L) {
+        keys(i) = k; vals(i) = 1; n += 1
+        if (n.toLong * 4 >= cap.toLong * 3) grow()
+        done = true
+      } else i = (i + 1) & (cap - 1)
+    }
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap <<= 1
+    keys = new Array[Long](cap)
+    vals = new Array[Int](cap)
+    var j = 0
+    while (j < ok.length) {
+      val k = ok(j)
+      if (k != 0L) {
+        var i = (mix(k - 1) & (cap - 1)).toInt
+        while (keys(i) != 0L) i = (i + 1) & (cap - 1)
+        keys(i) = k; vals(i) = ov(j)
+      }
+      j += 1
+    }
+  }
+
+  /** (key, count) pairs in slot order (NOT sorted). */
+  def iterator: Iterator[(Long, Int)] =
+    Iterator.range(0, cap).filter(keys(_) != 0L)
+      .map(i => (keys(i) - 1, vals(i)))
 }

@@ -345,7 +345,11 @@ object TextQueries2 extends Suite {
       // blob-packed dense-slice operator (see CoOccur scaladoc:
       // 14 -> 1.8 s at sf1 vs the explode+groupBy form); words and
       // marginals are decoded back only on the ~400k survivors.
-      val idRows = cx.filter(col("c") >= 20).orderBy("word").collect()
+      val idRows = graft.ops.Guards.boundedCollect(
+        cx.filter(col("c") >= 20).orderBy("word"),
+        "t21 head vocabulary (df >= 20)",
+        "raise the df cut, or assign ids with a term-keyed join and " +
+          "keep CoOccur's open-map reducer (CoOccur scaladoc)")
       val vocab = idRows.map(_.getString(0))
       val pairs = graft.ops.CoOccur.pairCounts(
         wd, "ws", vocab, minCount = 20,
@@ -721,8 +725,12 @@ object TextQueries2 extends Suite {
       // join.
       val bpeMap = new java.util.HashMap[
         org.apache.spark.unsafe.types.UTF8String, java.lang.Long](1 << 15)
-      v2.select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
-        .collect().foreach { r =>
+      graft.ops.Guards.boundedCollect(
+        v2.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
+        "t26 BPE symbol-count vocabulary",
+        "swap word_lookup_sums for a (word)-keyed equi-join of the " +
+          "symbol counts onto the exploded token stream")
+        .foreach { r =>
           bpeMap.put(org.apache.spark.unsafe.types.UTF8String
             .fromString(r.getString(0)), r.getLong(1))
         }

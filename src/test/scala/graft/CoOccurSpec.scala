@@ -62,4 +62,49 @@ class CoOccurSpec extends SparkSpec {
     assert(run(docs, Array("a"), 1, 8) === Set.empty)
     assert(run(docs, Array.empty[String], 1, 8) === Set.empty)
   }
+
+  test("routing: dense below MaxDenseSlice, open-map reducer above") {
+    // 61-word vocab at 3 reducers: slice = 611 — dense
+    assert(CoOccur.routesDense(61, 3))
+    // 10M-word vocab at 1024 reducers: slice ~ 4.9e10 — sparse
+    assert(!CoOccur.routesDense(10000000, 1024))
+    // the bound is exact: slice == maxDenseSlice stays dense
+    assert(CoOccur.routesDense(61, 3, maxDenseSlice = 611))
+    assert(!CoOccur.routesDense(61, 3, maxDenseSlice = 610))
+  }
+
+  test("sparse reducer ≡ dense reducer on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 61).map(i => f"w$i%03d").toArray
+    val docs = (0L until 150L).map { d =>
+      val n = 2 + rnd.nextInt(15)
+      d -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    def collectSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    for (minCount <- Seq(1L, 2L); parts <- Seq(3, 32)) {
+      val dense = collectSet(
+        CoOccur.pairCountsDense(df, "ws", vocab, minCount, parts))
+      val sparse = collectSet(
+        CoOccur.pairCountsSparse(df, "ws", vocab, minCount, parts))
+      assert(sparse === dense, s"minCount=$minCount parts=$parts")
+      assert(dense === naive(docs, vocab, minCount))
+      // and the router takes the sparse path when forced
+      val routed = collectSet(CoOccur.pairCounts(df, "ws", vocab,
+        minCount, parts, maxDenseSlice = 1L))
+      assert(routed === dense)
+    }
+  }
+
+  test("OpenLongCount: counts exactly across growth, including key 0") {
+    val m = new graft.ops.OpenLongCount(4)
+    val rnd = new scala.util.Random(3)
+    val keys = Seq.fill(5000)(rnd.nextInt(700).toLong) ++ Seq(0L, 0L, 0L)
+    keys.foreach(m.add)
+    val expect = keys.groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = m.iterator.map { case (k, c) => k -> c }.toMap
+    assert(got === expect)
+    assert(m.size === expect.size)
+  }
 }
