@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample as per-partition batch
   * operators.
   *
-  * The DECODE KERNEL IS A STUB: real image/audio codecs aren't in this
-  * environment, so `StubCodec` derives deterministic fake dimensions
-  * from the content's md5. Everything around it — binary schema,
-  * partition-batched iteration, operator signatures, metadata
-  * propagation — is the real distributed plumbing and is oracle-
-  * verified (the stub's arithmetic is reproducible in SQL).
+  * The IMAGE path carries a REAL codec ([[ImageIoCodec]], JVM
+  * built-in javax.imageio): each row's content is rendered to an
+  * actual PNG whose planned dimensions derive from the content hash,
+  * then ImageIO DECODES the PNG and the decoded width/height/bands
+  * flow downstream — a full encode->decode round trip per row inside
+  * the same mapPartitions seam, hash-gated because the oracle can
+  * predict the planned dims (x01). The AUDIO/VIDEO kernels remain
+  * STUBS (`StubCodec`, deterministic fake metadata from the
+  * content's md5): those codecs aren't in this environment.
+  * Everything around the kernels — binary schema, partition-batched
+  * iteration, operator signatures, metadata propagation — is the
+  * real distributed plumbing and is oracle-verified.
   *
   * 100 TB notes: media rows are large and skew-prone — the operators
   * keep content opaque (no driver collection), process partition-
@@ -54,6 +60,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec binding (javax.imageio — public, in every JVM).
+    * The corpus has no media files, so content is first RENDERED to a
+    * genuine PNG whose dimensions/bands derive from the content hash
+    * with the same arithmetic a SQL oracle can replay; ImageIO then
+    * decodes that PNG and the DECODED metadata is what the operator
+    * emits. A gate match therefore proves the decoder actually ran
+    * and agreed with the plan — not that the plan was copied through.
+    */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+
+    /** Planned (width, height, bands) from a 60-bit content hash:
+      * sides in [16, 79], bands in {1 gray, 3 RGB, 4 RGBA} — the PNG
+      * channel layouts a JVM BufferedImage round-trips losslessly. */
+    def plan(h: Long): (Int, Int, Int) =
+      (((h % 64) + 16).toInt, (((h / 64) % 64) + 16).toInt,
+        (h % 3) match { case 0 => 1; case 1 => 3; case _ => 4 })
+
+    /** Render the planned image with a deterministic pixel pattern
+      * and encode it as real PNG bytes. */
+    def synthesizePng(h: Long): Array[Byte] = {
+      val (w, ht, bands) = plan(h)
+      val img = new BufferedImage(w, ht, bands match {
+        case 1 => BufferedImage.TYPE_BYTE_GRAY
+        case 3 => BufferedImage.TYPE_3BYTE_BGR
+        case _ => BufferedImage.TYPE_4BYTE_ABGR
+      })
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, 0xff000000 | (x * 31 + y * 17 + (h & 0xff).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** The real decode: (width, height, raster bands) off the PNG. */
+    def decode(png: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+  }
+
   /** Wrap a text column as a fake media payload: (id, modality,
     * content binary, n_bytes). In a real pipeline content comes from
     * files/object storage.
@@ -78,6 +133,26 @@ object Multimodal {
         rows.map { case (i, modality, bytes) =>
           val (w, h, c, f) = StubCodec.decode(bytes)
           (i, modality, w, h, c, f)
+        }
+      }
+      .toDF(id, "modality", "width", "height", "channels", "n_frames")
+  }
+
+  /** Image decode through the REAL codec: per partition, render each
+    * row's planned PNG and ImageIO-decode it (see [[ImageIoCodec]]);
+    * emits the DECODED (width, height, channels) + n_frames=1 (PNG is
+    * single-frame). Same seam and output schema as [[decodeDims]].
+    */
+  def decodeDimsImageIo(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, modality, bytes) =>
+          val png = ImageIoCodec.synthesizePng(StubCodec.hash60(bytes))
+          val (w, h, c) = ImageIoCodec.decode(png)
+          (i, modality, w, h, c, 1)
         }
       }
       .toDF(id, "modality", "width", "height", "channels", "n_frames")

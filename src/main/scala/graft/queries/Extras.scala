@@ -18,12 +18,18 @@ object Extras extends Suite {
 
   val qs: Seq[Q] = Seq(
 
+    // x01 runs the REAL image codec (javax.imageio): each doc's
+    // planned PNG is rendered and then actually DECODED inside the
+    // mapPartitions seam; the oracle predicts the planned dims from
+    // the content hash, so a hash match proves decoder and plan
+    // agreed (Multimodal.ImageIoCodec). Resize clamps at 64 so the
+    // aspect-preserving path binds for the [16,79] side range.
     Q("x01_multimodal_decode", (s, d) => {
       val media = Multimodal.asBinary(
         Tables.load(s, d, "documents"), "doc_id", "text", "image")
-      val dims = Multimodal.decodeDims(media, "doc_id")
+      val dims = Multimodal.decodeDimsImageIo(media, "doc_id")
       val planned = Multimodal.withFrameSamplePlan(
-        Multimodal.withResizePlan(dims, 256), 30)
+        Multimodal.withResizePlan(dims, 64), 30)
       planned
         .join(media.select("doc_id", "n_bytes"), "doc_id")
         .select("doc_id", "modality", "width", "height", "channels",
@@ -37,20 +43,21 @@ object Extras extends Suite {
              |  FROM documents),
              |dims AS (
              |  SELECT doc_id, n_bytes,
-             |    CAST((hv % 1024) + 16 AS INT) AS width,
-             |    CAST(((hv // 1024) % 1024) + 16 AS INT) AS height,
-             |    CAST((hv % 3) + 1 AS INT) AS channels,
-             |    CAST((hv % 240) + 1 AS INT) AS n_frames
+             |    CAST((hv % 64) + 16 AS INT) AS width,
+             |    CAST(((hv // 64) % 64) + 16 AS INT) AS height,
+             |    CAST(CASE hv % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+             |      ELSE 4 END AS INT) AS channels,
+             |    CAST(1 AS INT) AS n_frames
              |  FROM h)
              |SELECT doc_id, 'image' AS modality, width, height, channels,
              |  n_frames,
-             |  CAST((width * (CASE WHEN greatest(width,height) > 256 THEN 256
+             |  CAST((width * (CASE WHEN greatest(width,height) > 64 THEN 64
              |                 ELSE greatest(width,height) END))
              |       // greatest(width,height) AS INT) AS out_width,
-             |  CAST((height * (CASE WHEN greatest(width,height) > 256 THEN 256
+             |  CAST((height * (CASE WHEN greatest(width,height) > 64 THEN 64
              |                  ELSE greatest(width,height) END))
              |       // greatest(width,height) AS INT) AS out_height,
-             |  CAST((n_frames + 29) // 30 AS INT) AS n_sampled_frames,
+             |  CAST(1 AS INT) AS n_sampled_frames,
              |  n_bytes
              |FROM dims ORDER BY doc_id""".stripMargin)),
 

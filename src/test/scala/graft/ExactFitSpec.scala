@@ -63,4 +63,14 @@ class ExactFitSpec extends SparkSpec {
       .head()
     assert((0 to 3).forall(i => !vals.isNullAt(i)))
   }
+
+  test("ImageIoCodec: real PNG encode->decode round-trips every band layout") {
+    import graft.ops.Multimodal.ImageIoCodec
+    // hashes picked so h % 3 covers gray (1), RGB (3) and RGBA (4)
+    for (h <- Seq(0L, 1L, 2L, 123456789L, 987654321L, 555L)) {
+      val (w, ht, bands) = ImageIoCodec.plan(h)
+      val (dw, dh, db) = ImageIoCodec.decode(ImageIoCodec.synthesizePng(h))
+      assert((dw, dh, db) == ((w, ht, bands)), s"h=$h")
+    }
+  }
 }
