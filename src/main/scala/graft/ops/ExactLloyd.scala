@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact-integer Lloyd k-means over a NAMED-COLUMN feature frame —
@@ -99,8 +99,11 @@ object ExactLloyd {
       (flat, ids)
     }
 
-    var cents = toMatrix(collectQv(
-      qv.orderBy("_id").limit(k).select(col("_id"), col("qv"))))
+    val seedRows = collectQv(
+      qv.orderBy("_id").limit(k).select(col("_id"), col("qv")))
+    require(seedRows.nonEmpty,
+      "ExactLloyd: empty feature frame (nothing to seed from)")
+    var cents = toMatrix(seedRows)
     (1 to iters).foreach { _ =>
       cents = recenter(assign(cents))
     }
