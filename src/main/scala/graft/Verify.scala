@@ -18,7 +18,17 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1,q2 dumps (and declares oracles for) a subset
     // — targeted re-verification during development
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // reject unknown/empty selections (the BdbScaleRun r12 rule): a
+    // typo'd name must fail loudly, not "verify clean" on a subset
+    // that silently dropped the query under test
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(",")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY selected nothing")
+    }
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (name, fn) =>

@@ -104,8 +104,13 @@ object BdbDirect extends Suite {
   @volatile private var userTsInvariantHeld = false
   private def assertNoUserTsCollisions(s: SparkSession): Unit =
     if (!userTsInvariantHeld) {
+      // null-ts rows are excluded from BOTH sides of the compare:
+      // countDistinct skips null components, so counting them on the
+      // left would trip the gate on a fixture with no real collision
       val r = s.read.parquet(s"$Base/web_clickstreams.parquet")
-        .filter(col("wcs_user_sk").isNotNull)
+        .filter(col("wcs_user_sk").isNotNull &&
+          col("wcs_click_date_sk").isNotNull &&
+          col("wcs_click_time_sk").isNotNull)
         .select(col("wcs_user_sk").as("u"),
           (col("wcs_click_date_sk") * 86400 + col("wcs_click_time_sk"))
             .as("ts"))
@@ -119,6 +124,81 @@ object BdbDirect extends Suite {
           "column to those oracles")
       userTsInvariantHeld = true
     }
+
+  // ------------------------------------------------------------------
+  // Shared feature-frame CTE strings: each q20/q25/q26 oracle body
+  // exists ONCE here and is consumed by BOTH its feature gate
+  // (b55-b57) and its Lloyd fit gate (b61-b63) — a parity fix to a
+  // feature definition cannot drift between the two. (Suite-level
+  // vals MUST precede `qs`: a val below it is captured as null in
+  // the oracle map — the EntrySpec null-oracle gate.)
+  // ------------------------------------------------------------------
+
+  /** q20: per-customer store sales/returns aggregates. */
+  private val q20SalesRetCtes =
+    s"""sales AS (
+       |  SELECT ss_customer_sk AS cust,
+       |    COUNT(DISTINCT ss_ticket_number) AS orders,
+       |    SUM(ss_quantity) AS items, SUM(ss_net_paid) AS amount
+       |  FROM ${rp("store_sales")}
+       |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
+       |ret AS (
+       |  SELECT sr_customer_sk AS cust,
+       |    COUNT(DISTINCT sr_ticket_number) AS r_orders,
+       |    SUM(sr_return_quantity) AS r_items,
+       |    SUM(sr_return_amt) AS r_amount
+       |  FROM ${rp("store_returns")}
+       |  WHERE sr_customer_sk IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** q20 ratio expressions over sales s LEFT JOIN ret r: each whole
+    * ratio COALESCEd to 0 to mirror the Spark side's .na.fill(0.0)
+    * on x/NULL (both engines NULL there; x/0 differs by design —
+    * DuckDB NULL->0 while ANSI Spark THROWS, so a zero-sum customer
+    * fails the gate loudly instead of silently). */
+  private val q20RatioExprs = Seq(
+    "COALESCE(CAST(COALESCE(r.r_orders, 0) AS DOUBLE) / s.orders, 0.0)",
+    "COALESCE(CAST(COALESCE(r.r_items, 0) AS DOUBLE) / s.items, 0.0)",
+    "COALESCE(COALESCE(CAST(r.r_amount AS DOUBLE), 0.0)" +
+      " / CAST(s.amount AS DOUBLE), 0.0)")
+
+  /** q25: the dated two-channel order stream. */
+  private val q25BaseCtes =
+    s"""dd AS (SELECT d_date_sk, CAST(d_date AS DATE) AS dd
+       |      FROM ${rp("date_dim")}),
+       |a AS (
+       |  SELECT ss_customer_sk AS cid, ss_ticket_number AS oid,
+       |    dd, ss_net_paid AS amount
+       |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+       |  WHERE ss_customer_sk IS NOT NULL
+       |  UNION ALL
+       |  SELECT ws_bill_customer_sk, ws_order_number, dd, ws_net_paid
+       |  FROM ${rp("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
+       |  WHERE ws_bill_customer_sk IS NOT NULL)""".stripMargin
+
+  /** q25 RFM feature expressions over `a` (GROUP BY cid). */
+  private val q25FeatureExprs = Seq(
+    "CAST(MAX(CASE WHEN dd >= DATE '2002-01-02' THEN 1.0 ELSE 0.0 END)" +
+      " AS DOUBLE)",
+    "CAST(COUNT(DISTINCT oid) AS DOUBLE)",
+    "CAST(SUM(amount) AS DOUBLE)")
+
+  /** q26: category-item CTE + the 15 per-class count aggregates
+    * (aliased with the caller's prefix) over the filtered join. */
+  private def q26BaseCtes(prefix: String, idAlias: String) = {
+    val sums = (1 to 15).map(i =>
+      s"CAST(SUM(CASE WHEN i_class_id = $i THEN 1 ELSE 0 END) AS DOUBLE)" +
+        s" AS $prefix$i").mkString(",\n    ")
+    s"""it AS (SELECT i_item_sk, i_class_id FROM ${rp("item")}
+       |      WHERE i_category = 'Books'),
+       |f0 AS (
+       |  SELECT ss_customer_sk AS $idAlias,
+       |    $sums
+       |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
+       |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1)""".stripMargin
+  }
+
+  private def q26TotalExpr(prefix: String) =
+    (1 to 15).map(i => s"$prefix$i").mkString(" + ")
 
   val qs: Seq[Q] = Seq(
 
@@ -949,31 +1029,11 @@ object BdbDirect extends Suite {
           round(col("amount_ratio"), 6).as("amount_ratio"))
         .orderBy("cust")
     },
-      Some(s"""WITH sales AS (
-              |  SELECT ss_customer_sk AS cust,
-              |    COUNT(DISTINCT ss_ticket_number) AS orders,
-              |    SUM(ss_quantity) AS items, SUM(ss_net_paid) AS amount
-              |  FROM ${rp("store_sales")}
-              |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
-              |ret AS (
-              |  SELECT sr_customer_sk AS cust,
-              |    COUNT(DISTINCT sr_ticket_number) AS r_orders,
-              |    SUM(sr_return_quantity) AS r_items,
-              |    SUM(sr_return_amt) AS r_amount
-              |  FROM ${rp("store_returns")}
-              |  WHERE sr_customer_sk IS NOT NULL GROUP BY 1)
-              |-- each whole ratio is COALESCEd to 0 to mirror the
-              |-- Spark side's .na.fill(0.0) on x/NULL (both engines
-              |-- NULL there). x/0 differs by design: DuckDB yields
-              |-- NULL->0 while Spark (ANSI) THROWS, so a zero-sum
-              |-- customer fails the gate loudly instead of silently
+      Some(s"""WITH $q20SalesRetCtes
               |SELECT s.cust,
-              |  round(COALESCE(CAST(COALESCE(r.r_orders, 0) AS DOUBLE)
-              |    / s.orders, 0.0), 6) + 0 AS order_ratio,
-              |  round(COALESCE(CAST(COALESCE(r.r_items, 0) AS DOUBLE)
-              |    / s.items, 0.0), 6) + 0 AS item_ratio,
-              |  round(COALESCE(COALESCE(CAST(r.r_amount AS DOUBLE), 0.0)
-              |    / CAST(s.amount AS DOUBLE), 0.0), 6) + 0 AS amount_ratio
+              |  round(${q20RatioExprs(0)}, 6) + 0 AS order_ratio,
+              |  round(${q20RatioExprs(1)}, 6) + 0 AS item_ratio,
+              |  round(${q20RatioExprs(2)}, 6) + 0 AS amount_ratio
               |FROM sales s LEFT JOIN ret r USING (cust)
               |ORDER BY s.cust""".stripMargin)),
 
@@ -982,22 +1042,11 @@ object BdbDirect extends Suite {
       BdbQueries2.q25Features(s)
         .orderBy("cid")
     },
-      Some(s"""WITH dd AS (SELECT d_date_sk, CAST(d_date AS DATE) AS dd
-              |           FROM ${rp("date_dim")}),
-              |a AS (
-              |  SELECT ss_customer_sk AS cid, ss_ticket_number AS oid,
-              |    dd, ss_net_paid AS amount
-              |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
-              |  WHERE ss_customer_sk IS NOT NULL
-              |  UNION ALL
-              |  SELECT ws_bill_customer_sk, ws_order_number, dd, ws_net_paid
-              |  FROM ${rp("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
-              |  WHERE ws_bill_customer_sk IS NOT NULL)
+      Some(s"""WITH $q25BaseCtes
               |SELECT cid,
-              |  CAST(MAX(CASE WHEN dd >= DATE '2002-01-02' THEN 1.0 ELSE 0.0 END)
-              |    AS DOUBLE) AS recency,
-              |  CAST(COUNT(DISTINCT oid) AS DOUBLE) AS frequency,
-              |  CAST(SUM(amount) AS DOUBLE) AS totalspend
+              |  ${q25FeatureExprs(0)} AS recency,
+              |  ${q25FeatureExprs(1)} AS frequency,
+              |  ${q25FeatureExprs(2)} AS totalspend
               |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("b57_bdb_q26_features", (s, _) => {
@@ -1006,18 +1055,9 @@ object BdbDirect extends Suite {
         .orderBy("cid")
     },
       Some {
-        val ids = (1 to 15).map(i =>
-          s"CAST(SUM(CASE WHEN i_class_id = $i THEN 1 ELSE 0 END) AS DOUBLE) AS id$i")
-          .mkString(",\n           |    ")
-        val tot = (1 to 15).map(i => s"id$i").mkString(" + ")
-        s"""WITH it AS (SELECT i_item_sk, i_class_id FROM ${rp("item")}
-           |           WHERE i_category = 'Books'),
-           |f AS (
-           |  SELECT ss_customer_sk AS cid,
-           |    $ids
-           |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
-           |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1)
-           |SELECT *, ($tot) AS total FROM f
+        val tot = q26TotalExpr("id")
+        s"""WITH ${q26BaseCtes("id", "cid")}
+           |SELECT *, ($tot) AS total FROM f0
            |WHERE ($tot) > 5 ORDER BY cid""".stripMargin
       }),
 
@@ -1215,62 +1255,29 @@ object BdbDirect extends Suite {
     */
   private def lloydGates: Seq[Q] = {
     val iters = 3
+    // the f-CTEs re-derive each feature frame from the SAME shared
+    // CTE/expression strings the b55-b57 feature gates consume —
+    // unrounded here (the Lloyd quantizes at 6 decimals itself)
     val q20Feat =
-      s"""sales AS (
-         |  SELECT ss_customer_sk AS cust,
-         |    COUNT(DISTINCT ss_ticket_number) AS orders,
-         |    SUM(ss_quantity) AS items, SUM(ss_net_paid) AS amount
-         |  FROM ${rp("store_sales")}
-         |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
-         |ret AS (
-         |  SELECT sr_customer_sk AS cust,
-         |    COUNT(DISTINCT sr_ticket_number) AS r_orders,
-         |    SUM(sr_return_quantity) AS r_items,
-         |    SUM(sr_return_amt) AS r_amount
-         |  FROM ${rp("store_returns")}
-         |  WHERE sr_customer_sk IS NOT NULL GROUP BY 1),
+      s"""$q20SalesRetCtes,
          |f AS (
          |  SELECT s.cust AS id,
-         |    COALESCE(CAST(COALESCE(r.r_orders, 0) AS DOUBLE)
-         |      / s.orders, 0.0) AS f1,
-         |    COALESCE(CAST(COALESCE(r.r_items, 0) AS DOUBLE)
-         |      / s.items, 0.0) AS f2,
-         |    COALESCE(COALESCE(CAST(r.r_amount AS DOUBLE), 0.0)
-         |      / CAST(s.amount AS DOUBLE), 0.0) AS f3
+         |    ${q20RatioExprs(0)} AS f1,
+         |    ${q20RatioExprs(1)} AS f2,
+         |    ${q20RatioExprs(2)} AS f3
          |  FROM sales s LEFT JOIN ret r USING (cust))""".stripMargin
     val q25Feat =
-      s"""dd AS (SELECT d_date_sk, CAST(d_date AS DATE) AS dd
-         |      FROM ${rp("date_dim")}),
-         |a AS (
-         |  SELECT ss_customer_sk AS cid, ss_ticket_number AS oid,
-         |    dd, ss_net_paid AS amount
-         |  FROM ${rp("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
-         |  WHERE ss_customer_sk IS NOT NULL
-         |  UNION ALL
-         |  SELECT ws_bill_customer_sk, ws_order_number, dd, ws_net_paid
-         |  FROM ${rp("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
-         |  WHERE ws_bill_customer_sk IS NOT NULL),
+      s"""$q25BaseCtes,
          |f AS (
          |  SELECT cid AS id,
-         |    CAST(MAX(CASE WHEN dd >= DATE '2002-01-02' THEN 1.0
-         |      ELSE 0.0 END) AS DOUBLE) AS f1,
-         |    CAST(COUNT(DISTINCT oid) AS DOUBLE) AS f2,
-         |    CAST(SUM(amount) AS DOUBLE) AS f3
+         |    ${q25FeatureExprs(0)} AS f1,
+         |    ${q25FeatureExprs(1)} AS f2,
+         |    ${q25FeatureExprs(2)} AS f3
          |  FROM a GROUP BY 1)""".stripMargin
-    val q26Feat = {
-      val ids = (1 to 15).map(i =>
-        s"CAST(SUM(CASE WHEN i_class_id = $i THEN 1 ELSE 0 END) AS DOUBLE) AS f$i")
-        .mkString(",\n    ")
-      val tot = (1 to 15).map(i => s"f$i").mkString(" + ")
-      s"""it AS (SELECT i_item_sk, i_class_id FROM ${rp("item")}
-         |      WHERE i_category = 'Books'),
-         |f0 AS (
-         |  SELECT ss_customer_sk AS id,
-         |    $ids
-         |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
-         |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
-         |f AS (SELECT * FROM f0 WHERE ($tot) > 5)""".stripMargin
-    }
+    val q26Feat =
+      s"""${q26BaseCtes("f", "id")},
+         |f AS (SELECT * FROM f0 WHERE (${q26TotalExpr("f")}) > 5)"""
+        .stripMargin
     Seq(
       Q("b61_bdb_q20_kmeans", (s, _) => {
         reg(s)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,14 +54,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference: document co-occurrence / PMI as in gpu-bdb's text
   * analytics family; counts are exact, matching the naive pair
   * groupBy row-for-row (CoOccurSpec proves equality on random
-  * corpora; t21's DuckDB oracle gates it end-to-end).
+  * corpora; t21's DuckDB oracle gates it end-to-end). The dense
+  * path's per-pair count is an Int with a guarded increment — a pair
+  * co-occurring in > 2^31-1 documents fails LOUDLY (message naming
+  * the sparse path, whose counts are Long) instead of wrapping.
   */
 object CoOccur {
 
   /** Dense/sparse reducer routing bound: the largest per-reducer
     * triangular slice (in 4-byte count slots — 2^28 = 1 GiB) the
-    * dense-array reducer is allowed. Above it (≈1M+ vocab words at
-    * default R) [[pairCounts]] routes to the open-map reducer. */
+    * dense-array reducer takes by default. Above it (≈1M+ vocab words
+    * at default R) [[pairCounts]] routes to the open-map reducer. */
   val MaxDenseSlice: Long = 1L << 28
 
   /** True iff a (V, parts) instance takes the dense-slice reducer —
@@ -88,89 +92,135 @@ object CoOccur {
     * @param minCount  only pairs with c_xy >= minCount are returned.
     * @param parts     reducer count R (pair-space slices).
     * @param maxDenseSlice routing bound, [[MaxDenseSlice]] unless a
-    *                  spec forces a path.
+    *                  caller forces a path (raising it past the
+    *                  default is honored by the dense path up to its
+    *                  Int-indexable ceiling).
     * @return DataFrame(id1 INT, id2 INT, c_xy LONG), id1 < id2.
     */
   def pairCounts(docWords: DataFrame, wordsCol: String,
       vocab: Array[String], minCount: Long, parts: Int,
       maxDenseSlice: Long = MaxDenseSlice): DataFrame =
     if (routesDense(vocab.length, parts, maxDenseSlice))
-      pairCountsDense(docWords, wordsCol, vocab, minCount, parts)
+      pairCountsDense(docWords, wordsCol, vocab, minCount, parts,
+        maxDenseSlice)
     else pairCountsSparse(docWords, wordsCol, vocab, minCount, parts)
+
+  // ------------------------------------------------------------------
+  // Shared pieces (one copy — the dense≡sparse spec guards them).
+  // ------------------------------------------------------------------
+
+  private def broadcastWordIds(docWords: DataFrame, vocab: Array[String]) = {
+    val word2id = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      word2id.put(UTF8String.fromString(vocab(i)), i); i += 1
+    }
+    docWords.sparkSession.sparkContext.broadcast(word2id)
+  }
+
+  /** Doc side, shared by both paths: per row, map words to sorted
+    * DISTINCT vocab ids and call `emit` once per unordered pair's
+    * triangular index (idx(i,j) = off(i) + j - i - 1). */
+  private def forEachPairIdx(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      m: java.util.HashMap[UTF8String, Integer], V: Int)(
+      emit: Long => Unit): Unit = {
+    var ids = new Array[Int](1 << 12)
+    rows.foreach { r =>
+      val arr = r.getArray(0)
+      val nw = arr.numElements()
+      if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
+      var n = 0
+      var k = 0
+      while (k < nw) {
+        val v = m.get(arr.getUTF8String(k))
+        if (v != null) { ids(n) = v.intValue(); n += 1 }
+        k += 1
+      }
+      java.util.Arrays.sort(ids, 0, n)
+      // drop duplicate ids (a doc contributes each pair once even
+      // if the caller skipped array_distinct)
+      var w = 0
+      var rd = 0
+      while (rd < n) {
+        if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
+        rd += 1
+      }
+      n = w
+      var a = 0
+      while (a < n) {
+        val ai = ids(a).toLong
+        val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
+        var b = a + 1
+        while (b < n) { emit(base + ids(b)); b += 1 }
+        a += 1
+      }
+    }
+  }
+
+  /** Invert a triangular index to its (a, b) pair: largest a with
+    * off(a) <= idx, by EXACT integer binary search (~log2 V probes
+    * per surviving pair). The previous float-sqrt seed loses to
+    * cancellation once (2V-1)² exceeds 2^53 — V ≳ 6.7e7, exactly the
+    * sparse path's regime — where a NaN seed would degrade the
+    * linear fixup to O(V) per pair. */
+  private def invertTriangular(idx: Long, vocabSize: Int): (Int, Int) = {
+    val vm1 = (vocabSize - 1).toLong
+    def off(x: Long): Long = x * vm1 - x * (x - 1) / 2
+    var lo = 0L
+    var hi = vm1 - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (off(mid) <= idx) lo = mid else hi = mid - 1
+    }
+    (lo.toInt, (idx - off(lo) + lo + 1).toInt)
+  }
+
+  private def byReducer(r: Int) = new Partitioner {
+    def numPartitions: Int = r
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
 
   /** The dense-slice path — see the object scaladoc, steps 1-3. */
   private[graft] def pairCountsDense(docWords: DataFrame, wordsCol: String,
-      vocab: Array[String], minCount: Long, parts: Int): DataFrame = {
+      vocab: Array[String], minCount: Long, parts: Int,
+      maxSlice: Long = MaxDenseSlice): DataFrame = {
     val spark = docWords.sparkSession
     val schema = pairSchema
     val V = vocab.length
     val R = parts
     val T = V.toLong * (V - 1) / 2
     val slice = math.max(1L, T / R + 1)
-    require(slice <= (1L << 28),
+    // the hard ceiling is Int-indexability of the count array; the
+    // soft one is the caller's routing bound (raisable past the
+    // default, so pairCounts' maxDenseSlice contract holds both ways)
+    require(slice <= math.min(maxSlice, (Int.MaxValue - 8).toLong),
       s"dense pair-space slice $slice too large: raise parts past $R " +
         "or route via pairCounts to the open-map reducer")
     if (T == 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
 
-    val word2id = new java.util.HashMap[UTF8String, Integer](V * 2)
-    var i = 0
-    while (i < V) { word2id.put(UTF8String.fromString(vocab(i)), i); i += 1 }
-    val bcMap = spark.sparkContext.broadcast(word2id)
+    val bcMap = broadcastWordIds(docWords, vocab)
     val sliceI = slice.toInt
     val minC = math.max(minCount, 1L) // empty dense slots are not pairs
 
     // map side: ids per doc -> triangular idx -> slot blobs per reducer
-    val blobs = docWords.select(wordsCol).queryExecution.toRdd
-      .mapPartitions { rows =>
-        val m = bcMap.value
+    val blobs: RDD[(Int, Array[Int])] =
+      docWords.select(wordsCol).queryExecution.toRdd.mapPartitions { rows =>
         val bufs = new Array[Array[Int]](R)
         val sizes = new Array[Int](R)
         var p = 0
         while (p < R) { bufs(p) = new Array[Int](1 << 12); p += 1 }
-        var ids = new Array[Int](1 << 12)
-        rows.foreach { r =>
-          val arr = r.getArray(0)
-          val nw = arr.numElements()
-          if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
-          var n = 0
-          var k = 0
-          while (k < nw) {
-            val v = m.get(arr.getUTF8String(k))
-            if (v != null) { ids(n) = v.intValue(); n += 1 }
-            k += 1
+        forEachPairIdx(rows, bcMap.value, V) { idx =>
+          val tp = (idx % R).toInt
+          var buf = bufs(tp)
+          if (sizes(tp) == buf.length) {
+            buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+            bufs(tp) = buf
           }
-          java.util.Arrays.sort(ids, 0, n)
-          // drop duplicate ids (a doc contributes each pair once even
-          // if the caller skipped array_distinct)
-          var w = 0
-          var rd = 0
-          while (rd < n) {
-            if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
-            rd += 1
-          }
-          n = w
-          var a = 0
-          while (a < n) {
-            // idx(i,j) = off(i) + (j - i - 1), off(i) = i(V-1) - i(i-1)/2
-            val ai = ids(a).toLong
-            val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
-            var b = a + 1
-            while (b < n) {
-              val idx = base + ids(b)
-              val tp = (idx % R).toInt
-              var buf = bufs(tp)
-              if (sizes(tp) == buf.length) {
-                buf = java.util.Arrays.copyOf(buf, buf.length << 1)
-                bufs(tp) = buf
-              }
-              buf(sizes(tp)) = (idx / R).toInt
-              sizes(tp) += 1
-              b += 1
-            }
-            a += 1
-          }
+          buf(sizes(tp)) = (idx / R).toInt
+          sizes(tp) += 1
         }
         (0 until R).iterator.filter(sizes(_) > 0).map { p =>
           (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
@@ -178,29 +228,27 @@ object CoOccur {
       }
 
     // reduce side: dense count over the owned slice, emit survivors
-    val survivors = blobs.partitionBy(new Partitioner {
-      def numPartitions: Int = R
-      def getPartition(key: Any): Int = key.asInstanceOf[Int]
-    }).mapPartitionsWithIndex { (p, it) =>
-      val cnt = new Array[Int](sliceI)
-      it.foreach { case (_, blob) =>
-        var i = 0
-        while (i < blob.length) { cnt(blob(i)) += 1; i += 1 }
+    val survivors = blobs.partitionBy(byReducer(R))
+      .mapPartitionsWithIndex { (p, it) =>
+        val cnt = new Array[Int](sliceI)
+        it.foreach { case (_, blob) =>
+          var i = 0
+          while (i < blob.length) {
+            val s = blob(i)
+            val c = cnt(s) + 1
+            if (c < 0) throw new ArithmeticException(
+              s"CoOccur dense count overflow at slot $s (> ${Int.MaxValue} " +
+                "docs share one pair): use the sparse path (Long counts) " +
+                "via pairCounts with a smaller maxDenseSlice")
+            cnt(s) = c
+            i += 1
+          }
+        }
+        Iterator.range(0, sliceI).filter(cnt(_) >= minC).map { s =>
+          val (a, b) = invertTriangular(s.toLong * R + p, V)
+          Row(a, b, cnt(s).toLong)
+        }
       }
-      val twoVm1 = 2.0 * V - 1
-      Iterator.range(0, sliceI).filter(cnt(_) >= minC).map { s =>
-        val idx = s.toLong * R + p
-        // invert the triangular index: largest a with off(a) <= idx
-        var a = ((twoVm1 - math.sqrt(twoVm1 * twoVm1 - 8.0 * idx)) / 2).toLong
-        if (a < 0) a = 0
-        if (a > V - 2) a = V - 2
-        def off(x: Long): Long = x * (V - 1) - x * (x - 1) / 2
-        while (a + 1 <= V - 2 && off(a + 1) <= idx) a += 1
-        while (a > 0 && off(a) > idx) a -= 1
-        val b = idx - off(a) + a + 1
-        Row(a.toInt, b.toInt, cnt(s).toLong)
-      }
-    }
     spark.createDataFrame(survivors, schema)
   }
 
@@ -208,12 +256,12 @@ object CoOccur {
     * blobs carry the WHOLE triangular idx as packed longs (8 bytes/
     * pair — still one blob row per map-task x reducer, no per-pair
     * UnsafeRow framing) and reducer p (owning {idx : idx % R == p})
-    * counts in an open-addressing map. Memory per reducer is
-    * ~16 bytes per DISTINCT observed pair / R — data-proportional
-    * like any hash aggregation, instead of the dense path's
-    * slice-proportional array; for a Zipfian corpus the realized
-    * pair set is a small fraction of V(V-1)/2, which is exactly the
-    * regime where V makes the dense slice unaffordable.
+    * counts in an open-addressing map with LONG counts. Memory per
+    * reducer is ~16 bytes per DISTINCT observed pair / R —
+    * data-proportional like any hash aggregation, instead of the
+    * dense path's slice-proportional array; for a Zipfian corpus the
+    * realized pair set is a small fraction of V(V-1)/2, which is
+    * exactly the regime where V makes the dense slice unaffordable.
     */
   private[graft] def pairCountsSparse(docWords: DataFrame, wordsCol: String,
       vocab: Array[String], minCount: Long, parts: Int): DataFrame = {
@@ -226,99 +274,58 @@ object CoOccur {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
 
-    val word2id = new java.util.HashMap[UTF8String, Integer](V * 2)
-    var i = 0
-    while (i < V) { word2id.put(UTF8String.fromString(vocab(i)), i); i += 1 }
-    val bcMap = spark.sparkContext.broadcast(word2id)
+    val bcMap = broadcastWordIds(docWords, vocab)
     val minC = math.max(minCount, 1L)
 
-    val blobs = docWords.select(wordsCol).queryExecution.toRdd
-      .mapPartitions { rows =>
-        val m = bcMap.value
+    val blobs: RDD[(Int, Array[Long])] =
+      docWords.select(wordsCol).queryExecution.toRdd.mapPartitions { rows =>
         val bufs = new Array[Array[Long]](R)
         val sizes = new Array[Int](R)
         var p = 0
         while (p < R) { bufs(p) = new Array[Long](1 << 12); p += 1 }
-        var ids = new Array[Int](1 << 12)
-        rows.foreach { r =>
-          val arr = r.getArray(0)
-          val nw = arr.numElements()
-          if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
-          var n = 0
-          var k = 0
-          while (k < nw) {
-            val v = m.get(arr.getUTF8String(k))
-            if (v != null) { ids(n) = v.intValue(); n += 1 }
-            k += 1
+        forEachPairIdx(rows, bcMap.value, V) { idx =>
+          val tp = (idx % R).toInt
+          var buf = bufs(tp)
+          if (sizes(tp) == buf.length) {
+            buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+            bufs(tp) = buf
           }
-          java.util.Arrays.sort(ids, 0, n)
-          var w = 0
-          var rd = 0
-          while (rd < n) {
-            if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
-            rd += 1
-          }
-          n = w
-          var a = 0
-          while (a < n) {
-            val ai = ids(a).toLong
-            val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
-            var b = a + 1
-            while (b < n) {
-              val idx = base + ids(b)
-              val tp = (idx % R).toInt
-              var buf = bufs(tp)
-              if (sizes(tp) == buf.length) {
-                buf = java.util.Arrays.copyOf(buf, buf.length << 1)
-                bufs(tp) = buf
-              }
-              buf(sizes(tp)) = idx
-              sizes(tp) += 1
-              b += 1
-            }
-            a += 1
-          }
+          buf(sizes(tp)) = idx
+          sizes(tp) += 1
         }
         (0 until R).iterator.filter(sizes(_) > 0).map { p =>
           (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
         }
       }
 
-    val survivors = blobs.partitionBy(new Partitioner {
-      def numPartitions: Int = R
-      def getPartition(key: Any): Int = key.asInstanceOf[Int]
-    }).mapPartitions { it =>
+    val survivors = blobs.partitionBy(byReducer(R)).mapPartitions { it =>
       val cnt = new OpenLongCount(1 << 16)
       it.foreach { case (_, blob) =>
         var i = 0
         while (i < blob.length) { cnt.add(blob(i)); i += 1 }
       }
-      val twoVm1 = 2.0 * V - 1
       cnt.iterator.filter(_._2 >= minC).map { case (idx, c) =>
-        var a = ((twoVm1 - math.sqrt(twoVm1 * twoVm1 - 8.0 * idx)) / 2).toLong
-        if (a < 0) a = 0
-        if (a > V - 2) a = V - 2
-        def off(x: Long): Long = x * (V - 1) - x * (x - 1) / 2
-        while (a + 1 <= V - 2 && off(a + 1) <= idx) a += 1
-        while (a > 0 && off(a) > idx) a -= 1
-        val b = idx - off(a) + a + 1
-        Row(a.toInt, b.toInt, c.toLong)
+        val (a, b) = invertTriangular(idx, V)
+        Row(a, b, c)
       }
     }
     spark.createDataFrame(survivors, schema)
   }
 }
 
-/** Minimal open-addressing long->count map for the sparse co-occur
-  * reducer: power-of-two capacity, linear probing, murmur fmix64
-  * spread, grow at 3/4 load. Keys are stored +1 so 0 marks empty
-  * (triangular idx 0 is a valid key).
+/** Minimal open-addressing long->long count map for the sparse
+  * co-occur reducer: power-of-two capacity, linear probing, murmur
+  * fmix64 spread, grow at 3/4 load. Keys are stored +1 so 0 marks
+  * empty (triangular idx 0 is a valid key); counts are Long, so no
+  * realizable corpus wraps them. Capacity fails fast at 2^30 slots
+  * (~800M distinct pairs on one reducer) with the remedy named,
+  * instead of overflowing Int on the next doubling.
   */
 private[graft] final class OpenLongCount(initialCapacity: Int) {
   private var cap = math.max(
     Integer.highestOneBit(math.max(initialCapacity, 2) - 1) << 1, 16)
   private var keys = new Array[Long](cap)
-  private var vals = new Array[Int](cap)
+  private var vals = new Array[Long](cap)
   private var n = 0
 
   private def mix(x0: Long): Long = {
@@ -338,7 +345,7 @@ private[graft] final class OpenLongCount(initialCapacity: Int) {
       val cur = keys(i)
       if (cur == k) { vals(i) += 1; done = true }
       else if (cur == 0L) {
-        keys(i) = k; vals(i) = 1; n += 1
+        keys(i) = k; vals(i) = 1L; n += 1
         if (n.toLong * 4 >= cap.toLong * 3) grow()
         done = true
       } else i = (i + 1) & (cap - 1)
@@ -346,10 +353,14 @@ private[graft] final class OpenLongCount(initialCapacity: Int) {
   }
 
   private def grow(): Unit = {
+    if (cap >= (1 << 30)) throw new IllegalStateException(
+      s"OpenLongCount at $n distinct pairs on one reducer: raise the " +
+        "reducer count (CoOccur parts) so each open map stays under " +
+        "2^30 slots")
     val ok = keys; val ov = vals
     cap <<= 1
     keys = new Array[Long](cap)
-    vals = new Array[Int](cap)
+    vals = new Array[Long](cap)
     var j = 0
     while (j < ok.length) {
       val k = ok(j)
@@ -363,7 +374,7 @@ private[graft] final class OpenLongCount(initialCapacity: Int) {
   }
 
   /** (key, count) pairs in slot order (NOT sorted). */
-  def iterator: Iterator[(Long, Int)] =
+  def iterator: Iterator[(Long, Long)] =
     Iterator.range(0, cap).filter(keys(_) != 0L)
       .map(i => (keys(i) - 1, vals(i)))
 }

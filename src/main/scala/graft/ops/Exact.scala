@@ -164,7 +164,10 @@ object Exact {
   * n*dim exploded (vec, dim, v) join+groupBy stream (m02's recenter
   * was an eq-join + (cid, dim) aggregate over 1.28M rows per
   * iteration). Values are identical: the same integers sum per
-  * (cid, dim) in any order.
+  * (cid, dim) in any order. Accumulation uses Math.addExact: a
+  * centroid sum that would wrap a long (possible at ~1e12 rows of
+  * 1e8-unit features — the 100 TB regime) throws ArithmeticException
+  * LOUDLY instead of recentering on garbage.
   */
 class LongVecSumAgg extends org.apache.spark.sql.expressions
     .Aggregator[Seq[Long], Array[Long], Seq[Long]] {
@@ -173,7 +176,7 @@ class LongVecSumAgg extends org.apache.spark.sql.expressions
     if (b.isEmpty) v.toArray
     else {
       var i = 0
-      while (i < b.length) { b(i) += v(i); i += 1 }
+      while (i < b.length) { b(i) = Math.addExact(b(i), v(i)); i += 1 }
       b
     }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
@@ -181,7 +184,7 @@ class LongVecSumAgg extends org.apache.spark.sql.expressions
     else if (b.isEmpty) a
     else {
       var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
       a
     }
   override def finish(b: Array[Long]): Seq[Long] =

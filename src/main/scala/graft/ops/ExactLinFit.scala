@@ -29,13 +29,13 @@ import org.apache.spark.sql.functions._
   * the point here is a REAL multi-feature fit on the REAL q05
   * feature frame whose every number an oracle can replay.
   *
-  * Scale shape: one exact aggregation (14 longs cross the exchange),
-  * a 1-row broadcast splice of the coefficients, one scoring pass.
-  * BIGINT moment sums hold to ~1e18 (n·max(x²) — at 1e12 rows that
-  * allows x1 ≤ ~1e3 clicks; larger regimes would move the sums to
-  * DECIMAL(38,0)); the Cramer polynomial is evaluated in doubles, so
-  * determinants are approximate beyond 2^53 but identically so in
-  * both engines.
+  * Scale shape: one exact aggregation (14 decimal partials cross the
+  * exchange), a 1-row broadcast splice of the coefficients, one
+  * scoring pass. Moment sums accumulate in DECIMAL(38,0) — wrap-proof
+  * at any corpus size whose per-row products fit a long (max(x)²,
+  * the documented call-site regime); the Cramer polynomial is
+  * evaluated in doubles, so determinants are approximate beyond 2^53
+  * but identically so in both engines.
   */
 object ExactLinFit {
 
@@ -84,8 +84,12 @@ object ExactLinFit {
     "b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)" +
       " + b3 * CAST(x3 AS DOUBLE)"
 
-  /** The 14 exact moment sums, cast to double AFTER the exact BIGINT
-    * aggregation — emitted as (spark Column, name) pairs. */
+  /** The 14 exact moment sums, cast to double AFTER the exact
+    * aggregation. The Spark side sums through DECIMAL(38,0) (the
+    * Exact.scala discipline) so even a 1e12-row corpus with 1e6-scale
+    * regressors cannot wrap the accumulator; DuckDB's SUM(BIGINT) is
+    * HUGEINT (128-bit) natively. Both sides convert the identical
+    * exact integer to double once — same IEEE rounding, same value. */
   private val moments: Seq[(String, String)] = Seq(
     "COUNT(*)" -> "sn",
     "SUM(x1)" -> "s1", "SUM(x2)" -> "s2", "SUM(x3)" -> "s3",
@@ -93,6 +97,16 @@ object ExactLinFit {
     "SUM(x2*x2)" -> "s22", "SUM(x2*x3)" -> "s23", "SUM(x3*x3)" -> "s33",
     "SUM(y)" -> "sy",
     "SUM(x1*y)" -> "s1y", "SUM(x2*y)" -> "s2y", "SUM(x3*y)" -> "s3y")
+
+  /** Spark-side sum expression: the product stays in long (per-row
+    * products are bounded by max(x)² — the documented call-site
+    * regime) but ACCUMULATES in decimal. */
+  private def sparkMoment(e: String): String =
+    if (e == "COUNT(*)") "CAST(COUNT(*) AS DOUBLE)"
+    else {
+      val inner = e.stripPrefix("SUM(").stripSuffix(")")
+      s"CAST(SUM(CAST($inner AS DECIMAL(38,0))) AS DOUBLE)"
+    }
 
   /** DuckDB SQL for the sums CTE body (FROM a relation named f with
     * BIGINT columns x1, x2, x3, y). */
@@ -110,9 +124,9 @@ object ExactLinFit {
       col(y).cast("long").as("y"))
       .localCheckpoint() // consumed twice: the sums and the scoring pass
     val sums = f.agg(
-      expr(s"CAST(${moments.head._1} AS DOUBLE)").as(moments.head._2),
+      expr(sparkMoment(moments.head._1)).as(moments.head._2),
       moments.tail.map { case (e, n) =>
-        expr(s"CAST($e AS DOUBLE)").as(n) }: _*)
+        expr(sparkMoment(e)).as(n) }: _*)
     val coefs = sums.select(
       expr(coefStrs(0)).as("b0"), expr(coefStrs(1)).as("b1"),
       expr(coefStrs(2)).as("b2"), expr(coefStrs(3)).as("b3"))

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    (sum of squared unit-space distances) is computed through
   *    DECIMAL(38,0) so a 100 TB corpus cannot silently wrap a BIGINT
   *    accumulator (per-row d2 stays in long — safe while
-  *    unit*|x| <= ~1e8 at dim <= 64, which each call site documents).
+  *    unit*|x| <= ~1e8 at dim <= 64, which each call site documents;
+  *    the recenter sums use LongVecSumAgg's Math.addExact, so a
+  *    centroid sum that would wrap fails LOUDLY instead).
   *
   * Every value is an exact integer, so the result is independent of
   * partitioning and accumulation order, and a DuckDB oracle can
