@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * then ImageIO DECODES the PNG and the decoded width/height/bands
   * flow downstream — a full encode->decode round trip per row inside
   * the same mapPartitions seam, hash-gated because the oracle can
-  * predict the planned dims (x01). The AUDIO/VIDEO kernels remain
-  * STUBS (`StubCodec`, deterministic fake metadata from the
-  * content's md5): those codecs aren't in this environment.
+  * predict the planned dims (x01). The AUDIO path likewise carries
+  * a real codec ([[WavCodec]], JVM built-in javax.sound.sampled — a
+  * genuine 16-bit PCM WAV rendered per plan and AudioSystem-decoded
+  * per row, x06). Only the VIDEO kernel remains a STUB (`StubCodec`,
+  * deterministic fake metadata from the content's md5): no video
+  * codec ships in a bare JVM.
   * Everything around the kernels — binary schema, partition-batched
   * iteration, operator signatures, metadata propagation — is the
   * real distributed plumbing and is oracle-verified.
@@ -91,7 +94,12 @@ object Multimodal {
     def synthesizePng(h: Long): Array[Byte] = {
       val (w, ht, bands) = plan(h)
       val key = (w.toLong << 32) | (ht.toLong << 8) | bands.toLong
-      pngCache.computeIfAbsent(key, _ => renderPng(w, ht, bands))
+      // get-first: computeIfAbsent bin-locks even on present keys
+      // when bins collide (JDK-8161372) — with 32 threads hammering
+      // a few thousand hot keys that serializes the whole pass
+      val hit = pngCache.get(key)
+      if (hit != null) hit
+      else pngCache.computeIfAbsent(key, _ => renderPng(w, ht, bands))
     }
 
     private val pngCache =
@@ -119,6 +127,109 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(png))
       (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+  }
+
+  /** REAL audio codec binding (javax.sound.sampled — public, in
+    * every JVM): the [[ImageIoCodec]] pattern for WAV. Content hash
+    * plans (sampleRate, durationMs, channels); a genuine 16-bit PCM
+    * WAV of that shape is synthesized (memoized — WAV bytes are a
+    * pure function of the plan, 96 distinct plans of <= 384 KB), and
+    * AudioSystem DECODES it per row: the emitted rate/channels/
+    * duration come from the decoded AudioFormat + frame length, so a
+    * gate match proves the decoder agreed with the plan. Durations
+    * are multiples of 250 ms and rates multiples of 8 kHz, so
+    * frames*1000/rate reproduces the planned duration exactly in
+    * integer arithmetic (SQL-replayable).
+    */
+  object WavCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Planned (sampleRateHz, durationMs, channels) from the hash:
+      * rate in {8k..48k}, duration in {250..2000} ms, 1-2 channels. */
+    def plan(h: Long): (Int, Int, Int) =
+      ((8000 * ((h % 6) + 1)).toInt, (((h % 8) + 1) * 250).toInt,
+        ((h % 2) + 1).toInt)
+
+    private val wavCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+    def synthesizeWav(h: Long): Array[Byte] = {
+      val (sr, durMs, ch) = plan(h)
+      val key = (sr.toLong << 32) | (durMs.toLong << 8) | ch.toLong
+      // get-first: see ImageIoCodec.synthesizePng (JDK-8161372)
+      val hit = wavCache.get(key)
+      if (hit != null) hit
+      else wavCache.computeIfAbsent(key, _ => renderWav(sr, durMs, ch))
+    }
+
+    private def renderWav(sr: Int, durMs: Int, ch: Int): Array[Byte] = {
+      val frames = sr.toLong * durMs / 1000
+      val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](frames.toInt * ch * 2)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = (i * 13 + 5).toByte; i += 1 }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** The platform's real audio file readers, resolved ONCE per JVM
+      * through the same SPI AudioSystem uses: AudioSystem's
+      * convenience entry re-enters a synchronized provider lookup on
+      * EVERY call (JDK13Services), which serializes a 32-thread scan
+      * (x06 read 7.5 s at engine sf1 through it; ~1 s calling the
+      * resolved reader directly — same codec, same parse). */
+    private lazy val readers: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+          classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+        .iterator.asScala.toList
+    }
+
+    /** The reader that last succeeded — tried first on every call so
+      * a homogeneous corpus (all WAV here) pays ZERO
+      * UnsupportedAudioFileException throws per row: the SPI scan
+      * tries AIFF/AU readers before WAV in provider order, and each
+      * rejection is a thrown exception (~180 us/row measured through
+      * the scan vs ~15 us through the right reader directly). */
+    @volatile private var preferred: javax.sound.sampled.spi.AudioFileReader =
+      null
+
+    /** The real decode: (sampleRateHz, durationMs, channels) off the
+      * WAV header + frame length. */
+    def decode(wav: Array[Byte]): (Int, Int, Int) = {
+      val ais = {
+        val p = preferred
+        val fast =
+          if (p == null) None
+          else {
+            val in = new java.io.ByteArrayInputStream(wav)
+            try Some(p.getAudioInputStream(in))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            }
+          }
+        fast.getOrElse {
+          readers.view.flatMap { r =>
+            val in = new java.io.ByteArrayInputStream(wav)
+            try {
+              val a = r.getAudioInputStream(in)
+              preferred = r
+              Some(a)
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            }
+          }.headOption.getOrElse(AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav)))
+        }
+      }
+      val f = ais.getFormat
+      val durMs = ais.getFrameLength * 1000 / f.getSampleRate.toLong
+      (f.getSampleRate.toInt, durMs.toInt, f.getChannels)
     }
   }
 
@@ -180,6 +291,26 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
           val (sr, dur, ch) = StubCodec.decodeAudio(bytes)
+          (i, sr, dur, ch)
+        }
+      }
+      .toDF(id, "sample_rate", "duration_ms", "n_channels")
+  }
+
+  /** Audio decode through the REAL codec: per partition, render each
+    * row's planned WAV (memoized) and AudioSystem-decode it (see
+    * [[WavCodec]]); emits the DECODED (sample_rate, duration_ms,
+    * n_channels). Same seam and output schema as [[decodeAudio]].
+    */
+  def decodeAudioWav(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val wav = WavCodec.synthesizeWav(StubCodec.hash60(bytes))
+          val (sr, dur, ch) = WavCodec.decode(wav)
           (i, sr, dur, ch)
         }
       }

@@ -61,11 +61,17 @@ object Extras extends Suite {
              |  n_bytes
              |FROM dims ORDER BY doc_id""".stripMargin)),
 
+    // x06 runs the REAL audio codec (javax.sound.sampled WAV): each
+    // doc's planned 16-bit PCM WAV is rendered (memoized — pure
+    // function of the plan) and then actually DECODED per row; the
+    // oracle predicts the planned rate/duration/channels from the
+    // content hash, so a hash match proves decoder and plan agreed
+    // (Multimodal.WavCodec, the x01 ImageIoCodec pattern).
     Q("x06_audio_pipeline", (s, d) => {
       val media = Multimodal.asBinary(
         Tables.load(s, d, "documents"), "doc_id", "text", "audio")
       Multimodal.withAudioWindowPlan(
-          Multimodal.decodeAudio(media, "doc_id"), 1000)
+          Multimodal.decodeAudioWav(media, "doc_id"), 1000)
         .select("doc_id", "sample_rate", "duration_ms", "n_channels",
           "n_windows")
         .orderBy("doc_id")
@@ -76,9 +82,9 @@ object Extras extends Suite {
              |  FROM documents)
              |SELECT doc_id,
              |  CAST(8000 * ((hv % 6) + 1) AS INT) AS sample_rate,
-             |  CAST((hv % 60000) + 1000 AS INT) AS duration_ms,
+             |  CAST(((hv % 8) + 1) * 250 AS INT) AS duration_ms,
              |  CAST((hv % 2) + 1 AS INT) AS n_channels,
-             |  CAST(((hv % 60000) + 1000 + 999) // 1000 AS INT) AS n_windows
+             |  CAST((((hv % 8) + 1) * 250 + 999) // 1000 AS INT) AS n_windows
              |FROM h ORDER BY doc_id""".stripMargin)),
 
     Q("x02_streaming_sessions",

@@ -73,4 +73,15 @@ class ExactFitSpec extends SparkSpec {
       assert((dw, dh, db) == ((w, ht, bands)), s"h=$h")
     }
   }
+
+  test("WavCodec: real WAV encode->decode round-trips rate/duration/channels") {
+    import graft.ops.Multimodal.WavCodec
+    // hashes covering both channel counts and several rate/duration
+    // cells, incl. the extremes (8 kHz/250 ms and 48 kHz/2000 ms)
+    for (h <- Seq(0L, 1L, 5L, 7L, 23L, 47L, 123456789L, 987654321L)) {
+      val (sr, dur, ch) = WavCodec.plan(h)
+      val (dsr, ddur, dch) = WavCodec.decode(WavCodec.synthesizeWav(h))
+      assert((dsr, ddur, dch) == ((sr, dur, ch)), s"h=$h")
+    }
+  }
 }
