@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.bdb.{BdbCatalog, BdbQueries2}
+import graft.ops.ExactLloyd
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the deterministic fit machinery itself: run
+  * [[ExactLloyd.fitLabels]] over the REAL q20/q25 feature frames on
+  * the BdbDataGen parquet trees (the b61/b62 gate bodies, but on
+  * growing data instead of the committed fixture) and print min-of-N
+  * seconds — evidence that the quantize/assign/recenter loop's cost
+  * tracks the feature-frame size, not something worse.
+  *
+  * Usage: `sbt "runMain graft.tools.ProbeLloydScale bench/bdb/sf1.0 4"`.
+  */
+object ProbeLloydScale {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("bench/bdb/sf1.0")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    BdbCatalog.registerParquet(spark, s"$base/parquet")
+
+    def timeMin(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val s = (System.nanoTime() - t0) / 1e9
+        (s, n)
+      }
+      println(f"[lloyd-scale] $label: min ${times.map(_._1).min}%.2f s " +
+        f"over $reps (rows=${times.head._2}, " +
+        s"passes=${times.map(t => f"${t._1}%.2f").mkString(",")})")
+    }
+
+    timeMin("q20 ExactLloyd k=8 it=3")(ExactLloyd.fitLabels(
+      BdbQueries2.q20Features(spark), "cust",
+      Seq("order_ratio", "item_ratio", "amount_ratio"), 8, 3, 1000000L))
+    timeMin("q25 ExactLloyd k=8 it=3")(ExactLloyd.fitLabels(
+      BdbQueries2.q25Features(spark), "cid",
+      Seq("recency", "frequency", "totalspend"), 8, 3, 100L))
+    spark.stop()
+  }
+}
