@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Get-first memoization for the codec byte caches: ConcurrentHashMap
+    * .computeIfAbsent bin-locks even on PRESENT keys when bins collide
+    * (JDK-8161372) — with 32 threads hammering a few hot keys that
+    * serializes the whole pass, so the lock-free read goes first. */
+  private def memo(
+      cache: java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]],
+      key: Long)(render: => Array[Byte]): Array[Byte] = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else cache.computeIfAbsent(key, _ => render)
+  }
+
   /** DETERMINISTIC FAKE decode — replace with a real codec binding.
     * Dimensions derive from md5(content) so a SQL oracle can verify
     * the pipeline end-to-end.
@@ -48,12 +60,6 @@ object Multimodal {
       val h = hash60(bytes)
       (((h % 1024) + 16).toInt, (((h / 1024) % 1024) + 16).toInt,
         ((h % 3) + 1).toInt, ((h % 240) + 1).toInt)
-    }
-    /** (sampleRateHz, durationMs, nChannels) of the fake audio. */
-    def decodeAudio(bytes: Array[Byte]): (Int, Int, Int) = {
-      val h = hash60(bytes)
-      ((8000 * ((h % 6) + 1)).toInt, ((h % 60000) + 1000).toInt,
-        ((h % 2) + 1).toInt)
     }
     /** (fps, durationMs, width, height) of the fake video stream. */
     def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, Int) = {
@@ -93,13 +99,8 @@ object Multimodal {
       * sf1 suite (deflate + per-pixel setRGB), decode-only is ~3 s. */
     def synthesizePng(h: Long): Array[Byte] = {
       val (w, ht, bands) = plan(h)
-      val key = (w.toLong << 32) | (ht.toLong << 8) | bands.toLong
-      // get-first: computeIfAbsent bin-locks even on present keys
-      // when bins collide (JDK-8161372) — with 32 threads hammering
-      // a few thousand hot keys that serializes the whole pass
-      val hit = pngCache.get(key)
-      if (hit != null) hit
-      else pngCache.computeIfAbsent(key, _ => renderPng(w, ht, bands))
+      memo(pngCache, (w.toLong << 32) | (ht.toLong << 8) | bands.toLong)(
+        renderPng(w, ht, bands))
     }
 
     private val pngCache =
@@ -156,11 +157,8 @@ object Multimodal {
 
     def synthesizeWav(h: Long): Array[Byte] = {
       val (sr, durMs, ch) = plan(h)
-      val key = (sr.toLong << 32) | (durMs.toLong << 8) | ch.toLong
-      // get-first: see ImageIoCodec.synthesizePng (JDK-8161372)
-      val hit = wavCache.get(key)
-      if (hit != null) hit
-      else wavCache.computeIfAbsent(key, _ => renderWav(sr, durMs, ch))
+      memo(wavCache, (sr.toLong << 32) | (durMs.toLong << 8) | ch.toLong)(
+        renderWav(sr, durMs, ch))
     }
 
     private def renderWav(sr: Int, durMs: Int, ch: Int): Array[Byte] = {
@@ -282,25 +280,10 @@ object Multimodal {
       .toDF(id, "modality", "width", "height", "channels", "n_frames")
   }
 
-  /** Audio decode + windowed-feature plan per partition. */
-  def decodeAudio(media: DataFrame, id: String): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col(id).cast("long"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (i, bytes) =>
-          val (sr, dur, ch) = StubCodec.decodeAudio(bytes)
-          (i, sr, dur, ch)
-        }
-      }
-      .toDF(id, "sample_rate", "duration_ms", "n_channels")
-  }
-
   /** Audio decode through the REAL codec: per partition, render each
     * row's planned WAV (memoized) and AudioSystem-decode it (see
     * [[WavCodec]]); emits the DECODED (sample_rate, duration_ms,
-    * n_channels). Same seam and output schema as [[decodeAudio]].
+    * n_channels) — the audio sibling of [[decodeDimsImageIo]].
     */
   def decodeAudioWav(media: DataFrame, id: String): DataFrame = {
     val spark = media.sparkSession
