@@ -68,11 +68,16 @@ object CoOccur {
   val MaxDenseSlice: Long = 1L << 28
 
   /** True iff a (V, parts) instance takes the dense-slice reducer —
-    * the routing predicate, exposed so the spec pins it. */
+    * the routing predicate, exposed so the spec pins it. The bound is
+    * clamped to the dense reducer's hard Int-indexability ceiling
+    * (Int.MaxValue - 8 count slots), so a caller who RAISES
+    * maxDenseSlice past what a JVM array can hold degrades to the
+    * sparse path instead of tripping the dense path's require. */
   private[graft] def routesDense(vocabSize: Int, parts: Int,
       maxDenseSlice: Long = MaxDenseSlice): Boolean = {
     val t = vocabSize.toLong * (vocabSize - 1) / 2
-    math.max(1L, t / parts + 1) <= maxDenseSlice
+    math.max(1L, t / parts + 1) <=
+      math.min(maxDenseSlice, (Int.MaxValue - 8).toLong)
   }
 
   private val pairSchema = StructType(Seq(
@@ -93,8 +98,10 @@ object CoOccur {
     * @param parts     reducer count R (pair-space slices).
     * @param maxDenseSlice routing bound, [[MaxDenseSlice]] unless a
     *                  caller forces a path (raising it past the
-    *                  default is honored by the dense path up to its
-    *                  Int-indexable ceiling).
+    *                  default is honored up to the dense reducer's
+    *                  Int-indexable ceiling, Int.MaxValue - 8 slots;
+    *                  beyond that the routing itself degrades to the
+    *                  sparse reducer rather than throwing).
     * @return DataFrame(id1 INT, id2 INT, c_xy LONG), id1 < id2.
     */
   def pairCounts(docWords: DataFrame, wordsCol: String,

@@ -127,8 +127,21 @@ object ExactLinFit {
       expr(sparkMoment(moments.head._1)).as(moments.head._2),
       moments.tail.map { case (e, n) =>
         expr(sparkMoment(e)).as(n) }: _*)
+    // singular-design guard (Spark-side only — the shared coefficient
+    // strings stay oracle-parseable): det(X^T X) = 0 would make every
+    // Cramer quotient 0/0 = NaN, which double division yields SILENTLY
+    // even under ANSI (only integral/decimal division throws), and a
+    // NaN-for-NaN hash match would gate "clean". Fail loudly instead.
+    // The ELSE branch is the verbatim coefficient string, so the
+    // non-degenerate value is the identical IEEE tree.
+    val b0Guarded =
+      s"CASE WHEN ($detStr) = 0.0D THEN CAST(raise_error(" +
+        "'graft.ExactLinFit: singular design matrix (det(X^T X) = 0) " +
+        "- the least-squares fit is undefined; check the regressors " +
+        "for collinear or constant columns') AS DOUBLE) " +
+        s"ELSE ${coefStrs(0)} END"
     val coefs = sums.select(
-      expr(coefStrs(0)).as("b0"), expr(coefStrs(1)).as("b1"),
+      expr(b0Guarded).as("b0"), expr(coefStrs(1)).as("b1"),
       expr(coefStrs(2)).as("b2"), expr(coefStrs(3)).as("b3"))
     f.crossJoin(broadcast(coefs))
       .select(col("y"), col("b0"), col("b1"), col("b2"), col("b3"),

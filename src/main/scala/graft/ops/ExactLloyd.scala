@@ -101,6 +101,19 @@ object ExactLloyd {
       (flat, ids)
     }
 
+    // seeding contract: the k SMALLEST ids, which is only well-defined
+    // (and only matches the oracle's SELECT DISTINCT id ... LIMIT k
+    // replay) when ids are unique — enforce it rather than rely on the
+    // call sites happening to pass grouped frames. One narrow two-
+    // counter agg over the already-checkpointed frame; k-bounded
+    // driver state as before.
+    val Array(nRows, nIds) = qv
+      .agg(count(lit(1)), countDistinct(col("_id"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"ExactLloyd: feature frame has $nRows rows but only $nIds " +
+        "distinct ids — seeding by k-smallest-id requires one row per " +
+        "id (dedupe/group the feature frame before fitting)")
     val seedRows = collectQv(
       qv.orderBy("_id").limit(k).select(col("_id"), col("qv")))
     require(seedRows.nonEmpty,

@@ -71,6 +71,13 @@ class CoOccurSpec extends SparkSpec {
     // the bound is exact: slice == maxDenseSlice stays dense
     assert(CoOccur.routesDense(61, 3, maxDenseSlice = 611))
     assert(!CoOccur.routesDense(61, 3, maxDenseSlice = 610))
+    // raising the bound past the dense reducer's Int-indexable
+    // ceiling must degrade to sparse, not route dense and then throw:
+    // 95k vocab at 1 reducer -> slice ~ 4.5e9 > Int.MaxValue-8,
+    // maxDenseSlice = Long.MaxValue notwithstanding
+    assert(!CoOccur.routesDense(95000, 1, maxDenseSlice = Long.MaxValue))
+    // while a slice under the ceiling still honors a raised bound
+    assert(CoOccur.routesDense(61, 3, maxDenseSlice = Long.MaxValue))
   }
 
   test("sparse reducer ≡ dense reducer on random corpora") {

@@ -53,8 +53,10 @@ class ExactFitSpec extends SparkSpec {
     // Spark side of the contract (det4 well-formed, names resolve)
     // moments of the non-singular design x1=(1,2,3,5), x2=(0,1,0,1),
     // x3=(0,0,1,1), y=(1,0,1,0) — det(X) = 1, so the Cramer
-    // denominator is nonzero (ANSI Spark THROWS on a singular
-    // design's 0/0, by design: a degenerate fixture fails loudly)
+    // denominator is nonzero. (A singular design's 0/0 is NaN even
+    // under ANSI — only integral/decimal division throws — which is
+    // why fitStats carries an explicit raise_error guard, tested
+    // below.)
     val sums = Seq((4.0, 11.0, 2.0, 2.0, 39.0, 7.0, 8.0, 2.0, 1.0, 2.0,
       2.0, 4.0, 0.0, 1.0))
       .toDF("sn", "s1", "s2", "s3", "s11", "s12", "s13", "s22", "s23",
@@ -62,6 +64,35 @@ class ExactFitSpec extends SparkSpec {
     val vals = sums.select(ExactLinFit.coefStrs.map(c => expr(c)): _*)
       .head()
     assert((0 to 3).forall(i => !vals.isNullAt(i)))
+  }
+
+  test("ExactLinFit: singular design fails loudly, not NaN") {
+    // x3 == x2 everywhere -> det(X^T X) = 0 -> every Cramer quotient
+    // is 0/0 = NaN silently (double division never throws, even ANSI);
+    // the guard must surface a named error instead of NaN coefficients
+    val rows = for (x1 <- 1 to 4; x2 <- 0 to 1)
+      yield (x1.toLong, x2.toLong, x2.toLong, (x1 % 2).toLong)
+    val feats = rows.toDF("x1", "x2", "x3", "y")
+    val e = intercept[Exception] {
+      ExactLinFit.fitStats(feats, "x1", "x2", "x3", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("singular design matrix")), e.toString)
+  }
+
+  test("ExactLloyd: duplicate ids in the feature frame are rejected") {
+    // seeding is k-smallest-id; with duplicate ids the seed vectors
+    // would be nondeterministic and diverge from the oracle's
+    // SELECT DISTINCT replay — the contract is enforced, not assumed
+    val feats = Seq(
+      (1L, 0.0, 0.0), (1L, 0.0, 1.0), (3L, 10.0, 10.0), (4L, 10.0, 11.0))
+      .toDF("id", "fx", "fy")
+    val e = intercept[IllegalArgumentException] {
+      ExactLloyd.fitLabels(feats, "id", Seq("fx", "fy"),
+        k = 2, iters = 1, unit = 1L).collect()
+    }
+    assert(e.getMessage.contains("distinct ids"))
   }
 
   test("ImageIoCodec: real PNG encode->decode round-trips every band layout") {
