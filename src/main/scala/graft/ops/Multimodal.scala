@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * predict the planned dims (x01). The AUDIO path likewise carries
   * a real codec ([[WavCodec]], JVM built-in javax.sound.sampled — a
   * genuine 16-bit PCM WAV rendered per plan and AudioSystem-decoded
-  * per row, x06). Only the VIDEO kernel remains a STUB (`StubCodec`,
-  * deterministic fake metadata from the content's md5): no video
-  * codec ships in a bare JVM.
+  * per row, x06). The VIDEO path carries [[AviCodec]]: a genuine
+  * MJPEG-in-AVI file per plan (in-repo RIFF container writer/parser —
+  * AVI is a public Microsoft RIFF format — around javax.imageio's
+  * real JPEG codec for every frame), decoded per row by walking the
+  * movi chunk list and ImageIO-decoding each frame (x11).
   * Everything around the kernels — binary schema, partition-batched
   * iteration, operator signatures, metadata propagation — is the
   * real distributed plumbing and is oracle-verified.
@@ -44,9 +46,13 @@ object Multimodal {
     else cache.computeIfAbsent(key, _ => render)
   }
 
-  /** DETERMINISTIC FAKE decode — replace with a real codec binding.
-    * Dimensions derive from md5(content) so a SQL oracle can verify
-    * the pipeline end-to-end.
+  /** The content-hash PLANNER shared by every modality: the first 60
+    * bits of md5(content), which a SQL oracle reproduces as
+    * CAST('0x' || substr(md5(text),1,15) AS BIGINT). Each codec's
+    * `plan` derives the media shape from this hash, the synthesizer
+    * renders a REAL file of that shape, and the decoder's output is
+    * what flows downstream — so a gate match proves decode agreed
+    * with plan.
     */
   object StubCodec {
     def hash60(bytes: Array[Byte]): Long = {
@@ -54,18 +60,6 @@ object Multimodal {
       var v = 0L; var i = 0
       while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
       v >>> 4
-    }
-    /** (width, height, channels, nFrames) of the fake media. */
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      val h = hash60(bytes)
-      (((h % 1024) + 16).toInt, (((h / 1024) % 1024) + 16).toInt,
-        ((h % 3) + 1).toInt, ((h % 240) + 1).toInt)
-    }
-    /** (fps, durationMs, width, height) of the fake video stream. */
-    def decodeVideo(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      val h = hash60(bytes)
-      ((((h % 4) + 1) * 15).toInt, ((h % 120000) + 2000).toInt,
-        ((h % 1024) + 16).toInt, (((h / 1024) % 1024) + 16).toInt)
     }
   }
 
@@ -231,6 +225,171 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec binding: MJPEG-in-AVI. AVI is Microsoft's
+    * public RIFF container (the 'avih'/'strl'/'movi' layout is the
+    * documented Video-for-Windows format); MJPEG stores each frame as
+    * an ordinary JPEG, which javax.imageio decodes in every JVM. The
+    * container walk (RIFF chunk parse) is in-repo — ~60 lines against
+    * the public spec — while the per-frame PIXEL decode is the
+    * platform's real JPEG codec, the same division of labor as a real
+    * MJPEG pipeline.
+    *
+    * Plan from the 60-bit content hash (all SQL-replayable integer
+    * arithmetic): fps in {5,10,20,25} (every value divides 1000, so
+    * the frame period and total duration are exact integer
+    * milliseconds), nFrames in [2,9], sides multiples of 8 in
+    * [16,72]. Synthesis renders ONE deterministic JPEG per (w,h)
+    * (64 distinct frames, memoized) and assembles the AVI per plan
+    * (2048 distinct plans, memoized — the x01 lesson: bytes that are
+    * a pure function of the plan are synthesized once per JVM; only
+    * the DECODE runs per row). Decode re-parses the container, counts
+    * and ImageIO-decodes every '00dc' frame chunk, and emits
+    * (fps-from-header, duration from COUNTED frames, DECODED first-
+    * frame width/height, counted frame total) — so a gate match
+    * proves the RIFF walk and the JPEG decoder both ran and agreed
+    * with the plan.
+    */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Planned (fps, nFrames, width, height) from the content hash. */
+    def plan(h: Long): (Int, Int, Int, Int) = {
+      val fps = (h % 4) match {
+        case 0 => 5; case 1 => 10; case 2 => 20; case _ => 25
+      }
+      val nf = ((h >>> 2) % 8 + 2).toInt
+      val w = (((h >>> 5) % 8 + 2) * 8).toInt
+      val ht = (((h >>> 8) % 8 + 2) * 8).toInt
+      (fps, nf, w, ht)
+    }
+
+    private val jpegCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+    private val aviCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+    /** One deterministic RGB frame per (w, h), encoded by the REAL
+      * javax.imageio JPEG writer (dimensions are lossless under JPEG
+      * even though pixels are not — the decoder's metadata contract). */
+    private def frameJpeg(w: Int, ht: Int): Array[Byte] =
+      memo(jpegCache, (w.toLong << 16) | ht.toLong) {
+        val img = new java.awt.image.BufferedImage(
+          w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < data.length) { data(i) = (i * 31 + 7).toByte; i += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+
+    def synthesizeAvi(h: Long): Array[Byte] = {
+      val (fps, nf, w, ht) = plan(h)
+      memo(aviCache, (fps.toLong << 32) | (nf.toLong << 24) |
+        (w.toLong << 12) | ht.toLong)(renderAvi(fps, nf, w, ht))
+    }
+
+    private def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = body.length + (body.length & 1) // RIFF chunks pad to even
+      val out = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(fcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+
+    private def list(kind: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = kind.getBytes("US-ASCII") ++ bodies.flatten
+      chunk("LIST", inner)
+    }
+
+    /** Minimal spec-conformant AVI: RIFF('AVI ') { hdrl { avih,
+      * strl { strh(vids/MJPG), strf(BITMAPINFOHEADER) } }, movi
+      * { '00dc' JPEG × nFrames } }. */
+    private def renderAvi(fps: Int, nf: Int, w: Int, ht: Int): Array[Byte] = {
+      val jpeg = frameJpeg(w, ht)
+      def le(n: Int*): Array[Byte] = {
+        val b = ByteBuffer.allocate(n.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        n.foreach(b.putInt); b.array()
+      }
+      val avih = chunk("avih", le(
+        1000000 / fps, // dwMicroSecPerFrame (fps divides 1e6 for all 4)
+        0, 0, 0,       // maxBytesPerSec, padding, dwFlags (no idx1 chunk,
+                       //   so AVIF_HASINDEX stays unset)
+        nf, 0, 1,      // dwTotalFrames, dwInitialFrames, dwStreams
+        jpeg.length + 8, w, ht, // dwSuggestedBufferSize, dwWidth, dwHeight
+        0, 0, 0, 0))   // dwReserved[4]
+      val strh = chunk("strh",
+        "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++ le(
+          0, 0, 0,          // dwFlags, wPrio+wLang, dwInitialFrames
+          1, fps,           // dwScale, dwRate  (rate/scale = fps)
+          0, nf,            // dwStart, dwLength (frames)
+          jpeg.length + 8, -1, 0, // bufSize, quality, sampleSize
+          0, (ht << 16) | w))     // rcFrame {0,0,w,h} as two dwords
+      val strf = chunk("strf", le(
+        40, w, ht,          // biSize, biWidth, biHeight
+        (24 << 16) | 1,     // biPlanes=1, biBitCount=24
+        0x47504a4d,         // biCompression = 'MJPG' (LE fourcc)
+        w * ht * 3, 0, 0, 0, 0)) // biSizeImage, resolutions, clr
+      val hdrl = list("hdrl", avih, list("strl", strh, strf))
+      val movi = list("movi",
+        Array.fill(nf)(chunk("00dc", jpeg)).flatten)
+      val riff = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      chunk("RIFF", riff)
+    }
+
+    /** The real decode: walk the RIFF tree for the avih header (fps)
+      * and the movi chunk list, ImageIO-decode every frame, and emit
+      * (fps, durationMs, width, height, nFrames) — dims from the
+      * DECODED first frame, duration from the COUNTED frames. */
+    def decode(avi: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      val b = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+      def fcc(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      require(fcc() == "RIFF", "not a RIFF file")
+      b.getInt // riff size
+      require(fcc() == "AVI ", "not an AVI")
+      var usPerFrame = 0
+      var frames = 0
+      var dw = -1
+      var dh = -1
+      // walk the top-level chunks; recurse only into the LISTs we need
+      def walk(end: Int): Unit = {
+        while (b.position() < end) {
+          val id = fcc()
+          val sz = b.getInt
+          val next = b.position() + sz + (sz & 1)
+          id match {
+            case "LIST" =>
+              val kind = fcc()
+              if (kind == "hdrl" || kind == "movi") walk(next)
+              else b.position(next)
+            case "avih" =>
+              usPerFrame = b.getInt
+              b.position(next)
+            case "00dc" =>
+              val frame = new Array[Byte](sz)
+              b.get(frame)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              require(img != null, "frame is not a decodable image")
+              if (frames == 0) { dw = img.getWidth; dh = img.getHeight }
+              else require(img.getWidth == dw && img.getHeight == dh,
+                "MJPEG stream changed dimensions mid-file")
+              frames += 1
+              b.position(next)
+            case _ =>
+              b.position(next)
+          }
+        }
+      }
+      walk(avi.length)
+      require(usPerFrame > 0 && frames > 0, "no avih header or no frames")
+      val fps = 1000000 / usPerFrame
+      (fps, frames * 1000 / fps, dw, dh, frames)
+    }
+  }
+
   /** Wrap a text column as a fake media payload: (id, modality,
     * content binary, n_bytes). In a real pipeline content comes from
     * files/object storage.
@@ -241,24 +400,6 @@ object Multimodal {
       lit(modality).as("modality"),
       col(text).cast("binary").as("content"))
       .withColumn("n_bytes", octet_length(col("content")))
-
-  /** Decode + feature-extract per partition: one codec instance per
-    * partition, streaming iterator (never materializes the partition).
-    */
-  def decodeDims(media: DataFrame, id: String): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col(id).cast("long"), col("modality"), col("content"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition codec init happens here in a real binding
-        rows.map { case (i, modality, bytes) =>
-          val (w, h, c, f) = StubCodec.decode(bytes)
-          (i, modality, w, h, c, f)
-        }
-      }
-      .toDF(id, "modality", "width", "height", "channels", "n_frames")
-  }
 
   /** Image decode through the REAL codec: per partition, render each
     * row's planned PNG and ImageIO-decode it (see [[ImageIoCodec]]);
@@ -326,23 +467,27 @@ object Multimodal {
     dims.withColumn("n_sampled_frames",
       floor((col("n_frames") + stride - 1) / stride).cast("int"))
 
-  /** Video decode per partition: (id, fps, duration_ms, width,
-    * height) + derived total frame count (all integer arithmetic).
+  /** Video decode through the REAL codec: per partition, render each
+    * row's planned MJPEG-AVI (memoized) and decode it — RIFF walk +
+    * ImageIO JPEG decode per frame (see [[AviCodec]]); emits the
+    * header fps, the duration from COUNTED frames, the DECODED frame
+    * dimensions, and the counted frame total — the video sibling of
+    * [[decodeDimsImageIo]]/[[decodeAudioWav]].
     */
-  def decodeVideo(media: DataFrame, id: String): DataFrame = {
+  def decodeVideoAvi(media: DataFrame, id: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(id).cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
-          val (fps, dur, w, h) = StubCodec.decodeVideo(bytes)
-          (i, fps, dur, w, h)
+          val avi = AviCodec.synthesizeAvi(StubCodec.hash60(bytes))
+          val (fps, dur, w, h, nf) = AviCodec.decode(avi)
+          (i, fps, dur, w, h, nf)
         }
       }
-      .toDF(id, "fps", "duration_ms", "width", "height")
-      .withColumn("n_total_frames",
-        expr("fps * duration_ms div 1000").cast("int"))
+      .toDF(id, "fps", "duration_ms", "width", "height",
+        "n_total_frames")
   }
 
   /** Materialize the sampled-frame WORK LIST: one row per kept frame

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal + streaming surface queries.
   *
-  * x01 verifies the multimodal binary pipeline end-to-end (the codec
-  * is a deterministic stub, so the oracle replays its arithmetic from
-  * md5 — see [[Multimodal.StubCodec]]). x02 runs the Structured-
-  * Streaming sessionizer to completion and verifies its windows
-  * against a window-function oracle (half-open gap semantics).
+  * x01/x06/x11 verify the multimodal binary pipeline end-to-end
+  * through REAL codecs (javax.imageio PNG, javax.sound WAV, MJPEG-AVI
+  * via an in-repo RIFF walk + javax.imageio JPEG per frame): media is
+  * synthesized per plan, the plan derives from md5(content) with
+  * SQL-replayable arithmetic ([[Multimodal.StubCodec.hash60]]), and
+  * the DECODED metadata is what the oracle gates — a match proves
+  * decode agreed with plan. x02 runs the Structured-Streaming
+  * sessionizer to completion and verifies its windows against a
+  * window-function oracle (half-open gap semantics).
   */
 object Extras extends Suite {
 
@@ -229,16 +233,24 @@ object Extras extends Suite {
              |WHERE rn <= 3
              |ORDER BY c_nationkey, c_custkey""".stripMargin)),
 
-    // Video modality: decode (stub) → total-frame plan → sampled-frame
-    // WORK LIST fan-out (one row per kept frame with its timestamp) —
-    // the explode a real pipeline feeds to a frame decoder, all
-    // integer arithmetic so the oracle replays it from md5.
+    // Video modality through the REAL codec (Multimodal.AviCodec):
+    // each doc's planned MJPEG-in-AVI is rendered (memoized) and then
+    // actually DECODED per row — in-repo RIFF walk + a javax.imageio
+    // JPEG decode of every frame chunk — then the sampled-frame WORK
+    // LIST fans out (one row per kept frame with its timestamp), the
+    // explode a real pipeline feeds to a frame decoder. The decoded
+    // dims/fps/duration ride along (broadcast self-join on the
+    // 200-row video frame), so the oracle gates both the decode
+    // outputs and the fan-out arithmetic from md5.
     Q("x11_video_frames", (s, d) => {
       val media = Multimodal.asBinary(
         Tables.load(s, d, "documents").filter(col("doc_id") < 200),
         "doc_id", "text", "video")
-      val video = Multimodal.decodeVideo(media, "doc_id")
-      Multimodal.sampledFrames(video, "doc_id", 100)
+      val video = Multimodal.decodeVideoAvi(media, "doc_id")
+        .localCheckpoint() // 200 rows, consumed by frames + dims below
+      Multimodal.sampledFrames(video, "doc_id", 2)
+        .join(broadcast(video.select("doc_id", "fps", "duration_ms",
+          "width", "height", "n_total_frames")), "doc_id")
         .orderBy("doc_id", "frame_idx")
     },
       Some("""WITH h AS (
@@ -247,17 +259,22 @@ object Extras extends Suite {
              |  FROM documents WHERE doc_id < 200),
              |v AS (
              |  SELECT doc_id,
-             |    CAST(((hv % 4) + 1) * 15 AS INT) AS fps,
-             |    CAST((hv % 120000) + 2000 AS INT) AS duration_ms
+             |    CAST(CASE hv % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+             |      WHEN 2 THEN 20 ELSE 25 END AS INT) AS fps,
+             |    CAST((hv // 4) % 8 + 2 AS INT) AS ntf,
+             |    CAST(((hv // 32) % 8 + 2) * 8 AS INT) AS width,
+             |    CAST(((hv // 256) % 8 + 2) * 8 AS INT) AS height
              |  FROM h),
              |vt AS (
-             |  SELECT doc_id, fps,
-             |    CAST(fps * duration_ms // 1000 AS INT) AS ntf
+             |  SELECT doc_id, fps, ntf, width, height,
+             |    CAST(ntf * 1000 // fps AS INT) AS duration_ms
              |  FROM v)
              |SELECT doc_id,
              |  CAST(f.i AS INT) AS frame_idx,
-             |  CAST(f.i * 1000 // fps AS INT) AS ts_ms
-             |FROM vt, unnest(generate_series(0, ntf - 1, 100)) AS f(i)
+             |  CAST(f.i * 1000 // fps AS INT) AS ts_ms,
+             |  fps, duration_ms, width, height,
+             |  ntf AS n_total_frames
+             |FROM vt, unnest(generate_series(0, ntf - 1, 2)) AS f(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Stream-static join: the event stream enriched against a static

@@ -115,4 +115,51 @@ class ExactFitSpec extends SparkSpec {
       assert((dsr, ddur, dch) == ((sr, dur, ch)), s"h=$h")
     }
   }
+
+  test("AviCodec: real MJPEG-AVI encode->decode round-trips fps/frames/dims") {
+    import graft.ops.Multimodal.AviCodec
+    // hashes covering all four fps values and several frame-count /
+    // dimension cells, incl. the plan extremes (h=0 -> 5 fps, 2
+    // frames, 16x16; and large mixed hashes)
+    for (h <- Seq(0L, 1L, 2L, 3L, 0x7ffL, 0xabcL,
+        123456789L, 987654321L, (1L << 60) - 1)) {
+      val (fps, nf, w, ht) = AviCodec.plan(h)
+      val avi = AviCodec.synthesizeAvi(h)
+      val (dfps, ddur, dw, dh, dnf) = AviCodec.decode(avi)
+      assert((dfps, dnf, dw, dh) == ((fps, nf, w, ht)), s"h=$h")
+      assert(ddur == nf * 1000 / fps, s"h=$h")
+      // the duration arithmetic is exact by construction (every
+      // planned fps divides 1000) — the SQL-replayability contract
+      assert(nf * 1000 % fps == 0, s"h=$h")
+    }
+  }
+
+  test("AviCodec: the container is genuine RIFF/AVI (magic + header fields)") {
+    import graft.ops.Multimodal.AviCodec
+    val avi = AviCodec.synthesizeAvi(123456789L)
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    // declared RIFF payload size matches the actual byte count
+    val sz = java.nio.ByteBuffer.wrap(avi, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(sz == avi.length - 8)
+    // a decoder that ignores our parser agrees on the frame payload:
+    // every 00dc chunk begins with the JPEG SOI marker
+    var i = 12
+    var sawJpeg = false
+    while (i + 8 <= avi.length) {
+      val id = new String(avi.slice(i, i + 4), "US-ASCII")
+      val csz = java.nio.ByteBuffer.wrap(avi, i + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (id == "LIST") i += 12 // descend
+      else {
+        if (id == "00dc") {
+          assert((avi(i + 8) & 0xff) == 0xff && (avi(i + 9) & 0xff) == 0xd8)
+          sawJpeg = true
+        }
+        i += 8 + csz + (csz & 1)
+      }
+    }
+    assert(sawJpeg)
+  }
 }

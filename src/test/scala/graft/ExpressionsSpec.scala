@@ -260,10 +260,10 @@ class ExpressionsSpec extends SparkSpec {
       composed.exceptAll(native).isEmpty)
   }
 
-  test("multimodal stub decode is deterministic and joins metadata") {
+  test("multimodal image decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
-    val dims = graft.ops.Multimodal.decodeDims(media, "doc_id")
+    val dims = graft.ops.Multimodal.decodeDimsImageIo(media, "doc_id")
     val planned = graft.ops.Multimodal.withResizePlan(dims, 256)
     val rows = planned.collect()
     assert(rows.length === 20)
