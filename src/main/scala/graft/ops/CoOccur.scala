@@ -45,11 +45,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * open-addressing map sized by the DISTINCT pairs a reducer
   * actually observes (Zipfian corpora realize a tiny fraction of
   * V²/2) rather than by the slice. CoOccurSpec proves dense ≡
-  * sparse row-for-row and pins the routing. The head vocabulary
-  * (df >= cut) is collected and broadcast like the lexicon/centroid
-  * patterns — Heaps-sublinear in corpus size and bounded by
-  * total_tokens/minDf; a term-keyed join assigns ids at vocab scales
-  * past driver memory.
+  * sparse ≡ join row-for-row and pins the routing. The head
+  * vocabulary (df >= cut) is collected and broadcast like the
+  * lexicon/centroid patterns — Heaps-sublinear in corpus size and
+  * bounded by total_tokens/minDf; past the driver-broadcast bound
+  * ([[Guards.MaxBroadcastVocab]]) the caller switches to
+  * [[vocabIds]] (distributed lexicographic id assignment) +
+  * [[pairCountsJoin]] (term-keyed id join into the same open-map
+  * reducer) — no driver-sized state anywhere on that route.
   *
   * Reference: document co-occurrence / PMI as in gpu-bdb's text
   * analytics family; counts are exact, matching the naive pair
@@ -125,9 +128,33 @@ object CoOccur {
     docWords.sparkSession.sparkContext.broadcast(word2id)
   }
 
-  /** Doc side, shared by both paths: per row, map words to sorted
-    * DISTINCT vocab ids and call `emit` once per unordered pair's
-    * triangular index (idx(i,j) = off(i) + j - i - 1). */
+  /** Normalize one doc's id buffer (sort + dedupe the first n0
+    * entries in place — a doc contributes each pair once) and call
+    * `emit` once per unordered pair's triangular index
+    * (idx(i,j) = off(i) + j - i - 1). Shared by all three id
+    * sources (broadcast map, pre-joined arrays). */
+  private def emitDocPairs(ids: Array[Int], n0: Int, V: Int)(
+      emit: Long => Unit): Unit = {
+    java.util.Arrays.sort(ids, 0, n0)
+    var w = 0
+    var rd = 0
+    while (rd < n0) {
+      if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
+      rd += 1
+    }
+    val n = w
+    var a = 0
+    while (a < n) {
+      val ai = ids(a).toLong
+      val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
+      var b = a + 1
+      while (b < n) { emit(base + ids(b)); b += 1 }
+      a += 1
+    }
+  }
+
+  /** Doc side for the broadcast-vocab paths: per row, map words to
+    * vocab ids through the broadcast map and emit the doc's pairs. */
   private def forEachPairIdx(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       m: java.util.HashMap[UTF8String, Integer], V: Int)(
@@ -144,25 +171,69 @@ object CoOccur {
         if (v != null) { ids(n) = v.intValue(); n += 1 }
         k += 1
       }
-      java.util.Arrays.sort(ids, 0, n)
-      // drop duplicate ids (a doc contributes each pair once even
-      // if the caller skipped array_distinct)
-      var w = 0
-      var rd = 0
-      while (rd < n) {
-        if (w == 0 || ids(rd) != ids(w - 1)) { ids(w) = ids(rd); w += 1 }
-        rd += 1
+      emitDocPairs(ids, n, V)(emit)
+    }
+  }
+
+  /** Doc side for the join path: rows already carry the doc's vocab
+    * ids as an array<int> (assigned by a term-keyed join upstream). */
+  private def forEachPairIdxFromIds(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      V: Int)(emit: Long => Unit): Unit = {
+    var ids = new Array[Int](1 << 12)
+    rows.foreach { r =>
+      val arr = r.getArray(0)
+      val nw = arr.numElements()
+      if (nw > ids.length) ids = new Array[Int](Integer.highestOneBit(nw) << 1)
+      var k = 0
+      while (k < nw) { ids(k) = arr.getInt(k); k += 1 }
+      emitDocPairs(ids, nw, V)(emit)
+    }
+  }
+
+  /** Per-reducer packed-long blob accumulator for the map side of the
+    * sparse/join paths (one blob row per map-task x reducer — no
+    * per-pair UnsafeRow framing across the exchange). */
+  private final class LongBlobBuf(R: Int) {
+    private val bufs = new Array[Array[Long]](R)
+    private val sizes = new Array[Int](R)
+    locally {
+      var p = 0
+      while (p < R) { bufs(p) = new Array[Long](1 << 12); p += 1 }
+    }
+    def add(idx: Long): Unit = {
+      val tp = (idx % R).toInt
+      var buf = bufs(tp)
+      if (sizes(tp) == buf.length) {
+        buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+        bufs(tp) = buf
       }
-      n = w
-      var a = 0
-      while (a < n) {
-        val ai = ids(a).toLong
-        val base = ai * (V - 1) - ai * (ai - 1) / 2 - ai - 1
-        var b = a + 1
-        while (b < n) { emit(base + ids(b)); b += 1 }
-        a += 1
+      buf(sizes(tp)) = idx
+      sizes(tp) += 1
+    }
+    def result: Iterator[(Int, Array[Long])] =
+      (0 until R).iterator.filter(sizes(_) > 0).map { p =>
+        (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
+      }
+  }
+
+  /** Reduce side shared by the sparse and join paths: reducer p owns
+    * {idx : idx % R == p} and counts in the open-addressing Long map. */
+  private def sparseReduce(spark: org.apache.spark.sql.SparkSession,
+      blobs: RDD[(Int, Array[Long])], V: Int, minC: Long,
+      R: Int): DataFrame = {
+    val survivors = blobs.partitionBy(byReducer(R)).mapPartitions { it =>
+      val cnt = new OpenLongCount(1 << 16)
+      it.foreach { case (_, blob) =>
+        var i = 0
+        while (i < blob.length) { cnt.add(blob(i)); i += 1 }
+      }
+      cnt.iterator.filter(_._2 >= minC).map { case (idx, c) =>
+        val (a, b) = invertTriangular(idx, V)
+        Row(a, b, c)
       }
     }
+    spark.createDataFrame(survivors, pairSchema)
   }
 
   /** Invert a triangular index to its (a, b) pair: largest a with
@@ -286,37 +357,90 @@ object CoOccur {
 
     val blobs: RDD[(Int, Array[Long])] =
       docWords.select(wordsCol).queryExecution.toRdd.mapPartitions { rows =>
-        val bufs = new Array[Array[Long]](R)
-        val sizes = new Array[Int](R)
-        var p = 0
-        while (p < R) { bufs(p) = new Array[Long](1 << 12); p += 1 }
-        forEachPairIdx(rows, bcMap.value, V) { idx =>
-          val tp = (idx % R).toInt
-          var buf = bufs(tp)
-          if (sizes(tp) == buf.length) {
-            buf = java.util.Arrays.copyOf(buf, buf.length << 1)
-            bufs(tp) = buf
-          }
-          buf(sizes(tp)) = idx
-          sizes(tp) += 1
-        }
-        (0 until R).iterator.filter(sizes(_) > 0).map { p =>
-          (p, java.util.Arrays.copyOf(bufs(p), sizes(p)))
-        }
+        val buf = new LongBlobBuf(R)
+        forEachPairIdx(rows, bcMap.value, V)(buf.add)
+        buf.result
       }
+    sparseReduce(spark, blobs, V, minC, R)
+  }
 
-    val survivors = blobs.partitionBy(byReducer(R)).mapPartitions { it =>
-      val cnt = new OpenLongCount(1 << 16)
-      it.foreach { case (_, blob) =>
-        var i = 0
-        while (i < blob.length) { cnt.add(blob(i)); i += 1 }
-      }
-      cnt.iterator.filter(_._2 >= minC).map { case (idx, c) =>
-        val (a, b) = invertTriangular(idx, V)
-        Row(a, b, c)
-      }
+  // ------------------------------------------------------------------
+  // The beyond-driver-memory path: ids by term-keyed JOIN.
+  // ------------------------------------------------------------------
+
+  /** Assign dense lexicographic ids (0..V-1, id order == word order)
+    * to a vocabulary DataFrame WITHOUT collecting it — the scale path
+    * [[Guards.boundedCollect]]'s diagnosis names for vocabularies past
+    * the driver-broadcast bound. Sort + zipWithIndex: the sorted
+    * frame's partition order is its global order, so per-partition
+    * offsets (one extra count job, the standard zipWithIndex shape)
+    * yield exactly the position ids the broadcast paths compute.
+    *
+    * @return DataFrame(word STRING, id INT), one row per distinct
+    *         input word.
+    */
+  def vocabIds(vocab: DataFrame, wordCol: String): DataFrame = {
+    val spark = vocab.sparkSession
+    val sorted = vocab.select(org.apache.spark.sql.functions.col(wordCol)
+      .as("word")).distinct().orderBy("word")
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      if (i > Int.MaxValue.toLong) throw new IllegalStateException(
+        "CoOccur.vocabIds: vocabulary exceeds Int.MaxValue entries")
+      Row(r.getString(0), i.toInt)
     }
-    spark.createDataFrame(survivors, schema)
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("id", IntegerType, nullable = false))))
+  }
+
+  /** Pair counting with JOIN-assigned vocab ids — the full
+    * beyond-driver-memory route: no word->id map is ever collected or
+    * broadcast by this operator. The doc side explodes to (doc, word),
+    * inner-joins the id table (Catalyst picks broadcast vs shuffle
+    * hash by the table's actual size — at the scales that force this
+    * path it is a shuffle join on the word key), regroups to per-doc
+    * id arrays, and feeds the SAME packed-long-blob map side and
+    * open-map reducer as [[pairCountsSparse]]. Costs vs the broadcast
+    * paths: one explode + join + doc-keyed regroup exchange — the
+    * documented price of dropping the driver bound.
+    *
+    * Counts are row-for-row equal to the other two paths
+    * (CoOccurSpec proves dense ≡ sparse ≡ join on random corpora).
+    *
+    * @param docWords one row per document with `docIdCol` and
+    *                 `wordsCol` (array<string>; duplicates fine).
+    * @param vocab    (word, id) table from [[vocabIds]] — ids MUST be
+    *                 dense 0..V-1 in word order for the triangular
+    *                 indexing to match the other paths.
+    */
+  def pairCountsJoin(docWords: DataFrame, docIdCol: String,
+      wordsCol: String, vocab: DataFrame, minCount: Long,
+      parts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = docWords.sparkSession
+    val V = vocab.count() // one scalar job; the id table is distributed
+    if (V < 2)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], pairSchema)
+    require(V <= Int.MaxValue,
+      s"CoOccur.pairCountsJoin: vocabulary of $V exceeds Int id space")
+    val R = parts
+    val minC = math.max(minCount, 1L)
+    val idArrays = docWords
+      .select(col(docIdCol).as("_doc"),
+        explode(array_distinct(col(wordsCol))).as("word"))
+      .join(vocab.select(col("word"), col("id")), "word")
+      .groupBy("_doc")
+      .agg(collect_list(col("id")).as("_ids"))
+      .select("_ids")
+    val vi = V.toInt
+    val blobs: RDD[(Int, Array[Long])] =
+      idArrays.queryExecution.toRdd.mapPartitions { rows =>
+        val buf = new LongBlobBuf(R)
+        forEachPairIdxFromIds(rows, vi)(buf.add)
+        buf.result
+      }
+    sparseReduce(spark, blobs, vi, minC, R)
   }
 }
 

@@ -348,8 +348,9 @@ object TextQueries2 extends Suite {
       val idRows = graft.ops.Guards.boundedCollect(
         cx.filter(col("c") >= 20).orderBy("word"),
         "t21 head vocabulary (df >= 20)",
-        "raise the df cut, or assign ids with a term-keyed join and " +
-          "keep CoOccur's open-map reducer (CoOccur scaladoc)")
+        "raise the df cut, or switch to CoOccur.vocabIds + " +
+          "CoOccur.pairCountsJoin (term-keyed id join into the " +
+          "open-map reducer; proven count-equal in CoOccurSpec)")
       val vocab = idRows.map(_.getString(0))
       val pairs = graft.ops.CoOccur.pairCounts(
         wd, "ws", vocab, minCount = 20,

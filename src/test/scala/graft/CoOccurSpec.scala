@@ -104,6 +104,43 @@ class CoOccurSpec extends SparkSpec {
     }
   }
 
+  test("vocabIds: distributed lexicographic ids == position in sorted order") {
+    val words = Seq("pear", "apple", "fig", "apple", "banana", "kiwi")
+    val got = CoOccur.vocabIds(
+      words.toDF("w").repartition(4), "w")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val expect = words.distinct.sorted.zipWithIndex.toMap
+    assert(got === expect)
+  }
+
+  test("join-assigned ids ≡ broadcast paths on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 61).map(i => f"w$i%03d").toArray
+    val extra = Array("zz_not_in_vocab")
+    val docs = (0L until 150L).map { d =>
+      val n = 2 + rnd.nextInt(15)
+      d -> (Seq.fill(n)(vocab(rnd.nextInt(vocab.length))) ++
+        (if (rnd.nextBoolean()) extra.toSeq else Nil))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    // the id table comes from the DISTRIBUTED assignment, not the
+    // broadcast array — the full beyond-driver-memory route
+    val vdf = CoOccur.vocabIds(vocab.toSeq.toDF("w").repartition(3), "w")
+    def collectSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    for (minCount <- Seq(1L, 2L); parts <- Seq(3, 32)) {
+      val joined = collectSet(CoOccur.pairCountsJoin(
+        df, "doc_id", "ws", vdf, minCount, parts))
+      val dense = collectSet(
+        CoOccur.pairCountsDense(df, "ws", vocab, minCount, parts))
+      assert(joined === dense, s"minCount=$minCount parts=$parts")
+      assert(joined === naive(docs, vocab, minCount))
+    }
+    // sub-2-word vocab returns no rows (the T==0 guard)
+    assert(collectSet(CoOccur.pairCountsJoin(df, "doc_id", "ws",
+      CoOccur.vocabIds(Seq("w000").toDF("w"), "w"), 1L, 4)) === Set.empty)
+  }
+
   test("OpenLongCount: counts exactly across growth, including key 0") {
     val m = new graft.ops.OpenLongCount(4)
     val rnd = new scala.util.Random(3)
