@@ -1,15 +1,17 @@
 package graft.tools
 
-import graft.bdb.{BdbCatalog, BdbQueries2}
-import graft.ops.ExactLloyd
+import graft.bdb.{BdbCatalog, BdbQueries1, BdbQueries2}
+import graft.ops.{ExactLinFit, ExactLloyd}
 import org.apache.spark.sql.SparkSession
 
 /** Scale probe for the deterministic fit machinery itself: run
-  * [[ExactLloyd.fitLabels]] over the REAL q20/q25 feature frames on
-  * the BdbDataGen parquet trees (the b61/b62 gate bodies, but on
+  * [[ExactLloyd.fitLabels]] over the REAL q20/q25/q26 feature frames
+  * and [[ExactLinFit.fitStats]] over the REAL q05 feature frame on
+  * the BdbDataGen parquet trees (the b61-b64 gate bodies, but on
   * growing data instead of the committed fixture) and print min-of-N
-  * seconds — evidence that the quantize/assign/recenter loop's cost
-  * tracks the feature-frame size, not something worse.
+  * seconds — evidence that the quantize/assign/recenter loop and the
+  * moment-sum/score passes cost tracks the feature-frame size, not
+  * something worse.
   *
   * Usage: `sbt "runMain graft.tools.ProbeLloydScale bench/bdb/sf1.0 4"`.
   */
@@ -43,6 +45,12 @@ object ProbeLloydScale {
     timeMin("q25 ExactLloyd k=8 it=3")(ExactLloyd.fitLabels(
       BdbQueries2.q25Features(spark), "cid",
       Seq("recency", "frequency", "totalspend"), 8, 3, 100L))
+    timeMin("q26 ExactLloyd k=8 it=3 (15-dim)")(ExactLloyd.fitLabels(
+      BdbQueries2.q26Features(spark), "cid",
+      (1 to 15).map(i => s"id$i"), 8, 3, 1L))
+    timeMin("q05 ExactLinFit (closed-form)")(ExactLinFit.fitStats(
+      BdbQueries1.q05Features(spark),
+      "clicks_total", "college_education", "male", "label"))
     spark.stop()
   }
 }
