@@ -48,10 +48,20 @@ object BdbDataGen {
     * domains derived via `% smallConstant` (category, brand, state,
     * page type, ...) keep those constants fixed — scaling row counts
     * never shifts the value domains the 30 queries filter on.
+    *
+    * `floorMult` scales the FLOOR cardinalities uniformly (every
+    * table, same factor) without moving the sf-driven bases — the
+    * knob the second-scale oracle fixture uses (BdbOracleDump):
+    * `Counts(0, m)` is the goldens' floor dataset at exactly m× rows
+    * per table, with the generator's density structures (sessions,
+    * baskets, hot pairs, return chains) intact because they derive
+    * from row ids, not cardinalities. Default 1 = bit-identical to
+    * the historical fixture.
     */
-  final case class Counts(sf: Double) {
+  final case class Counts(sf: Double, floorMult: Long = 1) {
+    require(floorMult >= 1, s"floorMult must be >= 1, got $floorMult")
     private def n(base: Long, floor: Long): Long =
-      math.max(floor, (base * sf).toLong)
+      math.max(floor * floorMult, (base * sf).toLong)
     val items: Long = n(18000, 60)
     val customers: Long = n(100000, 40)
     val demos: Long = n(19200, 20)

@@ -763,19 +763,22 @@ object BdbDirect extends Suite {
     // q19 (balanced-returns items' negative review sentences): the
     // default return dates don't week-align at floor scale, so the
     // fixture parameterization picks four weeks where store and web
-    // returns balance within +/-10% (the b31 rescale rule).
+    // returns balance within +/-10% (the b31 rescale rule) — chosen
+    // by probe so the FULL pipeline (balance + negative-sentence
+    // scan) is non-vacuous at BOTH committed fixture scales (item 58
+    // at floor and at x3), keeping the two-scale run a real gate.
     Q("b47_bdb_q19", (s, _) => {
       reg(s)
       BdbQueries2.q19(s, returnDates =
-        Seq("2001-11-26", "2002-04-29", "2002-09-30", "2003-02-24"))
+        Seq("2002-04-22", "2002-06-24", "2002-07-22", "2003-09-08"))
     },
       Some {
         val negcond = BdbQueries1.defaultNegative
           .map(w => s"instr(sentence, '$w') > 0").mkString("\n              |   OR ")
         s"""WITH wk AS (
            |  SELECT DISTINCT d_week_seq FROM ${rp("date_dim")}
-           |  WHERE CAST(d_date AS DATE) IN (DATE '2001-11-26',
-           |    DATE '2002-04-29', DATE '2002-09-30', DATE '2003-02-24')),
+           |  WHERE CAST(d_date AS DATE) IN (DATE '2002-04-22',
+           |    DATE '2002-06-24', DATE '2002-07-22', DATE '2003-09-08')),
            |dd AS (SELECT d_date_sk FROM ${rp("date_dim")} d2
            |       JOIN wk USING (d_week_seq)),
            |sr AS (

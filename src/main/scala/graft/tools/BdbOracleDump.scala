@@ -19,7 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The generator is a pure function of row ids (no RNG), so the dump
   * is reproducible; the committed files are the fixture of record.
   *
-  * Usage: `sbt "runMain graft.tools.BdbOracleDump [outDir]"`
+  * A second committed scale (`bench/bdb_oracle_x3`, floorMult=3 —
+  * every table at exactly 3x the floor rows, density structures
+  * intact) exists so the b31-b64 gates can be re-run against a
+  * fixture with DIFFERENT cardinalities: that catches an oracle that
+  * silently depends on a floor-scale fixture property (b59's
+  * vocabulary injectivity, the sessionization (user,ts) invariant —
+  * both asserted loudly, but assertion coverage is itself a claim
+  * this second run tests). Point the gates at it with
+  * `GRAFT_BDB_ORACLE_DIR=$PWD/bench/bdb_oracle_x3` (BdbDirect reads
+  * the env at class load; both the Spark reads and the oracle SQL's
+  * `read_parquet` paths follow). `tools/check_bdb_scales.sh` runs
+  * the full b-series against both scales end to end.
+  *
+  * Usage: `sbt "runMain graft.tools.BdbOracleDump [outDir] [floorMult]"`
   */
 object BdbOracleDump {
 
@@ -41,6 +54,7 @@ object BdbOracleDump {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("bench/bdb_oracle")
+    val floorMult = if (args.length > 1) args(1).toLong else 1L
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("bdb-oracle-dump")
@@ -50,7 +64,8 @@ object BdbOracleDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
-    BdbDataGen.frames(spark, BdbDataGen.Counts(0.0)).toSeq.sortBy(_._1)
+    BdbDataGen.frames(spark, BdbDataGen.Counts(0.0, floorMult)).toSeq
+      .sortBy(_._1)
       .foreach { case (name, df) => writeOne(df, out, name) }
     spark.stop()
   }
