@@ -409,6 +409,11 @@ object CoOccur {
     *
     * @param docWords one row per document with `docIdCol` and
     *                 `wordsCol` (array<string>; duplicates fine).
+    *                 `docIdCol` must be a real per-row key: the join
+    *                 path regroups by it, so rows SHARING a doc id
+    *                 (or multiple null ids) merge into one document
+    *                 here while the broadcast paths treat every row
+    *                 as its own document.
     * @param vocab    (word, id) table from [[vocabIds]] — ids MUST be
     *                 dense 0..V-1 in word order for the triangular
     *                 indexing to match the other paths.
