@@ -280,7 +280,11 @@ object DedupQueries extends Suite {
     // within hamming 6 agrees exactly on >= 1 of 7 disjoint bands) +
     // exact hamming verify. Identical result to the all-pairs form,
     // without its O(n^2) theta join. The fingerprint table feeds both
-    // sides of the band join — materialize once.
+    // sides of the band join — materialize once. NOTE: at 32 bits the
+    // CONTRACT itself stops scaling past ~10^5 docs (the threshold
+    // admits 2.8e-4 of all pairs by chance, so the OUTPUT goes
+    // quadratic) — d39 below is the same operator at the scale
+    // bit-width.
     Q("d07_simhash_neardup", (s, d) => {
       // fingerprints come from the simhash_fp kernel — one narrow
       // scan over the word arrays (per-word md5s ride the thread
@@ -304,6 +308,51 @@ object DedupQueries extends Suite {
           s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
           .mkString(",\n    ")
         val fp = (0 until SimBits).map(j =>
+          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |  FROM documents),
+           |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
+           |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
+    // D39: SimHash near-dup at the SCALE bit-width. d07's committed
+    // 32-bit/hamming<=6 contract is OUTPUT-quadratic past ~10^5 docs:
+    // C(32,<=6)/2^32 ~ 2.8e-4 of ALL pairs land inside the threshold
+    // by chance (measured on the slope corpora: 804k pairs from 50k
+    // docs, ~7M from 150k — the sf3 point where d07's time went
+    // superlinear for exactly this reason; any correct algorithm is
+    // Omega(output) there). At 60 bits — the full portable word hash
+    // both engines already share — the chance rate is C(60,<=6)/2^60
+    // ~ 5e-11, so the output is true near-dups only, AND the same
+    // 7-band pigeonhole join gets 8-9-bit band keys (16x fewer
+    // enumerated candidates than 32-bit's 4-5-bit bands). Same
+    // kernel, same banding operator, same exactness guarantee
+    // (hamming<=6 implies >= 1 of 7 disjoint bands identical).
+    // Width stays the scale knob: a 10^9-doc corpus raises it again
+    // (two-long 128-bit fps, same construction).
+    Q("d39_simhash60_neardup", (s, d) => {
+      val fp = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          w => length(w) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), graft.expressions.GraftFunctions
+          .simhash_fp(col("__w"), 60).as("simhash"))
+        .localCheckpoint()
+      Dedup.simhashPairsBanded(fp, "doc_id", 60, 6)
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val h = hSqlPlain("word")
+        val bitSums = (0 until 60).map(j =>
+          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+          .mkString(",\n    ")
+        val fp = (0 until 60).map(j =>
           s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word

@@ -787,6 +787,16 @@ object Relational2 extends Suite {
     // oracle runs it verbatim.
     Q("o63_recursive_cte", (s, d) => {
       Tables.registerAll(s, d)
+      // The recursion ROW limit is Spark's runaway-safety valve, not
+      // a resource bound: this walk's depth is bounded by the key
+      // width (<= 8 levels of div-10) and each level is one narrow
+      // incremental frame, so total rows are ~depth x |part| — linear
+      // in the table. The 1M default trips on bigger-than-driver
+      // corpora (first seen at the sf3 slope point: 600k parts x ~6
+      // levels); raise it far past any data this query meets — the
+      // real bound at scale is the per-ITERATION frame, which stays
+      // one |part| partition set.
+      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
       s.sql(RecursiveAncSql)
     },
       Some(RecursiveAncSql))
