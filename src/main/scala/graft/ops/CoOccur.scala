@@ -376,13 +376,27 @@ object CoOccur {
     * offsets (one extra count job, the standard zipWithIndex shape)
     * yield exactly the position ids the broadcast paths compute.
     *
+    * Null words are dropped before id assignment — the broadcast
+    * paths can never hold a null key (`Array[String]` vocab feeding a
+    * string-keyed map), so a null here would silently shift every
+    * real word's id by one and desync the three paths.
+    *
+    * The result is eagerly `localCheckpoint`ed: the global
+    * distinct+sort+zipWithIndex pipeline (zipWithIndex alone adds a
+    * count job per evaluation) is the dominant cost at the scales
+    * that force this path, and downstream consumers evaluate the id
+    * table more than once ([[pairCountsJoin]]: a scalar count + the
+    * join) — materializing once makes each re-read a plain scan.
+    *
     * @return DataFrame(word STRING, id INT), one row per distinct
-    *         input word.
+    *         non-null input word, materialized.
     */
   def vocabIds(vocab: DataFrame, wordCol: String): DataFrame = {
     val spark = vocab.sparkSession
-    val sorted = vocab.select(org.apache.spark.sql.functions.col(wordCol)
-      .as("word")).distinct().orderBy("word")
+    val wc = org.apache.spark.sql.functions.col(wordCol)
+    val sorted = vocab.select(wc.as("word"))
+      .where(org.apache.spark.sql.functions.col("word").isNotNull)
+      .distinct().orderBy("word")
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       if (i > Int.MaxValue.toLong) throw new IllegalStateException(
         "CoOccur.vocabIds: vocabulary exceeds Int.MaxValue entries")
@@ -391,6 +405,7 @@ object CoOccur {
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("word", StringType, nullable = false),
       StructField("id", IntegerType, nullable = false))))
+      .localCheckpoint()
   }
 
   /** Pair counting with JOIN-assigned vocab ids — the full
@@ -416,7 +431,11 @@ object CoOccur {
     *                 as its own document.
     * @param vocab    (word, id) table from [[vocabIds]] — ids MUST be
     *                 dense 0..V-1 in word order for the triangular
-    *                 indexing to match the other paths.
+    *                 indexing to match the other paths. This operator
+    *                 evaluates it twice (the V count, then the join);
+    *                 [[vocabIds]] returns it materialized, so a
+    *                 hand-built substitute should be materialized too
+    *                 or it re-executes its DAG per evaluation.
     */
   def pairCountsJoin(docWords: DataFrame, docIdCol: String,
       wordsCol: String, vocab: DataFrame, minCount: Long,

@@ -63,6 +63,46 @@ object Multimodal {
     }
   }
 
+  /** The platform's real image readers, resolved ONCE per JVM — the
+    * x06 AudioSystem lesson, image edition. `ImageIO.read(InputStream)`
+    * pays a full provider scan per call (each SPI probes the stream)
+    * AND, with the default `useCache=true`, spools every stream to a
+    * TEMP FILE before the codec sees a byte — per-row temp-file
+    * create/write/delete churn that contends on filesystem metadata
+    * under a loaded 32-thread suite (x01 read 14–17 s in-suite at
+    * engine sf1 vs ~5 s isolated through it). Here the format's
+    * `ImageReaderSpi` is looked up once and each call gets a fresh
+    * reader instance (ImageReader is not thread-safe) over a
+    * memory-backed stream: the per-row path is allocation-only.
+    */
+  private object ImageRead {
+    import javax.imageio.spi.ImageReaderSpi
+
+    private def spiFor(format: String): ImageReaderSpi = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(format)
+      require(it.hasNext, s"no $format ImageReader in this JVM")
+      it.next().getOriginatingProvider
+    }
+    private lazy val pngSpi = spiFor("png")
+    private lazy val jpegSpi = spiFor("jpeg")
+
+    private def read(spi: ImageReaderSpi,
+        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val reader = spi.createReaderInstance()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    def png(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      read(pngSpi, bytes)
+    def jpeg(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      read(jpegSpi, bytes)
+  }
+
   /** REAL image codec binding (javax.imageio — public, in every JVM).
     * The corpus has no media files, so content is first RENDERED to a
     * genuine PNG whose dimensions/bands derive from the content hash
@@ -117,10 +157,10 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** The real decode: (width, height, raster bands) off the PNG. */
+    /** The real decode: (width, height, raster bands) off the PNG,
+      * through the once-resolved reader SPI (see [[ImageRead]]). */
     def decode(png: Array[Byte]): (Int, Int, Int) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(png))
+      val img = ImageRead.png(png)
       (img.getWidth, img.getHeight, img.getRaster.getNumBands)
     }
   }
@@ -370,9 +410,10 @@ object Multimodal {
             case "00dc" =>
               val frame = new Array[Byte](sz)
               b.get(frame)
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(frame))
-              require(img != null, "frame is not a decodable image")
+              // once-resolved JPEG reader SPI + memory-backed stream
+              // (see ImageRead): an undecodable frame throws IIO's own
+              // named exception instead of returning null
+              val img = ImageRead.jpeg(frame)
               if (frames == 0) { dw = img.getWidth; dh = img.getHeight }
               else require(img.getWidth == dw && img.getHeight == dh,
                 "MJPEG stream changed dimensions mid-file")
@@ -404,7 +445,8 @@ object Multimodal {
   /** Image decode through the REAL codec: per partition, render each
     * row's planned PNG and ImageIO-decode it (see [[ImageIoCodec]]);
     * emits the DECODED (width, height, channels) + n_frames=1 (PNG is
-    * single-frame). Same seam and output schema as [[decodeDims]].
+    * single-frame) — the same mapPartitions seam and output schema
+    * the stub-era dims decoder used before the real codec landed.
     */
   def decodeDimsImageIo(media: DataFrame, id: String): DataFrame = {
     val spark = media.sparkSession

@@ -789,14 +789,20 @@ object Relational2 extends Suite {
       Tables.registerAll(s, d)
       // The recursion ROW limit is Spark's runaway-safety valve, not
       // a resource bound: this walk's depth is bounded by the key
-      // width (<= 8 levels of div-10) and each level is one narrow
+      // width (<= 9 levels of div-10) and each level is one narrow
       // incremental frame, so total rows are ~depth x |part| — linear
       // in the table. The 1M default trips on bigger-than-driver
       // corpora (first seen at the sf3 slope point: 600k parts x ~6
-      // levels); raise it far past any data this query meets — the
-      // real bound at scale is the per-ITERATION frame, which stays
-      // one |part| partition set.
-      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
+      // levels). The raise stays a REAL valve: sized to this table's
+      // worst case (depth x rows, with slack) instead of disabled —
+      // the conf is session-scoped and the query plans lazily (the
+      // o61 precedent: a scoped restore would re-arm the old limit
+      // before execution), so an Int.MaxValue raise here would strip
+      // runaway protection from every later recursive CTE too.
+      val partRows = Tables.load(s, d, "part").count()
+      val valve = math.min(math.max(1000000L, partRows * 12L),
+        Int.MaxValue.toLong)
+      s.conf.set("spark.sql.cteRecursionRowLimit", valve.toString)
       s.sql(RecursiveAncSql)
     },
       Some(RecursiveAncSql))

@@ -113,6 +113,16 @@ class CoOccurSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("vocabIds: null words are dropped, real ids stay unshifted") {
+    // a null would sort first and silently shift every real word's id
+    // by one, desyncing pairCountsJoin from the broadcast paths
+    val words = Seq(null, "pear", "apple", null, "fig")
+    val got = CoOccur.vocabIds(
+      words.toDF("w").repartition(3), "w")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got === Map("apple" -> 0, "fig" -> 1, "pear" -> 2))
+  }
+
   test("join-assigned ids ≡ broadcast paths on random corpora") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 61).map(i => f"w$i%03d").toArray
