@@ -381,12 +381,20 @@ object CoOccur {
     * string-keyed map), so a null here would silently shift every
     * real word's id by one and desync the three paths.
     *
-    * The result is eagerly `localCheckpoint`ed: the global
-    * distinct+sort+zipWithIndex pipeline (zipWithIndex alone adds a
-    * count job per evaluation) is the dominant cost at the scales
-    * that force this path, and downstream consumers evaluate the id
-    * table more than once ([[pairCountsJoin]]: a scalar count + the
-    * join) — materializing once makes each re-read a plain scan.
+    * The result is eagerly persisted (MEMORY_AND_DISK) and
+    * materialized: the global distinct+sort+zipWithIndex pipeline
+    * (zipWithIndex alone adds a count job per evaluation) is the
+    * dominant cost at the scales that force this path, and downstream
+    * consumers evaluate the id table more than once
+    * ([[pairCountsJoin]]: a scalar count + the join) — materializing
+    * once makes each re-read a plain scan. persist, NOT
+    * localCheckpoint: this is the beyond-driver-memory path, whose
+    * real deployments are long many-executor jobs where losing an
+    * executor mid-query is routine — localCheckpoint truncates
+    * lineage, so a lost block would kill the query unrecoverably,
+    * while persist recomputes just the lost partitions (the
+    * distinct→sort→zipWithIndex lineage is deterministic, so
+    * recomputed ids are identical).
     *
     * @return DataFrame(word STRING, id INT), one row per distinct
     *         non-null input word, materialized.
@@ -398,14 +406,19 @@ object CoOccur {
       .where(org.apache.spark.sql.functions.col("word").isNotNull)
       .distinct().orderBy("word")
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      if (i > Int.MaxValue.toLong) throw new IllegalStateException(
+      // >= so V stays <= Int.MaxValue (ids 0..V-1): the strictest
+      // consumer bound (pairCountsJoin's V <= Int.MaxValue) and this
+      // guard's own message agree at the boundary
+      if (i >= Int.MaxValue.toLong) throw new IllegalStateException(
         "CoOccur.vocabIds: vocabulary exceeds Int.MaxValue entries")
       Row(r.getString(0), i.toInt)
     }
-    spark.createDataFrame(rdd, StructType(Seq(
+    val ids = spark.createDataFrame(rdd, StructType(Seq(
       StructField("word", StringType, nullable = false),
       StructField("id", IntegerType, nullable = false))))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ids.count() // eager: consumers see a materialized table
+    ids
   }
 
   /** Pair counting with JOIN-assigned vocab ids — the full

@@ -28,10 +28,15 @@ object Dedup {
 
   /** Canonical bag-of-words key: md5 of the sorted distinct token set.
     * Catches docs that are permutations/repetitions of the same
-    * vocabulary — a cheap linear near-dup pass.
+    * vocabulary — a cheap linear near-dup pass. Empty tokens from
+    * whitespace runs are dropped (the [[wordShingles]] discipline) so
+    * "x y" and "x  y" canonicalize to the SAME key — keeping them
+    * would make the key sensitive to exactly the spacing noise a
+    * vocabulary-set fingerprint exists to erase.
     */
   def bagOfWordsKey(text: Column): Column =
-    md5(concat_ws(" ", sort_array(array_distinct(split(text, " ")))))
+    md5(concat_ws(" ", sort_array(array_distinct(
+      filter(split(text, " "), w => length(w) > 0)))))
 
   /** Distinct word-level 1-shingles per document — deduplicated
     * NARROW (array_distinct before the explode; id is unique per
@@ -649,6 +654,15 @@ object Dedup {
   def simhashPairsBanded(fp: DataFrame, id: String, bits: Int,
       maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
+    // Every band needs >= 1 bit or its key masks to a constant and
+    // that band's equi-join degenerates to the all-pairs theta join
+    // this function exists to avoid (quadratic, not wrong — the
+    // hamming filter still holds — which is why it must fail loudly
+    // here instead of surfacing as a mystery blow-up at scale).
+    require(nBands <= bits && bits <= 64,
+      s"Dedup.simhashPairsBanded: maxHamming + 1 = $nBands bands over " +
+        s"$bits fingerprint bits leaves a band with zero bits (need " +
+        "maxHamming < bits <= 64)")
     // Exactly-once emission (the lshCandidatesOnce trick): band j's
     // equi-join also requires that no band i < j matched, so a pair
     // agreeing on several bands is emitted only by its first — the
@@ -663,7 +677,11 @@ object Dedup {
     def key(side: String, j: Int) = {
       val lo = j * bits / nBands
       val w = (j + 1) * bits / nBands - lo
-      shiftright(col(s"$side.simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      // 1L << 64 wraps to 1 (mask 0 — a constant key, the degenerate
+      // join the require above guards in the w=0 form); a single
+      // full-width band (bits=64, maxHamming=0) takes the whole word
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftright(col(s"$side.simhash"), lo).bitwiseAND(lit(mask))
     }
     (0 until nBands).map { j =>
       val noEarlier = (0 until j)

@@ -124,6 +124,15 @@ object SemDedup {
     * what [[assignCos]]'s single bounded collect feeds. */
   def assignCosLiteralRows(e: DataFrame,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    // An empty centroid set would otherwise surface as a bare
+    // NoSuchElementException on cRows.head below — name the cause
+    // (the every-61st sample selects nothing on a corpus with no
+    // vec_id % 61 == 0) instead of assigning to nothing silently.
+    require(rows.nonEmpty,
+      "SemDedup.assignCosLiteralRows: empty centroid set — the " +
+        s"every-${SampleMod}th vec_id sample selected no rows " +
+        "(corpus empty or ids miss the sampling residue); seed " +
+        "centroids explicitly or use the fixed-k join path")
     val cRows = rows
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -155,6 +164,13 @@ object SemDedup {
   def assignAdcLiteralRows(e: DataFrame,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.expressions.GraftFunctions.pq_assign_adc
+    // Same empty-set guard as assignCosLiteralRows: an empty codes
+    // literal would feed pq_assign_adc a zero-centroid argmin.
+    require(rows.nonEmpty,
+      "SemDedup.assignAdcLiteralRows: empty centroid set — the " +
+        s"every-${SampleMod}th vec_id sample selected no rows " +
+        "(corpus empty or ids miss the sampling residue); seed " +
+        "centroids explicitly or use the fixed-k join path")
     val centRows = rows.sortBy(_.getLong(0))
     val centIds = centRows.map(_.getLong(0))
     val codesFlat = centRows.flatMap(_.getSeq[Int](1))

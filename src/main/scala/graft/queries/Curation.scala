@@ -846,7 +846,8 @@ object CurationQueries extends Suite {
       Some(s"""SELECT doc_id,
               |  CASE WHEN ${hSql(
                    "md5(array_to_string(list_sort(list_distinct(" +
-                     "string_split(text,' '))),' '))", "|lsplit")}
+                     "list_filter(string_split(text,' '), " +
+                     "w -> w <> ''))),' '))", "|lsplit")}
               |    % 10000 < 9000 THEN 'train' ELSE 'test' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -143,7 +143,7 @@ object DedupQueries extends Suite {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
         .filter(col("n_dupes") >= 2)
         .orderBy("keep_id"),
-      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bow,
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))),' ')) AS bow,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
              |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
              |ORDER BY keep_id""".stripMargin)),

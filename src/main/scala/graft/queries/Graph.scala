@@ -189,7 +189,8 @@ object GraphQueries extends Suite {
       Some(s"""WITH b AS (
               |  SELECT doc_id,
               |    md5(array_to_string(list_sort(list_distinct(
-              |      string_split(text,' '))),' ')) AS k
+              |      list_filter(string_split(text,' '), w -> w <> ''))),
+              |      ' ')) AS k
               |  FROM documents),
               |e0 AS MATERIALIZED (
               |  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v

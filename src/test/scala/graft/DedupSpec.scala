@@ -56,6 +56,42 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("bagOfWordsKey: whitespace runs don't change the key") {
+    val keys = Seq((1L, "x y"), (2L, "x  y"), (3L, "y x x"), (4L, "x z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.bagOfWordsKey(col("text")).as("k"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(keys(0) === keys(1)) // double space = same vocabulary
+    assert(keys(0) === keys(2)) // permutation/repetition
+    assert(keys(0) !== keys(3)) // different vocabulary
+  }
+
+  test("simhashPairsBanded: full-width single band stays an equi-join") {
+    // bits=64, maxHamming=0: one band spanning the whole word. The
+    // pre-fix mask (1L << 64) - 1 wrapped to 0, constant-folding the
+    // band key and degenerating the join to all-pairs — assert the
+    // plan keeps a hash-partitionable equi-join and the result is
+    // exactly the equal-fingerprint pairs.
+    val fp = Seq((1L, 42L), (2L, 42L), (3L, -7L), (4L, 42L), (5L, -7L))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsBanded(fp, "doc_id", 64, 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"full-width band degenerated to a non-equi join:\n$plan")
+    val got = pairs.select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 5L)))
+  }
+
+  test("simhashPairsBanded: zero-bit bands fail loudly") {
+    val fp = Seq((1L, 1L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded(fp, "doc_id", 4, 4) // 5 bands, 4 bits
+    }
+    assert(e.getMessage.contains("zero bits"))
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

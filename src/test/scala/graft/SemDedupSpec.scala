@@ -96,6 +96,22 @@ class SemDedupSpec extends SparkSpec {
     assert(c1.toList == c2.toList)
   }
 
+  test("empty centroid sample fails loudly, naming the sampling rule") {
+    // vec_ids that all miss the every-61st residue: the literal path
+    // must not reach cRows.head (a bare NoSuchElementException pre-fix)
+    import spark.implicits._
+    val e = Seq((1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val eCos = intercept[IllegalArgumentException] {
+      SemDedup.assignCos(e).collect()
+    }
+    assert(eCos.getMessage.contains("empty centroid set"))
+    val eAdc = intercept[IllegalArgumentException] {
+      SemDedup.assignAdc(e).collect()
+    }
+    assert(eAdc.getMessage.contains("empty centroid set"))
+  }
+
   test("probeLimit clamps without wrapping at the Long/Int edges") {
     assert(SemDedup.probeLimit(5L) == 6)
     assert(SemDedup.probeLimit(Int.MaxValue.toLong - 1) == Int.MaxValue)
