@@ -31,7 +31,7 @@ object AsOf {
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], tolerance: Option[Long] = None): DataFrame = {
-    val reserved = payload ++ Seq("_side", "_asof_ts", "_r")
+    val reserved = payload ++ Seq("_side", "_asof_ts", "_r", "_m")
     val collisions = reserved.filter(left.columns.contains)
     require(collisions.isEmpty,
       s"left columns collide with reserved/payload names: $collisions")

@@ -84,9 +84,17 @@ object Bloom {
   def mightContain(bitset: Seq[Long], key: Column, bits: Int, k: Int)
       : Column = {
     val arr = typedlit(bitset)
-    val pos = positions(key, bits, k)
-    (1 to k).map { i =>
-      val p = element_at(pos, i)
+    (0 until k).map { i =>
+      // each term computes ITS position directly — same expression as
+      // positions()'s element i, so build/probe parity holds. Routing
+      // through the positions() array here would inline the k-hash
+      // array constructor once per REFERENCE (2 per term: word index
+      // + shift amount), i.e. 2k^2 xxhash64 evaluations per probed
+      // row — FilterExec codegen does not subexpression-eliminate
+      // across the duplicated trees. Direct per-term positions cost
+      // 2k (p is still referenced twice), k-fold less work on the
+      // one hot path this operator exists to keep cheap.
+      val p = pmod(xxhash64(key, lit(i)), lit(bits.toLong)).cast("int")
       val word = element_at(arr, (p / 64).cast("int") + 1)
       // functions.shiftleft only takes a literal shift — go through
       // the registry for a column-valued shift amount

@@ -32,6 +32,16 @@ object Pack {
   /** Adds `shard`, `n_tok`, `off` (token offset of the document inside
     * its shard's stream) and `bin` (context-window index) columns.
     * `tokExpr` must be an integer token count column.
+    *
+    * CONTRACT: `idCol` must be UNIQUE per row (globally unique ids —
+    * what every caller's doc_id is — satisfy this). The per-shard
+    * prefix sum orders by `idCol` alone, so rows sharing an id get an
+    * engine/partitioning-dependent relative order and their `off`/
+    * `bin` values swap between runs — silently breaking the file's
+    * any-partitioning determinism guarantee and the oracle replay.
+    * There is no generic in-operator repair: a tie-break over unknown
+    * payload columns can't exist, and a uniqueness assertion would
+    * cost a corpus-wide aggregate per call; dedup ids upstream.
     */
   def pack(df: DataFrame, idCol: String, tokCol: String,
       nShards: Int, ctx: Int, saltName: String = "pack"): DataFrame = {
@@ -39,8 +49,7 @@ object Pack {
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard",
-        (Text.portableHash(concat(col(idCol).cast("string"),
-          lit("|" + saltName))) % nShards).cast("int"))
+        Split.saltedMod(col(idCol), saltName, nShards).cast("int"))
       .withColumn("off", sum(col(tokCol)).over(w) - col(tokCol))
       .withColumn("bin", call_function("div", col("off"), lit(ctx.toLong)))
   }

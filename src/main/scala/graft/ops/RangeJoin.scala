@@ -47,6 +47,11 @@ object RangeJoin {
       point: Column, lo: Column, hi: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // the join key is added to (and dropped from) BOTH inputs — a
+    // caller's same-named column would be silently overwritten
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "binned: input collides with the reserved column __bin")
     val p = points.withColumn("__bin", bin(point, binWidth))
     // sequence is ascending because lo <= hi (filtered, so a corrupt
     // interval can't produce a descending sequence)

@@ -33,6 +33,10 @@ object Sessionize {
     */
   def byTimeout(df: DataFrame, user: String, ts: String, tie: String,
       timeout: Long): DataFrame = {
+    val clash = Seq("_prev_ts", "_new_s", "session_seq")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"byTimeout: input collides with reserved/output names: $clash")
     val w = Window.partitionBy(user).orderBy(ts, tie)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_prev_ts", lag(col(ts), 1).over(w))
@@ -50,6 +54,8 @@ object Sessionize {
     */
   def byBoundaryEvent(df: DataFrame, user: String, ts: String, tie: String,
       isBoundary: Column): DataFrame = {
+    require(!df.columns.contains("boundary_ts"),
+      "byBoundaryEvent: input already has the output column boundary_ts")
     val run = Window.partitionBy(user).orderBy(ts, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("boundary_ts",

@@ -19,9 +19,19 @@ object Split {
 
   val Buckets = 10000L // membership granularity: 0.01%
 
+  /** The one salted-hash-modulo definition every deterministic
+    * selection in this library derives from ([[bucket]], [[fold]],
+    * [[graft.ops.Pack.pack]]'s shard key) — the salt format and hash
+    * must stay in lockstep across operators for the mutual-
+    * independence guarantee (and the DuckDB oracles) to hold, so
+    * there is exactly one copy of the expression.
+    */
+  private[graft] def saltedMod(id: Column, salt: String, m: Long): Column =
+    Text.portableHash(concat(id.cast("string"), lit("|" + salt))) % m
+
   /** Uniform bucket in [0, 10000) from the salted id hash. */
   def bucket(id: Column, salt: String): Column =
-    Text.portableHash(concat(id.cast("string"), lit("|" + salt))) % Buckets
+    saltedMod(id, salt, Buckets)
 
   /** Label each row train/val/test (or any named fractions) —
     * fractions in units of 1/10000. When the fractions sum below
@@ -35,6 +45,11 @@ object Split {
       outCol: String = "split", rest: Option[String] = None): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= Buckets,
       s"split fractions exceed $Buckets: $splits")
+    // a non-positive fraction makes the cut ladder non-monotonic: the
+    // negative split gets zero rows and its share silently leaks into
+    // its neighbors — fail fast instead
+    require(splits.forall(_._2 > 0),
+      s"split fractions must be positive: $splits")
     require(rest.isDefined || splits.map(_._2).sum == Buckets,
       s"fractions sum to ${splits.map(_._2).sum} < $Buckets and no " +
         "`rest` label given — the remainder rows would get a NULL split")
@@ -51,8 +66,7 @@ object Split {
     * bucket (different salt).
     */
   def fold(id: Column, k: Int, saltName: String = "fold"): Column =
-    (Text.portableHash(concat(id.cast("string"), lit("|" + saltName)))
-      % k).cast("int")
+    saltedMod(id, saltName, k).cast("int")
 
   /** Mixture balancing: deterministically downsample every stratum to
     * (approximately) the size of the RAREST stratum, so the output is
@@ -63,15 +77,22 @@ object Split {
     */
   def balanceStrata(df: DataFrame, idCol: String, strataCol: String,
       saltName: String = "mix"): DataFrame = {
+    val reserved = Seq("__stratum", "__thr").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"balanceStrata: input collides with reserved names: $reserved")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     val minCnt = counts.agg(min("__n").as("__mn"))
     val thresholds = counts.crossJoin(broadcast(minCnt))
-      .select(col(strataCol),
+      .select(col(strataCol).as("__stratum"),
         call_function("div", col("__mn") * Buckets, col("__n"))
           .as("__thr"))
-    df.join(broadcast(thresholds), strataCol)
+    // null-safe join: a NULL stratum is a real stratum (it already
+    // participates in the min via the groupBy above) — a plain
+    // equi-join would let the NULL group set the global floor and
+    // then silently drop every one of its rows
+    df.join(broadcast(thresholds), col(strataCol) <=> col("__stratum"))
       .filter(bucket(col(idCol), saltName) < col("__thr"))
-      .drop("__thr")
+      .drop("__stratum", "__thr")
   }
 
   /** Stratified sample: per-stratum fraction (in 1/10000 units),

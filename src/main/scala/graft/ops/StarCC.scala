@@ -50,8 +50,10 @@ object StarCC {
         struct(col("v").as("u"), col("u").as("v")))).as("s"))
       .select(col("s.u").as("u"), col("s.v").as("v"))
     val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+    // no v =!= m conjunct: m <= u < v by construction, so it can
+    // never hold — the v > u orientation already excludes self-loops
     sym.withColumn("m", m)
-      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
   }
 

@@ -75,8 +75,9 @@ object CurationQueries extends Suite {
               |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
               |m AS (SELECT MIN(n) AS mn FROM c),
               |t AS (SELECT lang, (mn * 10000) // n AS thr FROM c, m)
-              |SELECT doc_id, lang
-              |FROM documents JOIN t USING (lang)
+              |SELECT doc_id, documents.lang
+              |FROM documents JOIN t
+              |  ON documents.lang IS NOT DISTINCT FROM t.lang
               |WHERE ${hSql("CAST(doc_id AS VARCHAR)", "|mix")} % 10000 < thr
               |ORDER BY doc_id""".stripMargin)),
 

@@ -53,6 +53,12 @@ class AsOfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsOf.joinAsOf(left, right, "k", "t", Seq("v"))
     }
+    // _m is claimed internally too (the carry column) — pre-fix it was
+    // missing from the guard and a caller's _m silently disappeared
+    val leftM = Seq((7L, 25L, 1)).toDF("k", "t", "_m")
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(leftM, right, "k", "t", Seq("v"))
+    }
   }
 
   test("TopK.perKey rejects k < 1") {

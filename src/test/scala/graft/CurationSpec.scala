@@ -154,6 +154,28 @@ class CurationSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("balanceStrata: NULL is a real stratum — kept, not dropped") {
+    // pre-fix, the NULL group set the global min (downsampling every
+    // real stratum) while the plain equi-join dropped its own rows
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i < 36) "en" else null))
+      .toDF("doc_id", "lang")
+    val out = Split.balanceStrata(df, "doc_id", "lang")
+    val nullKept = out.filter(col("lang").isNull).count()
+    assert(nullKept === 4L,
+      s"all 4 NULL-stratum rows must survive (threshold 10000), got $nullKept")
+    val enKept = out.filter(col("lang") === "en").count()
+    assert(enKept > 0L && enKept < 36L,
+      s"en must downsample toward the 4-row floor, got $enKept")
+  }
+
+  test("Split.assign rejects non-positive fractions") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Split.assign(df, "doc_id",
+        Seq("a" -> 5000, "b" -> -100, "c" -> 5100))
+    }
+  }
+
   test("corpus invariant: single-spaced text (oracle empty-token parity)") {
     // Every text oracle splits on ' ' WITHOUT an empty-token guard in
     // some CTEs, while the Spark side always filters empties. That

@@ -58,6 +58,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.contains((-17L, -50L)) && got.contains((-1L, -5L)))
   }
 
+  test("reserved __bin collision fails fast on either input") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("p", "__bin")
+    val ivs = Seq((0L, 10L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.binned(pts, ivs, col("p"), col("lo"), col("hi"), 4L)
+    }
+    val pts2 = Seq((1L, 5L)).toDF("p", "x")
+    val ivs2 = Seq((0L, 10L, 1L)).toDF("lo", "hi", "__bin")
+    intercept[IllegalArgumentException] {
+      RangeJoin.binned(pts2, ivs2, col("p"), col("lo"), col("hi"), 4L)
+    }
+  }
+
   test("bin width 1 and huge width agree (duplication-selectivity trade)") {
     def run(w: Long) = RangeJoin.binned(pts, iv,
         col("pd"), col("lo_d"), col("hi_d"), binWidth = w)

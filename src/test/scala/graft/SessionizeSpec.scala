@@ -26,6 +26,17 @@ class SessionizeSpec extends SparkSpec {
       (2L, 10L, 1L)))
   }
 
+  test("reserved/output name collisions fail fast") {
+    val df = Seq((1L, 10L, 1L, 7L)).toDF("u", "ts", "e", "session_seq")
+    intercept[IllegalArgumentException] {
+      Sessionize.byTimeout(df, "u", "ts", "e", 100L)
+    }
+    val df2 = Seq((1L, 10L, 1L, 7L)).toDF("u", "ts", "e", "boundary_ts")
+    intercept[IllegalArgumentException] {
+      Sessionize.byBoundaryEvent(df2, "u", "ts", "e", col("e") === 1L)
+    }
+  }
+
   test("exactly-timeout gap does NOT split (strict >)") {
     val df = Seq((1L, 0L, 1L), (1L, timeout, 2L)).toDF("user", "ts", "eid")
     val sessions = Sessionize.byTimeout(df, "user", "ts", "eid", timeout)
