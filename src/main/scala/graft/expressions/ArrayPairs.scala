@@ -55,8 +55,16 @@ case class ArrayPairs(child: Expression)
       val n = a.numElements()
       if (n < 2) Nil
       else {
+        // size in LONG: n*(n-1)/2 overflows Int at n >= 46342 — a
+        // single hot key emitting 2^31 pairs is a skew disaster the
+        // caller must handle (salt/split the key), so name it rather
+        // than crash with NegativeArraySizeException mid-generation
+        val nPairs = n.toLong * (n - 1) / 2
+        require(nPairs <= Int.MaxValue,
+          s"array_pairs: $n elements -> $nPairs pairs exceeds the " +
+            "per-row limit; split or salt the hot group upstream")
         val vals = a.toObjectArray(elemType)
-        val out = new Array[InternalRow](n * (n - 1) / 2)
+        val out = new Array[InternalRow](nPairs.toInt)
         var k = 0
         var i = 0
         while (i < n) {

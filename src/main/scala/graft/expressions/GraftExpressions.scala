@@ -48,10 +48,20 @@ object Kernels {
     * and the documented DuckDB oracle), rounded to 6 decimals.
     */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // mismatched dims / null elements fail LOUDLY (the argmin_l2_micro
+    // discipline): silently truncating to the shorter array or reading
+    // a null slot as 0.0f would produce a plausible-but-wrong
+    // similarity — in a dedup/ANN pipeline that is a silently wrong
+    // keep/drop decision, strictly worse than a named failure
+    require(b.numElements() == n,
+      s"cosine_f: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_f: NULL element at index $i")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -244,14 +254,21 @@ object Kernels {
     require(nc > 0 && cents.numElements() == nc * dim,
       s"argmin_l2_micro: ${cents.numElements()} centroid values for " +
         s"$nc ids at dim $dim")
+    // validate nulls ONCE, not once per centroid: the inner loop runs
+    // nc times over the same vector, so an in-loop check pays nc*dim
+    // redundant null-bit reads per row on the Lloyd hot path
+    var j0 = 0
+    while (j0 < dim) {
+      if (v.isNullAt(j0))
+        throw new IllegalArgumentException(
+          s"argmin_l2_micro: NULL element at index $j0")
+      j0 += 1
+    }
     var best = Long.MaxValue; var bestId = Long.MaxValue
     var c = 0
     while (c < nc) {
       var d = 0L; var j = 0
       while (j < dim) {
-        if (v.isNullAt(j))
-          throw new IllegalArgumentException(
-            s"argmin_l2_micro: NULL element at index $j")
         val t = v.getLong(j) - cents.getLong(c * dim + j)
         d += t * t; j += 1
       }
@@ -539,7 +556,10 @@ object Kernels {
     var nOut = 0
     if (m > 1) {
       val dim = flat.numElements() / m
-      require(flat.numElements() == m * dim,
+      // dim > 0 too: an empty flat would floor dim to 0, pass the
+      // m*dim check vacuously, and NaN-cosine every member into a
+      // "duplicate" — reject the malformed cluster loudly
+      require(dim > 0 && flat.numElements() == m * dim,
         s"semdedup_dups: ${flat.numElements()} values for $m members")
       // One primitive copy per cluster: the i*j dup scan reads each
       // member up to m times and ArrayData.getFloat there is virtual

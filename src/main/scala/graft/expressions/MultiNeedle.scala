@@ -125,11 +125,14 @@ final class AhoCorasick(val needles: Array[Array[Byte]]) extends Serializable {
   // matched in the current call — no per-row allocation, and the
   // generation counter lives in the same ThreadLocal (a shared
   // counter would race across Spark's task threads)
+  // gen is a LONG: an Int generation wraps after 2^32 calls on one
+  // long-lived executor thread, colliding with stale seen[] entries
+  // and silently dropping matches; a long never wraps in practice
   @transient private lazy val scratch =
-    new ThreadLocal[(Array[Int], Array[Int], Array[Int])] {
-      override def initialValue(): (Array[Int], Array[Int], Array[Int]) =
-        (new Array[Int](needles.length), new Array[Int](needles.length),
-          new Array[Int](1))
+    new ThreadLocal[(Array[Long], Array[Int], Array[Long])] {
+      override def initialValue(): (Array[Long], Array[Int], Array[Long]) =
+        (new Array[Long](needles.length), new Array[Int](needles.length),
+          new Array[Long](1))
     }
 
   /** Distinct needles occurring in `text`, in needle-list order —
@@ -214,6 +217,13 @@ case class MultiNeedleMatches(left: Expression, right: Expression)
         else if (needleStrings.exists(n => n == null || n.numBytes == 0))
           TypeCheckResult.TypeCheckFailure(
             "multi_needle_matches: empty/null needle in list")
+        else if (needleStrings.distinct.length != needleStrings.length)
+          // the automaton keys matches by needle STRING, so duplicate
+          // list entries would be silently collapsed to one hit —
+          // diverging from the documented list_filter equivalence,
+          // which keeps every copy. Fail at plan time instead.
+          TypeCheckResult.TypeCheckFailure(
+            "multi_needle_matches: duplicate needle in list")
         else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"multi_needle_matches needs (string, array<string>), got ($l, $r)")

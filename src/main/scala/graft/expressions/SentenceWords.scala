@@ -38,7 +38,11 @@ case class SentenceWords(child: Expression)
       val sentences = text.split("\\.", -1)
       var si = 0
       while (si < sentences.length) {
-        val sent = sentences(si).trim
+        // SPACE-only trim: the oracle side is SQL trim(), which strips
+        // ' ' alone — Java's String.trim strips every char <= U+0020
+        // (tabs, newlines), which would silently diverge on any corpus
+        // with non-space whitespace
+        val sent = SentenceWords.spaceTrim(sentences(si))
         if (sent.nonEmpty) {
           val sentU = UTF8String.fromString(sent)
           val words = sent.split(" ", -1)
@@ -72,4 +76,13 @@ object SentenceWords {
   def sentence_words(c: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       SentenceWords(org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)))
+
+  /** Trim of ' ' only — SQL trim() semantics, NOT Java trim()'s
+    * every-char-below-U+0021. */
+  private[expressions] def spaceTrim(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
 }

@@ -275,6 +275,67 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("multi_needle_matches rejects duplicate needles at plan time") {
+    import spark.implicits._
+    val df = Seq((1L, "sort")).toDF("id", "text")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.multi_needle_matches(
+        col("text"), lit(Array("or", "or")))).collect()
+    }
+    assert(e.getMessage.contains("duplicate needle"))
+  }
+
+  test("cosine_f fails loudly on dimension mismatch and null elements") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.cosine_f(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch"),
+      s"got: ${e.getMessage}")
+    val dfN = Seq((Seq[Option[Float]](Some(1f), None),
+      Seq[Option[Float]](Some(1f), Some(2f)))).toDF("a", "b")
+    val eN = intercept[Exception] {
+      dfN.select(GraftFunctions.cosine_f(col("a"), col("b"))).collect()
+    }
+    assert(eN.getMessage.contains("NULL element"), s"got: ${eN.getMessage}")
+  }
+
+  test("array_pairs: oversize groups fail with the named skew message") {
+    import graft.expressions.ArrayPairs.array_pairs
+    import spark.implicits._
+    // 66000 elements -> 2.18e9 pairs > Int.MaxValue: the require must
+    // fire BEFORE any allocation (pre-fix, n*(n-1) wrapped in Int and
+    // crashed with NegativeArraySizeException)
+    val df = Seq(Tuple1((0 until 66000).map(_.toLong).toArray)).toDF("ids")
+    val e = intercept[Exception] {
+      df.select(array_pairs(col("ids")).as(Seq("a", "b"))).count()
+    }
+    assert(e.getMessage.contains("split or salt"), s"got: ${e.getMessage}")
+  }
+
+  test("semdedup_dups rejects an empty embedding blob for m > 1") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ids = new GenericArrayData(Array[Any](1L, 2L))
+    val flat = new GenericArrayData(Array.empty[Any])
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.Kernels.semdedupDups(ids, flat, 0.9)
+    }
+    assert(e.getMessage.contains("semdedup_dups"))
+  }
+
+  test("sentence_words trims spaces ONLY (SQL trim parity, not Java trim)") {
+    import spark.implicits._
+    import graft.expressions.SentenceWords.sentence_words
+    // tab inside a sentence: SQL trim keeps it, Java trim would strip
+    val df = Seq((1L, "a.\tb c")).toDF("doc_id", "text")
+    val rows = df.select(sentence_words(col("text"))
+        .as(Seq("si", "wi", "sentence", "word")))
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    assert(rows.toSet === Set(("a", "a"), ("\tb c", "\tb"), ("\tb c", "c")),
+      s"got: ${rows.mkString(", ")}")
+  }
+
   test("cosine_f passes NaN through for zero-norm vectors (no crash)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
