@@ -44,6 +44,16 @@ object Text {
     lexiconFromCsv(s, path, "w").collect().toSeq
       .map(_.getString(0).trim).filter(_.nonEmpty)
 
+  /** The one non-empty tokenization: split on single spaces, drop
+    * empty tokens. Sites whose values must agree (a17/a23/x23 pack
+    * offsets vs emission; quality-metric token counts) share THIS
+    * definition — two hand-rolled copies drifting apart would
+    * desynchronize offsets from emitted tokens while both stay
+    * internally consistent, the failure no per-site test catches.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
   /** Tokenize: split on single spaces, explode, drop empty tokens
     * (ref: bdb_tools/text.py:46-69 — strip, split, explode, filter).
     */

@@ -41,6 +41,13 @@ case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 
+  // mapPartitions preserves the child's partitioning; without this
+  // override Spark sees UnknownPartitioning and re-shuffles any
+  // downstream operator keyed on the same columns
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     child.execute().mapPartitions({ iter =>
@@ -100,6 +107,12 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // empty keys dies later in an opaque ClusteredDistribution
+    // assertion; an empty order would make every comparison a tie and
+    // silently return k ARBITRARY rows per key
+    require(keys.nonEmpty, "TopK.perKey: keys must be non-empty")
+    require(order.nonEmpty, "TopK.perKey: order must be non-empty " +
+      "(an empty order would keep k arbitrary rows per key)")
     val spark = df.sparkSession
     install(spark)
     val plan = df.queryExecution.analyzed

@@ -51,7 +51,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(r: Attribute, IntegerLiteral(k))
         if r.semanticEquals(rank) => Some(k)
       case LessThan(r: Attribute, IntegerLiteral(k))
-        if r.semanticEquals(rank) => Some(k - 1)
+        // k - 1 underflows for Int.MinValue (an always-false conjunct
+        // would become bound Int.MaxValue and be silently DROPPED when
+        // another conjunct makes the rewrite fire) — leave it in
+        // `rest`, whose rank reference then disables the rewrite
+        if r.semanticEquals(rank) && k != Int.MinValue => Some(k - 1)
       case EqualTo(r: Attribute, IntegerLiteral(1))
         if r.semanticEquals(rank) => Some(1)
       case _ => None

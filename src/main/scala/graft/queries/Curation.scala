@@ -612,7 +612,7 @@ object CurationQueries extends Suite {
       // stream then never emits — offsets and emission must agree on
       // one tokenization)
       val toks = docs(s, d).select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => length(w) > 0))
+        size(graft.ops.Text.tokens(col("text")))
           .as("n_tok"))
       Pack.pack(toks, "doc_id", "n_tok", nShards = 8, ctx = 256)
         .select("doc_id", "shard", "n_tok", "off", "bin")
@@ -740,7 +740,7 @@ object CurationQueries extends Suite {
       // irregular spacing (the unfiltered-posexplode form indexed by
       // raw split position and silently skipped the empties' slots)
       val toks = docs(s, d).select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => length(w) > 0))
+        size(graft.ops.Text.tokens(col("text")))
           .as("n_tok"))
       val packed = Pack.pack(toks, "doc_id", "n_tok",
           nShards = 8, ctx = 256)
@@ -752,8 +752,7 @@ object CurationQueries extends Suite {
       // posexplode, so positions come out renumbered.
       docs(s, d).join(packed, "doc_id")
         .select(col("doc_id"), col("shard"), col("off"),
-          posexplode(filter(split(col("text"), " "),
-            w => length(w) > 0)).as(Seq("pos0", "word")))
+          posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos0", "word")))
         .withColumn("idx", col("off") + col("pos0"))
         .withColumn("bin", expr("idx div 256"))
         .groupBy("shard", "bin")

@@ -45,44 +45,53 @@ object ChecksumSink {
   private[sources] def record(name: String, count: Long, sum: Long): Unit =
     results.put(name, (count, sum))
 
-  /** Row checksum: portable hash of the '|'-joined field rendering.
-    * null renders as the empty string (distinct from "null" text).
-    * Rendering is canonical per type — binary as lowercase hex,
-    * arrays/structs recursively, map entries sorted — because the
-    * JVM default `toString` on internal values (Array[Byte],
-    * ArrayData, InternalRow) is an identity-hash string that would
-    * change across runs and defeat the sink's verification purpose.
+  /** Row checksum: portable hash of the length-prefixed field
+    * rendering. Every embedded value is framed as `<len>:<content>`
+    * and null as the prefix-free sentinel `N` — length prefixes make
+    * the rendering injective up to real value differences (a '|' or
+    * ',' INSIDE a string can't alias a field boundary, and "", [null]
+    * and [""] all render distinctly — without the frames a
+    * verification sink would silently pass exactly the differences it
+    * exists to catch). Rendering is canonical per type — binary as
+    * lowercase hex, arrays/structs recursively, map entries sorted —
+    * because the JVM default `toString` on internal values
+    * (Array[Byte], ArrayData, InternalRow) is an identity-hash string
+    * that would change across runs.
     */
+  private def framed(v: Any, dt: DataType, isNull: Boolean): String =
+    if (isNull) "N" else { val s = render(v, dt); s"${s.length}:$s" }
+
   private[sources] def render(v: Any, dt: DataType): String = dt match {
     case BinaryType =>
       v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
     case ArrayType(et, _) =>
       val a = v.asInstanceOf[ArrayData]
       (0 until a.numElements()).map { i =>
-        if (a.isNullAt(i)) "" else render(a.get(i, et), et)
+        framed(if (a.isNullAt(i)) null else a.get(i, et), et, a.isNullAt(i))
       }.mkString("[", ",", "]")
     case st: StructType =>
       val r = v.asInstanceOf[InternalRow]
       st.fields.indices.map { i =>
-        if (r.isNullAt(i)) ""
-        else render(r.get(i, st.fields(i).dataType), st.fields(i).dataType)
+        val ft = st.fields(i).dataType
+        framed(if (r.isNullAt(i)) null else r.get(i, ft), ft, r.isNullAt(i))
       }.mkString("{", ",", "}")
     case MapType(kt, vt, _) =>
       val m = v.asInstanceOf[MapData]
       val ks = m.keyArray(); val vs = m.valueArray()
       // map iteration order is engine-internal: sort rendered entries
       (0 until m.numElements()).map { i =>
-        render(ks.get(i, kt), kt) + "->" +
-          (if (vs.isNullAt(i)) "" else render(vs.get(i, vt), vt))
+        framed(ks.get(i, kt), kt, isNull = false) + "->" +
+          framed(if (vs.isNullAt(i)) null else vs.get(i, vt), vt,
+            vs.isNullAt(i))
       }.sorted.mkString("{", ",", "}")
     case _ => v.toString // primitives/UTF8String/Decimal: value-based
   }
 
   private[sources] def rowHash(row: InternalRow, schema: StructType): Long = {
     val rendered = schema.fields.indices.map { i =>
-      if (row.isNullAt(i)) ""
-      else render(row.get(i, schema.fields(i).dataType),
-        schema.fields(i).dataType)
+      val ft = schema.fields(i).dataType
+      framed(if (row.isNullAt(i)) null else row.get(i, ft), ft,
+        row.isNullAt(i))
     }.mkString("|")
     graft.expressions.Kernels.portableHash60(UTF8String.fromString(rendered))
   }

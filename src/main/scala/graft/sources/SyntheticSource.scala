@@ -59,18 +59,28 @@ object SyntheticSource {
     StructField("amount_cents", LongType, nullable = false),
     StructField("category", StringType, nullable = false)))
 
-  /** user_id of row `i` (the clustered scan's partition key). */
-  private[sources] def userOf(i: Long): Long =
-    graft.expressions.Kernels.portableHash60(
-      UTF8String.fromString(s"e|$i")) % 100
+  /** ONE definition of the user count: userOf, row, and the clustered
+    * scan's KeyGroupedPartitioning must agree or a declared partition
+    * key would never match any generated row. */
+  private[sources] val Users = 100L
 
-  /** Field values of row `i` for the pruned schema. */
-  private[sources] def row(i: Long, schema: StructType): InternalRow = {
-    lazy val h = graft.expressions.Kernels.portableHash60(
+  /** Row hash — the single source of every derived column. */
+  private[sources] def hashOf(i: Long): Long =
+    graft.expressions.Kernels.portableHash60(
       UTF8String.fromString(s"e|$i"))
+
+  /** user_id of row `i` (the clustered scan's partition key). */
+  private[sources] def userOf(i: Long): Long = hashOf(i) % Users
+
+  /** Field values of row `i` for the pruned schema; pass the row's
+    * already-computed hash when the caller has one (the clustered
+    * reader's per-emit filter) to avoid a second md5. */
+  private[sources] def row(i: Long, schema: StructType,
+      hash: Long = Long.MinValue): InternalRow = {
+    lazy val h = if (hash != Long.MinValue) hash else hashOf(i)
     InternalRow.fromSeq(schema.fields.toSeq.map(_.name match {
       case "id" => i
-      case "user_id" => h % 100
+      case "user_id" => h % Users
       case "amount_cents" => h % 10000
       case "category" => UTF8String.fromString("c" + (h % 7))
     }))
@@ -194,7 +204,7 @@ private case class SyntheticUserSlice(user: Long, lo: Long, hi: Long)
 private class SyntheticClusteredScan(lo: Long, hi: Long,
     schema: StructType) extends Scan with Batch
     with SupportsReportPartitioning {
-  private val Users = 100L // user_id = hash % 100 (SyntheticSource.row)
+  private val Users = SyntheticSource.Users // one shared definition
   override def readSchema(): StructType = schema
   override def description(): String =
     s"SyntheticClusteredScan range=[$lo, $hi) users=$Users"
@@ -214,13 +224,20 @@ private class SyntheticClusteredReaderFactory(schema: StructType,
     val slice = p.asInstanceOf[SyntheticUserSlice]
     new PartitionReader[InternalRow] {
       private var i = slice.lo - 1
+      private var h = 0L
       override def next(): Boolean = {
         i += 1
-        while (i < slice.hi && SyntheticSource.userOf(i) != slice.user)
+        // keep the accepted row's hash: row() derives every column
+        // from it, so recomputing the md5 in get() would double the
+        // per-emit hash cost of a scan that is already |users| x range
+        h = if (i < slice.hi) SyntheticSource.hashOf(i) else 0L
+        while (i < slice.hi && h % SyntheticSource.Users != slice.user) {
           i += 1
+          if (i < slice.hi) h = SyntheticSource.hashOf(i)
+        }
         i < slice.hi
       }
-      override def get(): InternalRow = SyntheticSource.row(i, schema)
+      override def get(): InternalRow = SyntheticSource.row(i, schema, h)
       override def close(): Unit = ()
     }
   }

@@ -19,12 +19,20 @@ object StreamConf {
   private val statePartsOverride: Option[Int] =
     sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
 
-  def withStatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, statePartsOverride.getOrElse(n).toString)
-    try body finally s.conf.set(key, prev)
-  }
+  /** Serialized (JVM-wide lock): the save/set/restore of the
+    * session-global shuffle-partition conf races under concurrent
+    * callers — one caller could capture another's temporary value as
+    * `prev` and "restore" it permanently. All drain-once runners
+    * route through [[runToTable]], so serializing here costs nothing
+    * at bench time and makes concurrent misuse safe.
+    */
+  def withStatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T =
+    StreamConf.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, statePartsOverride.getOrElse(n).toString)
+      try body finally s.conf.set(key, prev)
+    }
 
   /** Ephemeral checkpoint root for run-to-completion test/bench
     * queries: tmpfs when the host has one. The offset/commit metadata

@@ -48,6 +48,19 @@ object StreamingPack {
           "delivering per-shard doc_id order; its packing would " +
           "diverge from the batch operator")
     }
+    // same contract WITHIN the batch: a duplicate doc_id (source
+    // re-delivery) would be placed twice, shifting every later offset
+    // in the shard versus the batch operator — silently, since the
+    // head check above only compares across batches
+    var di = 1
+    while (di < sorted.length) {
+      if (sorted(di).doc_id == sorted(di - 1).doc_id)
+        throw new IllegalStateException(
+          s"StreamingPack shard $shard: doc ${sorted(di).doc_id} " +
+            "delivered twice in one micro-batch — a duplicate " +
+            "placement would diverge from the batch operator")
+      di += 1
+    }
     var off = st.nextOff
     val out = sorted.map { d =>
       val o = off
@@ -69,12 +82,13 @@ object StreamingPack {
     val stream = graft.Tables.loadStream(spark, sfDir, "documents")
     val docs: Dataset[Doc] = stream.select(
         col("doc_id"),
-        (Text.portableHash(concat(col("doc_id").cast("string"),
-          lit("|pack"))) % nShards).cast("int").as("shard"),
-        // same non-empty tokenization as a17/a23 (offsets must count
-        // exactly what the pack writer would emit)
-        size(filter(split(col("text"), " "), w => length(w) > 0))
-          .cast("long").as("n_tok"))
+        // the SAME shard key and non-empty tokenization as the batch
+        // packer, by shared definition (Split.saltedMod / Text.tokens)
+        // — hand-rolled copies here could drift and silently diverge
+        // the streaming packing from a17/a23
+        graft.ops.Split.saltedMod(col("doc_id"), "pack", nShards)
+          .cast("int").as("shard"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
       .as[Doc]
     val placed = docs.groupByKey(_.shard)
       .flatMapGroupsWithState(

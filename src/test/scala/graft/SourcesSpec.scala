@@ -66,10 +66,12 @@ class SourcesSpec extends SparkSpec {
       .option("name", "spec-run").mode("append").save()
     val (n, sum) = ChecksumSink.result("spec-run").get
     assert(n === df.count())
-    // recompute the order-independent checksum locally
+    // recompute the order-independent checksum locally (the sink's
+    // length-prefixed framing: <len>:<content>, null -> N)
     val expected = df.collect().map { r =>
       val rendered = (0 until 3).map { i =>
-        if (r.isNullAt(i)) "" else r.get(i).toString
+        if (r.isNullAt(i)) "N"
+        else { val s = r.get(i).toString; s"${s.length}:$s" }
       }.mkString("|")
       graft.expressions.Kernels.portableHash60(
         org.apache.spark.unsafe.types.UTF8String.fromString(rendered))
@@ -80,6 +82,26 @@ class SourcesSpec extends SparkSpec {
       .option("name", "spec-run").mode("append").save()
     assert(ChecksumSink.result("spec-run").get === ((n, sum)),
       "checksum must be partitioning-independent")
+  }
+
+  test("checksum framing distinguishes delimiter/null/empty collisions") {
+    import graft.sources.ChecksumSink
+    import spark.implicits._
+    def sumOf(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.format("graft.sources.ChecksumSink")
+        .option("name", name).mode("append").save()
+      ChecksumSink.result(name).get
+    }
+    // a '|' inside a field must not alias the field boundary
+    val s1 = sumOf(Seq(("a|", "b")).toDF("x", "y"), "cs-d1")
+    val s2 = sumOf(Seq(("a", "|b")).toDF("x", "y"), "cs-d2")
+    assert(s1 !== s2, "field-delimiter aliasing")
+    // empty array, [null] and [""] are three different values
+    val e1 = sumOf(Seq(Tuple1(Seq.empty[String])).toDF("a"), "cs-e1")
+    val e2 = sumOf(Seq(Tuple1(Seq[String](null))).toDF("a"), "cs-e2")
+    val e3 = sumOf(Seq(Tuple1(Seq(""))).toDF("a"), "cs-e3")
+    assert(e1 != e2 && e1 != e3 && e2 != e3,
+      s"array null/empty aliasing: $e1 / $e2 / $e3")
   }
 
   test("clustered scan elides the aggregation exchange (KeyGroupedPartitioning)") {

@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
     val out = stream.as[Ev].groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        StatefulSessionize.fold(1000L))
+        StatefulSessionize.fold(1000L, evict = false))
     val q = out.writeStream.format("memory")
       .queryName("stream_carry_test").outputMode("append").start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -197,5 +197,41 @@ class StreamingSpec extends SparkSpec {
       StreamingPack.fold(256L)(0, Iterator(Doc(2L, 0, 10L)), carried).toList
     }
     assert(e.getMessage.contains("doc_id order"), e.getMessage)
+  }
+
+  test("streaming pack FAILS on a duplicate doc within one micro-batch") {
+    import graft.streaming.StreamingPack
+    import graft.streaming.StreamingPack.{Doc, ShardState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[ShardState](
+      optionalState = Optional.empty[ShardState](),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    // a re-delivered doc inside the batch slips past the cross-batch
+    // head check; placing it twice would shift every later offset
+    val e = intercept[IllegalStateException] {
+      StreamingPack.fold(256L)(0,
+        Iterator(Doc(5L, 0, 3L), Doc(5L, 0, 3L)), st).toList
+    }
+    assert(e.getMessage.contains("delivered twice"), e.getMessage)
+  }
+
+  test("sessionizer eviction timeout closes, emits, and removes state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StatefulSessionize.{Open, SessionOut}
+    val st = TestGroupState.create[Open](
+      optionalState = Optional.of(Open(10L, 20L, 2L)),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StatefulSessionize.fold(3600000000L)(
+      7L, Iterator.empty, st).toList
+    assert(out === List(SessionOut(7L, 10L, 20L, 2L, closed = true)))
+    assert(st.isRemoved, "timed-out state must be evicted")
   }
 }

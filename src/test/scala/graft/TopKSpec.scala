@@ -45,6 +45,21 @@ class TopKSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("rewrite rule: an always-false Int.MinValue bound is NOT consumed") {
+    // rn < Int.MinValue: k-1 underflow would read as bound
+    // Int.MaxValue and the conjunct would be silently dropped while
+    // rn <= 3 makes the rewrite fire — the query must stay empty
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey").orderBy(
+      col("o_totalprice").desc, col("o_orderkey"))
+    val res = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("rn") < lit(Int.MinValue))
+      .drop("rn")
+    assert(res.count() === 0L,
+      "always-false rank conjunct must not be dropped by the rewrite")
+  }
+
   test("rewrite rule: residual conjuncts survive as a Filter on the operator") {
     graft.plans.TopKRewrite.install(spark)
     val o = Tables.load(spark, sf, "orders")
