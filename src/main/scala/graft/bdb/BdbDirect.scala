@@ -887,7 +887,7 @@ object BdbDirect extends Suite {
               |st AS (
               |  SELECT w, i, d_moy, sx / n AS mean,
               |    CASE WHEN n > 1
-              |      THEN round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) + 0
+              |      THEN round(sqrt(GREATEST(n*sxx - sx*sx, 0.0) / (n*(n-1))), 6) + 0
               |    END AS sd
               |  FROM g),
               |cov AS (

@@ -836,13 +836,14 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Count non-overlapping occurrences of each ' marker ' in
-    * ' text ' — the exact value of
-    * (len(padded) - len(replace(padded, m, ''))) / len(m) for each
-    * marker (leftmost non-overlapping, the replace semantics both
-    * Spark and DuckDB implement), computed by byte search over ONE
-    * padded copy instead of one full-string replace COPY per marker
-    * (d17 ran 9 of them per doc).
+  /** Count space-delimited occurrences of each marker in text — the
+    * number of tokens equal to it, the exact value of
+    * [[graft.ops.Text.markerCount]]'s token-filter form — computed by
+    * byte search over ONE padded copy instead of one split+filter
+    * pass per marker (d17 counts 9 markers per doc). Matches may
+    * share their delimiter space (the p += ml-1 advance), so adjacent
+    * repeats all count — the non-overlapping replace trick this
+    * replaced undercounted "the the the" as 2.
     */
   def countMarkers(text: UTF8String, markers: Array[Array[Byte]])
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -866,7 +867,9 @@ object Kernels {
       while (p <= n - ml) {
         var j = 0
         while (j < ml && buf(p + j) == m(j)) j += 1
-        if (j == ml) { c += 1; p += ml } else p += 1
+        // advance ml-1 on a hit: the trailing delimiter space can
+        // open the next match (adjacent repeats share one space)
+        if (j == ml) { c += 1; p += ml - 1 } else p += 1
       }
       out(mi) = c
       mi += 1

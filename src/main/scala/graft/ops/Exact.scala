@@ -59,7 +59,17 @@ object Exact {
   private def cents(c: Column): Column =
     graft.expressions.GraftFunctions.unscaled_long(c.cast("decimal(14,2)"))
 
-  /** Exact average -> double (exact decimal sum / exact count). */
+  /** Exact average -> double (exact decimal sum / exact count).
+    *
+    * NULL contract (davg/dstddev/dstddevRaw/dcorr/dslope): inputs
+    * must be NON-NULL columns. `n` is count(*) while the decimal sums
+    * skip NULLs, so a NULL input would silently skew the statistic
+    * (and dcorr would mix per-column exclusion) instead of matching
+    * SQL's null-excluding AVG/STDDEV/CORR. Every call site feeds
+    * non-nullable or pre-filtered columns; filter NULLs first if
+    * yours doesn't. The oracle SQL texts share the count(*) form, so
+    * engine and oracle stay identical either way.
+    */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   /** Derived float statistics are rounded to 6 decimals: decimal sums
@@ -93,7 +103,12 @@ object Exact {
     val n = count(lit(1)).cast("double")
     val sx = dsum(c)
     val sxx = dsumProd(c, c)
-    when(n > 1, sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+    // greatest(.., 0): the numerator is mathematically nonnegative,
+    // but once the sums exceed 2^53 double rounding can push a
+    // constant column's exact 0 slightly negative and sqrt would
+    // return NaN silently; the oracle SQL carries the same GREATEST
+    when(n > 1, sqrt(greatest(n * sxx - sx * sx, lit(0.0)) /
+        (n * (n - lit(1.0)))))
       .otherwise(lit(null).cast("double"))
   }
 
@@ -105,8 +120,10 @@ object Exact {
     val n = count(lit(1)).cast("double")
     val sx = dsum(c)
     val sxx = dsumProd(c, c)
-    // n <= 1 -> undefined (ANSI mode errors on x/0, so guard)
-    when(n > 1, r6(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))))
+    // n <= 1 -> undefined (ANSI mode errors on x/0, so guard);
+    // greatest(.., 0) as in dstddevRaw (rounding-negative variance)
+    when(n > 1, r6(sqrt(greatest(n * sxx - sx * sx, lit(0.0)) /
+        (n * (n - lit(1.0))))))
       .otherwise(lit(null).cast("double"))
   }
 
@@ -175,6 +192,13 @@ class LongVecSumAgg extends org.apache.spark.sql.expressions
   override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] =
     if (b.isEmpty) v.toArray
     else {
+      // fail LOUDLY on ragged input in BOTH directions: a longer v
+      // would otherwise silently drop its trailing dimensions (the
+      // loop bounds on b.length), while a shorter one threw — wrong
+      // centroid sums with no error is the exact failure this class's
+      // addExact discipline exists to prevent
+      if (v.length != b.length) throw new IllegalArgumentException(
+        s"LongVecSumAgg: ragged vectors (${b.length} vs ${v.length})")
       var i = 0
       while (i < b.length) { b(i) = Math.addExact(b(i), v(i)); i += 1 }
       b
@@ -183,6 +207,8 @@ class LongVecSumAgg extends org.apache.spark.sql.expressions
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      if (a.length != b.length) throw new IllegalArgumentException(
+        s"LongVecSumAgg: ragged partials (${a.length} vs ${b.length})")
       var i = 0
       while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
       a

@@ -33,6 +33,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class HllAgg(m: Int = HllAgg.DefaultM)
     extends Aggregator[Long, Array[Byte], Double] {
   require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+  // restBits = 51 assumes rank <= 51; rank can reach
+  // 60 - log2(m) + 1, so m < 512 would make `1L << (restBits - rank)`
+  // a negative-amount shift (Java masks mod 64 — Long.MIN_VALUE into
+  // the harmonic sum, a garbage estimate with no error)
+  require(m >= 512, s"m must be >= 512 (rank range vs restBits), got $m")
   private val restBits = 51  // rank range for the hv/m remainder
 
   override def zero: Array[Byte] = new Array[Byte](m)

@@ -60,8 +60,15 @@ class KllAgg(num: Long, den: Long, k: Int = KllAgg.DefaultK)
     buf
   }
 
+  // raw items enter at level 0 (weight 2^0, as the class doc states).
+  // Inserting at level 1 — the previous behavior — left the level-0
+  // slab zero() allocates permanently dead: a never-used k-long
+  // (32 KB at the default k) carried through every shuffle partial
+  // and every persisted sketch, plus one extra addLevel per sketch.
+  // Output-identical either way: a uniform weight doubling cancels
+  // through the rank walk's ceil arithmetic (KllSpec pins exactness).
   override def reduce(buf: Array[Long], v: Long): Array[Long] =
-    insert(buf, v, 1)
+    insert(buf, v, 0)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     KllAgg.mergeBuffers(a, b)

@@ -91,7 +91,7 @@ object MlPipelines {
     val feats = new HashingTF().setInputCol("wordarr")
       .setOutputCol("features").setNumFeatures(1 << 18)
     val data = feats.transform(
-      docs(s, d).withColumn("wordarr", split(col("text"), " "))
+      docs(s, d).withColumn("wordarr", Text.tokens(col("text")))
         .withColumn("y", langIdx))
     val train = data.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val test = data.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -112,7 +112,7 @@ object MlPipelines {
       .setOutputCol("features").setNumFeatures(1 << 18)
     import org.apache.spark.ml.linalg.Vector
     val data = feats.transform(
-      docs(s, d).withColumn("wordarr", split(col("text"), " ")))
+      docs(s, d).withColumn("wordarr", Text.tokens(col("text"))))
     val nnz = udf((v: Vector) => v.numNonzeros)
     // sum over ACTIVE entries only — v.toArray would densify the
     // 2^18-dim vector per row (gigabytes of allocation at sf0.1)

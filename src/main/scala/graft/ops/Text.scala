@@ -58,10 +58,14 @@ object Text {
     * (ref: bdb_tools/text.py:46-69 — strip, split, explode, filter).
     */
   def words(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
 
-  /** Tokenize keeping 1-based token positions (posexplode). */
+  /** Tokenize keeping 1-based token positions (posexplode).
+    * DELIBERATELY divergent numbering from `posexplode(tokens(...))`:
+    * `pos` here counts RAW split slots (empties included, then
+    * filtered) — the numbering the t04-family oracles replay via
+    * unfiltered generate_subscripts. Don't "unify" it with the
+    * filtered numbering without migrating those oracles. */
   def wordsWithPos(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos0", "word")))
@@ -137,17 +141,17 @@ object Text {
   def tfIdfLog(tf: Column, nDocs: Column, df: Column): Column =
     tf * log((nDocs + 1).cast("double") / (df + 1).cast("double"))
 
-  /** Count occurrences of a literal marker in padded text via the
-    * length-difference trick — portable to any SQL engine, no regex
-    * engine semantics involved.
+  /** Count space-delimited occurrences of a literal one-word marker:
+    * the number of tokens equal to it. Token-filter form, portable to
+    * any SQL engine (`list_filter(string_split(...))` in DuckDB), no
+    * regex semantics. The previous padded-replace length-difference
+    * trick undercounted ADJACENT repeats ("the the the" -> 2, not 3)
+    * because consecutive words share one delimiter space and replace
+    * is non-overlapping — deflating stopword counts on exactly the
+    * stopword-dense text quality scoring cares about.
     */
-  def markerCount(text: Column, marker: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    val m = s" $marker "
-    // literal (non-regex) replace — the regex engine costs ~10x here
-    val stripped = call_function("replace", padded, lit(m), lit(""))
-    ((length(padded) - length(stripped)) / lit(m.length)).cast("long")
-  }
+  def markerCount(text: Column, marker: String): Column =
+    size(filter(split(text, " "), w => w === lit(marker))).cast("long")
 
   /** Language-ID heuristic: count per-language stopword markers and
     * take the argmax (ties → language order). On real multilingual

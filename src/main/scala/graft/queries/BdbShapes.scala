@@ -429,8 +429,8 @@ object BdbShapes extends Suite {
              |  FROM lineitem GROUP BY 1, 2, 3),
              |stats AS (
              |  SELECT l_suppkey, m,
-             |    sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2)) * CAST(dq AS DECIMAL(14,2))) AS DOUBLE)
-             |      - CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE))
+             |    sqrt(GREATEST(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2)) * CAST(dq AS DECIMAL(14,2))) AS DOUBLE)
+             |      - CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE), 0.0)
              |      / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))) AS sd,
              |    CAST(SUM(CAST(dq AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean
              |  FROM daily GROUP BY 1, 2

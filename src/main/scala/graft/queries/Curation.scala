@@ -1121,12 +1121,11 @@ object CurationQueries extends Suite {
       Some("""WITH f AS (
              |  SELECT
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
-             |    (((len(' '||text||' ') -
-             |        len(replace(' '||text||' ', ' the ', ''))) // 5)
+             |    (len(list_filter(string_split(text, ' '), x -> x = 'the'))
              |      * 1000000) // len(string_split(text, ' ')) AS x2,
              |    CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000
-             |      AND ((len(' '||text||' ') -
-             |           len(replace(' '||text||' ', ' the ', ''))) // 5) * 5
+             |      AND len(list_filter(string_split(text, ' '),
+             |            x -> x = 'the')) * 5
              |          < len(string_split(text, ' '))
              |      THEN 1 ELSE 0 END AS y
              |  FROM documents),

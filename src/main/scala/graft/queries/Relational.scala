@@ -338,8 +338,8 @@ object Relational extends Suite {
       Some("""SELECT l_returnflag, sd_qty, mean_qty, sd_qty / mean_qty AS cov
              |FROM (
              |  SELECT l_returnflag,
-             |    round(sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
-             |          - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE))
+             |    round(sqrt(GREATEST(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             |          - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 0.0)
              |         / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6) + 0 AS sd_qty,
              |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean_qty
              |  FROM lineitem GROUP BY l_returnflag

@@ -204,17 +204,17 @@ object TextQueries extends Suite {
         .orderBy("doc_id")
     },
       Some("""WITH c AS (
-             |  SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |m AS (
              |  SELECT doc_id,
-             |    (len(p) - len(replace(p, ' the ', ''))) // 5 AS n_the,
-             |    (len(p) - len(replace(p, ' a ', ''))) // 3 AS n_a,
-             |    (len(p) - len(replace(p, ' der ', ''))) // 5
-             |      + (len(p) - len(replace(p, ' und ', ''))) // 5 AS s_de,
-             |    (len(p) - len(replace(p, ' el ', ''))) // 4
-             |      + (len(p) - len(replace(p, ' y ', ''))) // 3 AS s_es,
-             |    (len(p) - len(replace(p, ' le ', ''))) // 4
-             |      + (len(p) - len(replace(p, ' et ', ''))) // 4 AS s_fr
+             |    len(list_filter(w, x -> x = 'the')) AS n_the,
+             |    len(list_filter(w, x -> x = 'a')) AS n_a,
+             |    len(list_filter(w, x -> x = 'der'))
+             |      + len(list_filter(w, x -> x = 'und')) AS s_de,
+             |    len(list_filter(w, x -> x = 'el'))
+             |      + len(list_filter(w, x -> x = 'y')) AS s_es,
+             |    len(list_filter(w, x -> x = 'le'))
+             |      + len(list_filter(w, x -> x = 'et')) AS s_fr
              |  FROM c)
              |SELECT doc_id, n_the, n_a,
              |  CASE
@@ -244,7 +244,7 @@ object TextQueries extends Suite {
              |  SELECT doc_id,
              |    len(string_split(text,' ')) AS n_words,
              |    len(text) AS n_chars_m,
-             |    (len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5 AS n_stop
+             |    len(list_filter(string_split(text,' '), x -> x = 'the')) AS n_stop
              |  FROM documents)
              |SELECT doc_id, n_words, n_chars_m, n_stop,
              |  CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,

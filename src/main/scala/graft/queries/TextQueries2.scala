@@ -212,19 +212,19 @@ object TextQueries2 extends Suite {
         .orderBy("doc_id")
     },
       Some("""WITH c AS (
-             |  SELECT doc_id, ' ' || text || ' ' AS p, text FROM documents),
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |m AS (
              |  SELECT doc_id,
-             |    (len(p) - len(replace(p, ' the ', ''))) // 5 AS n_the,
-             |    (len(p) - len(replace(p, ' a ', ''))) // 3 AS n_a,
-             |    (len(p) - len(replace(p, ' der ', ''))) // 5
-             |      + (len(p) - len(replace(p, ' und ', ''))) // 5 AS s_de,
-             |    (len(p) - len(replace(p, ' el ', ''))) // 4
-             |      + (len(p) - len(replace(p, ' y ', ''))) // 3 AS s_es,
-             |    (len(p) - len(replace(p, ' le ', ''))) // 4
-             |      + (len(p) - len(replace(p, ' et ', ''))) // 4 AS s_fr,
-             |    len(string_split(text,' ')) AS n_words,
-             |    (len(p) - len(replace(p, ' the ', ''))) // 5 AS n_stop
+             |    len(list_filter(w, x -> x = 'the')) AS n_the,
+             |    len(list_filter(w, x -> x = 'a')) AS n_a,
+             |    len(list_filter(w, x -> x = 'der'))
+             |      + len(list_filter(w, x -> x = 'und')) AS s_de,
+             |    len(list_filter(w, x -> x = 'el'))
+             |      + len(list_filter(w, x -> x = 'y')) AS s_es,
+             |    len(list_filter(w, x -> x = 'le'))
+             |      + len(list_filter(w, x -> x = 'et')) AS s_fr,
+             |    len(w) AS n_words,
+             |    len(list_filter(w, x -> x = 'the')) AS n_stop
              |  FROM c),
              |f AS (
              |  SELECT doc_id, n_words,

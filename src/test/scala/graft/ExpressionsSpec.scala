@@ -227,7 +227,7 @@ class ExpressionsSpec extends SparkSpec {
       composed.exceptAll(native).isEmpty)
   }
 
-  test("count_markers == length-diff replace form, corpus-wide") {
+  test("count_markers == token-filter composed form, corpus-wide") {
     val ms = Seq("the", "a", "der", "und", "el", "y", "le", "et")
     val base = Tables.load(spark, sf, "documents")
     val native = base.select(col("doc_id"),
@@ -237,13 +237,21 @@ class ExpressionsSpec extends SparkSpec {
         graft.ops.Text.markerCount(col("text"), m)): _*), ",").as("c"))
     assert(native.exceptAll(composed).isEmpty &&
       composed.exceptAll(native).isEmpty)
-    // overlap semantics: replace consumes the shared space
+    // adjacent repeats all count (the non-overlapping replace trick
+    // this replaced shared delimiter spaces and undercounted)
     import spark.implicits._
-    val edge = Seq("the the x", "a a a").toDF("text")
+    val edge = Seq("the the x", "a a a", "a  a").toDF("text")
       .select(GraftFunctions.count_markers(col("text"), Seq("the", "a"))
         .as("c")).collect().map(_.getSeq[Long](0))
-    assert(edge(0) === Seq(1L, 0L)) // ' the the ' counts once
-    assert(edge(1) === Seq(0L, 2L)) // ' a a a ' -> 2 (third re-forms? no)
+    assert(edge(0) === Seq(2L, 0L)) // 'the the' = two tokens
+    assert(edge(1) === Seq(0L, 3L)) // 'a a a' = three tokens
+    assert(edge(2) === Seq(0L, 2L)) // double space: still two tokens
+    // and the composed form agrees on the edges
+    val edgeC = Seq("the the x", "a a a", "a  a").toDF("text")
+      .select(graft.ops.Text.markerCount(col("text"), "the").as("t"),
+        graft.ops.Text.markerCount(col("text"), "a").as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edgeC.toSeq === Seq((2L, 0L), (0L, 3L), (0L, 2L)))
   }
 
   test("simhash_fp == 64-column bit-sum aggregate, corpus-wide") {

@@ -28,13 +28,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got === 648541476951500027L)
   }
 
-  test("marker count via length trick") {
+  test("marker count: token equality, adjacent repeats included") {
     val df = Seq((1L, "the cat the dog a mouse")).toDF("id", "text")
     val r = df.select(
       Text.markerCount(col("text"), "the").as("nthe"),
       Text.markerCount(col("text"), "a").as("na")).first()
     assert(r.getLong(0) === 2L)
     assert(r.getLong(1) === 1L)
+    // adjacent repeats share a delimiter: all must count
+    val adj = Seq((1L, "the the the")).toDF("id", "text")
+      .select(Text.markerCount(col("text"), "the")).first()
+    assert(adj.getLong(0) === 3L)
   }
 
   test("fingerprint is whitespace/case insensitive") {
