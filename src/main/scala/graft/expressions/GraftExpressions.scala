@@ -1529,9 +1529,13 @@ case class TopNgramRun(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
-/** count_markers(string) -> array<bigint>: per-marker non-overlapping
-  * ' marker ' counts over ' text ' (constructor-time marker list).
-  * See [[Kernels.countMarkers]].
+/** count_markers(string) -> array<bigint>: per-marker space-delimited
+  * TOKEN-EQUALITY counts over text (constructor-time marker list) —
+  * for each marker, the number of whitespace-split tokens equal to
+  * it, so adjacent repeats all count ("the the the" counts 3 for
+  * "the"). See [[Kernels.countMarkers]] and
+  * [[graft.ops.Text.markerCount]] (same semantics, one shared
+  * kernel contract).
   */
 case class CountMarkers(child: Expression, markers: Seq[String])
     extends UnaryExpression {
@@ -1698,6 +1702,20 @@ case class IvfPqEncode(emb: Expression, cents: Expression, cb: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expr => toExpr}
 
+  /** Default SimHash fingerprint width: the FULL 60-bit portable word
+    * hash (md5 prefix — the widest a single DuckDB-replayable long
+    * carries). Width is THE near-dup scale knob: at hamming <= 6 the
+    * by-chance admit rate is C(bits,<=6)/2^bits — ~2.8e-4 of ALL
+    * pairs at 32 bits (output goes quadratic past ~10^5 docs; the
+    * r14 slope run measured d07 at 14.6x on 3x data for exactly this
+    * reason) vs ~5e-11 at 60 bits (true near-dups only through 10^9
+    * docs, and the 7-band pigeonhole join gets 8-9-bit band keys —
+    * 16x fewer enumerated candidates). Past 10^9 docs raise it again
+    * (two-long 128-bit fingerprints, same construction). Narrower
+    * widths are for SMALL corpora only and must be named explicitly
+    * at the call site (e.g. DedupQueries.SmallCorpusSimBits). */
+  val SimhashDefaultBits: Int = 60
+
   def portable_hash60(c: Column): Column = toCol(PortableHash60(toExpr(c)))
   def cosine_f(a: Column, b: Column): Column =
     toCol(CosineF(toExpr(a), toExpr(b)))
@@ -1736,7 +1754,7 @@ object GraftFunctions {
     toCol(CountMarkers(toExpr(text), markers))
   def top_ngram_run(words: Column, n: Int): Column =
     toCol(TopNgramRun(toExpr(words), n))
-  def simhash_fp(words: Column, bits: Int): Column =
+  def simhash_fp(words: Column, bits: Int = SimhashDefaultBits): Column =
     toCol(SimhashFp(toExpr(words), bits))
   def word_lookup_sums(words: Column,
       map: java.util.HashMap[UTF8String, java.lang.Long]): Column =

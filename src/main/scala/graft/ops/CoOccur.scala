@@ -49,10 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary (df >= cut) is collected and broadcast like the
   * lexicon/centroid patterns — Heaps-sublinear in corpus size and
   * bounded by total_tokens/minDf; past the driver-broadcast bound
-  * ([[Guards.MaxBroadcastVocab]]) the caller switches to
-  * [[vocabIds]] (distributed lexicographic id assignment) +
-  * [[pairCountsJoin]] (term-keyed id join into the same open-map
-  * reducer) — no driver-sized state anywhere on that route.
+  * ([[Guards.MaxBroadcastVocab]]) the scale route is [[vocabIds]]
+  * (distributed lexicographic id assignment) + [[pairCountsJoin]]
+  * (term-keyed id join into the same open-map reducer) — no
+  * driver-sized state anywhere on that route. [[pairCountsAuto]]
+  * picks broadcast↔join by itself from the vocabulary's measured
+  * cardinality ([[routesBroadcast]]), so a single call site holds
+  * from a 13k-word head vocabulary to a 10^9-term one.
   *
   * Reference: document co-occurrence / PMI as in gpu-bdb's text
   * analytics family; counts are exact, matching the naive pair
@@ -114,6 +117,99 @@ object CoOccur {
       pairCountsDense(docWords, wordsCol, vocab, minCount, parts,
         maxDenseSlice)
     else pairCountsSparse(docWords, wordsCol, vocab, minCount, parts)
+
+  /** True iff a vocabulary of `distinctVocab` words takes the
+    * broadcast (dense/sparse) route in [[pairCountsAuto]] — the
+    * broadcast↔join routing predicate, exposed so the spec pins it
+    * (the [[routesDense]] discipline one level up). */
+  private[graft] def routesBroadcast(distinctVocab: Long,
+      bound: Int = Guards.MaxBroadcastVocab): Boolean =
+    distinctVocab <= bound
+
+  /** Fully-routed pair counting: the vocabulary arrives as a
+    * DataFrame and the result comes back as WORDS — the operator
+    * itself picks the route by distinct-vocabulary cardinality
+    * against the driver-broadcast bound ([[routesBroadcast]]):
+    *
+    *  - within the bound: collect the sorted vocabulary once
+    *    (bounded by construction) and run the broadcast operator
+    *    ([[pairCounts]], which routes dense↔sparse by slice size) —
+    *    id→word decode is a broadcast join on the tiny id table;
+    *  - past the bound: [[vocabIds]] (distributed lexicographic id
+    *    assignment, persisted) + [[pairCountsJoin]] (term-keyed id
+    *    join into the open-map reducer) — decode joins the SAME
+    *    distributed id table, so no word→id or id→word state ever
+    *    touches the driver.
+    *
+    * One call site therefore survives a 10^9-term vocabulary without
+    * a code change (previously the caller had to read the
+    * [[Guards.boundedCollect]] diagnosis and switch APIs by hand).
+    * The routing probe costs ONE bounded job
+    * (`distinct.limit(bound+1).count()` — early-stops, never ships
+    * more than bound+1 rows). All three underlying paths are proven
+    * row-for-row equal (CoOccurSpec dense ≡ sparse ≡ join, plus the
+    * auto-route boundary spec).
+    *
+    * @param docIdCol a REAL per-row key: the join route regroups by
+    *                 it ([[pairCountsJoin]]'s contract), so rows
+    *                 sharing a doc id would merge into one document
+    *                 there while the broadcast route treats every row
+    *                 as its own document — route-independence of the
+    *                 result requires per-row-unique ids.
+    * @param vocab    candidate vocabulary (any size); null words and
+    *                 duplicates are ignored on both routes.
+    * @return DataFrame(w1 STRING, w2 STRING, c_xy LONG), w1 < w2
+    *         lexicographically.
+    */
+  def pairCountsAuto(docWords: DataFrame, docIdCol: String,
+      wordsCol: String, vocab: DataFrame, wordCol: String,
+      minCount: Long, parts: Int,
+      maxBroadcastVocab: Int = Guards.MaxBroadcastVocab,
+      maxDenseSlice: Long = MaxDenseSlice): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(maxBroadcastVocab < Int.MaxValue,
+      "pairCountsAuto: maxBroadcastVocab must leave probe headroom")
+    val spark = docWords.sparkSession
+    val distinctWords = vocab.select(col(wordCol).as("word"))
+      .where(col("word").isNotNull).distinct()
+    val probed = distinctWords.limit(maxBroadcastVocab + 1).count()
+    if (routesBroadcast(probed, maxBroadcastVocab)) {
+      val words = distinctWords.orderBy("word").collect()
+        .map(_.getString(0))
+      val idRows = words.zipWithIndex
+        .map { case (w, i) => Row(w, i) }.toSeq
+      val ids = spark.createDataFrame(
+        spark.sparkContext.parallelize(idRows, 1), idSchema)
+      decodePairs(
+        pairCounts(docWords, wordsCol, words, minCount, parts,
+          maxDenseSlice),
+        broadcast(ids))
+    } else {
+      val ids = vocabIds(vocab, wordCol)
+      decodePairs(
+        pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
+          parts),
+        ids)
+    }
+  }
+
+  private val idSchema = StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("id", IntegerType, nullable = false)))
+
+  /** id→word decode shared by both [[pairCountsAuto]] routes: two
+    * id-keyed joins against the (word, id) table. On the broadcast
+    * route the table carries a broadcast hint; on the join route
+    * Catalyst picks broadcast vs shuffle from the table's actual
+    * size — at the scales that force that route these are shuffle
+    * joins, the documented price of dropping the driver bound. */
+  private def decodePairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    pairs
+      .join(ids.select(col("id").as("id1"), col("word").as("w1")), "id1")
+      .join(ids.select(col("id").as("id2"), col("word").as("w2")), "id2")
+      .select("w1", "w2", "c_xy")
+  }
 
   // ------------------------------------------------------------------
   // Shared pieces (one copy — the dense≡sparse spec guards them).

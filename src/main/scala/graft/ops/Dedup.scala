@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default SimHash width for [[simhash]]/[[simhashPairsBanded]] —
+    * the 60-bit scale form. One definition repo-wide (the kernel's
+    * home, [[graft.expressions.GraftFunctions.SimhashDefaultBits]],
+    * whose scaladoc carries the width-sizing rule: 32-bit is
+    * output-quadratic past ~10^5 docs; 60-bit holds to ~10^9; beyond
+    * that, two-long 128-bit fingerprints). */
+  val DefaultSimBits: Int =
+    graft.expressions.GraftFunctions.SimhashDefaultBits
+
   /** Exact-duplicate groups: normalize → md5 fingerprint → groupBy. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), Text.fingerprint(col(text)).as("fp"))
@@ -650,9 +659,13 @@ object Dedup {
     * and exact hamming verifies. No all-pairs theta join anywhere,
     * unlike the brute-force form this replaces (round-3 verdict).
     * Exact: returns precisely the pairs with hamming <= maxHamming.
+    *
+    * `bits` defaults to [[DefaultSimBits]] (60) — the scale width; a
+    * caller taking a narrower fingerprint (32-bit is OUTPUT-quadratic
+    * past ~10^5 docs, see the DefaultSimBits scaladoc) must name it.
     */
-  def simhashPairsBanded(fp: DataFrame, id: String, bits: Int,
-      maxHamming: Int): DataFrame = {
+  def simhashPairsBanded(fp: DataFrame, id: String, maxHamming: Int,
+      bits: Int = DefaultSimBits): DataFrame = {
     val nBands = maxHamming + 1
     // Every band needs >= 1 bit or its key masks to a constant and
     // that band's equi-join degenerates to the all-pairs theta join
@@ -700,9 +713,12 @@ object Dedup {
 
   /** SimHash fingerprint (`bits`-wide) over token occurrences:
     * per bit j, sum +1/-1 by hash bit; fingerprint sets bit j where
-    * the sum is positive.
+    * the sum is positive. Width defaults to [[DefaultSimBits]] (the
+    * 60-bit scale form); narrower widths must be named — see the
+    * DefaultSimBits scaladoc for the sizing rule.
     */
-  def simhash(words: DataFrame, id: String, bits: Int): DataFrame = {
+  def simhash(words: DataFrame, id: String,
+      bits: Int = DefaultSimBits): DataFrame = {
     val h = Text.portableHash(col("word"))
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1)

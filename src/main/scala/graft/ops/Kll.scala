@@ -278,6 +278,17 @@ object KllAgg {
   * and [[KllMergeAgg]] folds the persisted partials at read time.
   * Exact under any batch slicing because merge is the same operation
   * partial aggregation already applies within a batch.
+  *
+  * PERSISTED-STATE FORMAT NOTE: builds before the level-0 insert fix
+  * (raw items entered at level 1, weight 2) serialize sketches whose
+  * every retained item carries DOUBLE the weight of a current-build
+  * item. Within one build the doubling cancels through the rank
+  * walk, but merging a PRE-fix persisted state table with POST-fix
+  * partials via [[KllMergeAgg]] silently double-weights the old rows.
+  * A state table written by a pre-fix build must be rebuilt (replay
+  * the source through the current KllSketchAgg) before incremental
+  * reads resume — the buffer carries no version slot, so this doc is
+  * the compatibility contract.
   */
 class KllSketchAgg(k: Int = KllAgg.DefaultK)
     extends Aggregator[Long, Array[Long], Array[Long]] {

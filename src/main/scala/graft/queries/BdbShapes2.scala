@@ -371,16 +371,24 @@ object BdbShapes2 extends Suite {
              |  SELECT item,
              |    CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
              |    CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE) AS y
-             |  FROM e GROUP BY item)
-             |SELECT COUNT(*) AS n_items,
-             |  round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE)
-             |   - CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE))
-             |  / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(x AS DECIMAL(14,2))) AS DOUBLE)
-             |          - CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE))
-             |         * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE)
-             |            - CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE))), 6) + 0
-             |  AS corr_views_rev
-             |FROM per""".stripMargin)),
+             |  FROM e GROUP BY item),
+             |c AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(x AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             |    COUNT(*) AS n_items
+             |  FROM per)
+             |-- CASE den > 0 mirrors dcorr's NULL-on-degenerate contract
+             |-- (see o23_corr): no sqrt of a rounding-negative product
+             |SELECT n_items,
+             |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+             |    THEN round((n*sxy - sx*sy) /
+             |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0 END
+             |    AS corr_views_rev
+             |FROM c""".stripMargin)),
 
     // q12: users who clicked an item online then bought the SAME item
     // within 90 days, counted per item

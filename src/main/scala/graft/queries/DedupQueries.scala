@@ -36,7 +36,13 @@ object DedupQueries extends Suite {
 
   private val K = MinhashK
   private val RowsPerBand = MinhashRowsPerBand
-  private val SimBits = 32   // simhash width
+  /** The EXPLICIT small-corpus SimHash width: d06/d07 gate the
+    * 32-bit fingerprint form, which is output-quadratic past ~10^5
+    * docs (r14 slope run: 14.6x on 3x data) — every scale consumer
+    * takes the 60-bit default ([[graft.ops.Dedup.DefaultSimBits]],
+    * gated by d39) and a caller wanting 32 bits must name this
+    * constant. */
+  private val SmallCorpusSimBits = 32
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
@@ -256,14 +262,15 @@ object DedupQueries extends Suite {
 
     // D6: SimHash fingerprints (32-bit) over token occurrences.
     Q("d06_simhash_fp", (s, d) =>
-      Dedup.simhash(Text.words(docs(s, d), "doc_id", "text"), "doc_id", SimBits)
+      Dedup.simhash(Text.words(docs(s, d), "doc_id", "text"), "doc_id",
+        SmallCorpusSimBits)
         .orderBy("doc_id"),
       Some {
         val h = hSqlPlain("word")
-        val bitSums = (0 until SimBits).map(j =>
+        val bitSums = (0 until SmallCorpusSimBits).map(j =>
           s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
           .mkString(",\n    ")
-        val fp = (0 until SimBits).map(j =>
+        val fp = (0 until SmallCorpusSimBits).map(j =>
           s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
@@ -297,17 +304,17 @@ object DedupQueries extends Suite {
           w => length(w) > 0).as("__w"))
         .filter(size(col("__w")) > 0)
         .select(col("doc_id"), graft.expressions.GraftFunctions
-          .simhash_fp(col("__w"), SimBits).as("simhash"))
+          .simhash_fp(col("__w"), SmallCorpusSimBits).as("simhash"))
         .localCheckpoint()
-      Dedup.simhashPairsBanded(fp, "doc_id", SimBits, 6)
+      Dedup.simhashPairsBanded(fp, "doc_id", 6, SmallCorpusSimBits)
         .orderBy("id_1", "id_2")
     },
       Some {
         val h = hSqlPlain("word")
-        val bitSums = (0 until SimBits).map(j =>
+        val bitSums = (0 until SmallCorpusSimBits).map(j =>
           s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
           .mkString(",\n    ")
-        val fp = (0 until SimBits).map(j =>
+        val fp = (0 until SmallCorpusSimBits).map(j =>
           s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word
@@ -342,9 +349,9 @@ object DedupQueries extends Suite {
           w => length(w) > 0).as("__w"))
         .filter(size(col("__w")) > 0)
         .select(col("doc_id"), graft.expressions.GraftFunctions
-          .simhash_fp(col("__w"), 60).as("simhash"))
+          .simhash_fp(col("__w")).as("simhash"))  // default width = 60
         .localCheckpoint()
-      Dedup.simhashPairsBanded(fp, "doc_id", 60, 6)
+      Dedup.simhashPairsBanded(fp, "doc_id", 6)
         .orderBy("id_1", "id_2")
     },
       Some {

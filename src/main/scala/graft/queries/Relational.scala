@@ -367,16 +367,28 @@ object Relational extends Suite {
         .agg(dcorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-             |  round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-             |   - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))
-             |  / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
-             |          - CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE))
-             |         * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-             |            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE))), 6) + 0
-             |  AS corr_qty_price,
-             |  COUNT(*) AS n
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+      // the CASE den > 0 guard mirrors dcorr's NULL-on-degenerate
+      // contract exactly (Exact.dcorr: when(den > 0, ...)): past 2^53
+      // double rounding can push a constant column's exact-zero
+      // variance slightly negative, where the unguarded oracle would
+      // sqrt a negative product (NaN) while the engine returns NULL
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             |    COUNT(*) AS n_rows
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+             |    THEN round((n*sxy - sx*sy) /
+             |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0 END
+             |    AS corr_qty_price,
+             |  n_rows AS n
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
 
     // O24: closed-form least-squares slope per group — the reference's
     // q15 "declining categories" arithmetic

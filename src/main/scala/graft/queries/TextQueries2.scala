@@ -348,9 +348,10 @@ object TextQueries2 extends Suite {
       val idRows = graft.ops.Guards.boundedCollect(
         cx.filter(col("c") >= 20).orderBy("word"),
         "t21 head vocabulary (df >= 20)",
-        "raise the df cut, or switch to CoOccur.vocabIds + " +
-          "CoOccur.pairCountsJoin (term-keyed id join into the " +
-          "open-map reducer; proven count-equal in CoOccurSpec)")
+        "raise the df cut, or switch to CoOccur.pairCountsAuto " +
+          "(routes broadcast<->join at this bound by itself; the " +
+          "join route is vocabIds + pairCountsJoin, proven " +
+          "count-equal in CoOccurSpec; exercised end-to-end by t32)")
       val vocab = idRows.map(_.getString(0))
       val pairs = graft.ops.CoOccur.pairCounts(
         wd, "ws", vocab, minCount = 20,
@@ -388,6 +389,63 @@ object TextQueries2 extends Suite {
              |FROM pairs JOIN cx ca ON pairs.w1 = ca.word
              |           JOIN cx cb ON pairs.w2 = cb.word, n
              |WHERE c_xy >= 20
+             |ORDER BY w1, w2""".stripMargin)),
+
+    // T32: PMI through the AUTO-ROUTED co-occurrence operator with
+    // the beyond-driver-memory route exercised END-TO-END on real
+    // data: maxBroadcastVocab is forced to 16 (the df>=10 vocabulary
+    // is far past it), so CoOccur.pairCountsAuto routes itself to
+    // vocabIds (distributed lexicographic id assignment) +
+    // pairCountsJoin (term-keyed id join into the open-map reducer)
+    // + the distributed id->word decode — NOTHING vocabulary-sized
+    // touches the driver anywhere in this query, exactly the plan a
+    // 10^9-term corpus runs (t21 above is the same computation on
+    // the broadcast route). Marginals join back by WORD (term-keyed
+    // shuffle at scale; Catalyst may broadcast at fixture size).
+    // Looser cuts than t21 (df/c_xy >= 10) so the two gates pin
+    // different result sets.
+    Q("t32_pmi_bigvocab_join", (s, d) => {
+      val wd = docs(s, d).select(col("doc_id"),
+        expr("array_distinct(filter(split(text, ' '), w -> w != ''))")
+          .as("ws"))
+        .localCheckpoint()
+      val cx = wd.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      // apriori: c_xy <= min(c_x, c_y), so the df>=10 vocabulary is
+      // COMPLETE for pairs surviving c_xy >= 10
+      val vocab = cx.filter(col("c") >= 10).select("word")
+      val pairs = graft.ops.CoOccur.pairCountsAuto(
+        wd, "doc_id", "ws", vocab, "word", minCount = 10,
+        parts = s.sessionState.conf.numShufflePartitions,
+        maxBroadcastVocab = 16)
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(cx.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+        .join(cx.select(col("word").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ratio_ppm",
+          expr("c_xy * n_docs * 1000000 div (c_x * c_y)"))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ratio_ppm")
+        .orderBy("w1", "w2")
+    },
+      Some("""WITH wd AS (
+             |  SELECT DISTINCT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |cx AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.word AS w1, b.word AS w2, COUNT(*) AS c_xy
+             |  FROM wd a JOIN wd b
+             |    ON a.doc_id = b.doc_id AND a.word < b.word
+             |  GROUP BY 1, 2),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT w1, w2, c_xy, ca.c AS c_x, cb.c AS c_y,
+             |  CAST((c_xy * n_docs * 1000000) // (ca.c * cb.c) AS BIGINT)
+             |    AS pmi_ratio_ppm
+             |FROM pairs JOIN cx ca ON pairs.w1 = ca.word
+             |           JOIN cx cb ON pairs.w2 = cb.word, n
+             |WHERE c_xy >= 10
              |ORDER BY w1, w2""".stripMargin)),
 
     // Passage-level dedup: documents chunked into non-overlapping

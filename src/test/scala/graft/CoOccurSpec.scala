@@ -151,6 +151,59 @@ class CoOccurSpec extends SparkSpec {
       CoOccur.vocabIds(Seq("w000").toDF("w"), "w"), 1L, 4)) === Set.empty)
   }
 
+  test("pairCountsAuto: routesBroadcast boundary is exact") {
+    // the predicate the auto route decides on, pinned like routesDense
+    assert(CoOccur.routesBroadcast(0))
+    assert(CoOccur.routesBroadcast(graft.ops.Guards.MaxBroadcastVocab))
+    assert(!CoOccur.routesBroadcast(
+      graft.ops.Guards.MaxBroadcastVocab + 1L))
+    assert(CoOccur.routesBroadcast(16, bound = 16))
+    assert(!CoOccur.routesBroadcast(17, bound = 16))
+  }
+
+  test("pairCountsAuto: broadcast route ≡ join route ≡ array API") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 61).map(i => f"w$i%03d").toArray
+    val extra = Array("zz_not_in_vocab")
+    val docs = (0L until 150L).map { d =>
+      val n = 2 + rnd.nextInt(15)
+      d -> (Seq.fill(n)(vocab(rnd.nextInt(vocab.length))) ++
+        (if (rnd.nextBoolean()) extra.toSeq else Nil))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    // vocab as a DataFrame with duplicates and a null — both routes
+    // must ignore them identically
+    val vdf = (vocab.toSeq ++ Seq(vocab.head, null))
+      .toDF("w").repartition(3)
+    def words(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x =>
+        (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    // the array API's id output decoded through the sorted vocab —
+    // the ground truth in WORD space
+    val arrayDecoded = CoOccur.pairCounts(df, "ws", vocab, 2L, 8)
+      .collect()
+      .map(r => (vocab(r.getInt(0)), vocab(r.getInt(1)), r.getLong(2)))
+      .toSet
+    // bound far above the vocab: takes the broadcast route
+    val viaBroadcast = words(CoOccur.pairCountsAuto(
+      df, "doc_id", "ws", vdf, "w", 2L, 8))
+    // bound far below: takes vocabIds + pairCountsJoin + join decode
+    val viaJoin = words(CoOccur.pairCountsAuto(
+      df, "doc_id", "ws", vdf, "w", 2L, 8, maxBroadcastVocab = 4))
+    assert(viaBroadcast === arrayDecoded)
+    assert(viaJoin === arrayDecoded)
+    // the boundary itself: bound == distinct vocab stays broadcast,
+    // one less flips to the join route — equal either way
+    val atBound = words(CoOccur.pairCountsAuto(
+      df, "doc_id", "ws", vdf, "w", 2L, 8,
+      maxBroadcastVocab = vocab.length))
+    val justUnder = words(CoOccur.pairCountsAuto(
+      df, "doc_id", "ws", vdf, "w", 2L, 8,
+      maxBroadcastVocab = vocab.length - 1))
+    assert(atBound === arrayDecoded)
+    assert(justUnder === arrayDecoded)
+  }
+
   test("OpenLongCount: counts exactly across growth, including key 0") {
     val m = new graft.ops.OpenLongCount(4)
     val rnd = new scala.util.Random(3)

@@ -74,7 +74,7 @@ class DedupSpec extends SparkSpec {
     // exactly the equal-fingerprint pairs.
     val fp = Seq((1L, 42L), (2L, 42L), (3L, -7L), (4L, 42L), (5L, -7L))
       .toDF("doc_id", "simhash")
-    val pairs = Dedup.simhashPairsBanded(fp, "doc_id", 64, 0)
+    val pairs = Dedup.simhashPairsBanded(fp, "doc_id", 0, bits = 64)
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -87,7 +87,7 @@ class DedupSpec extends SparkSpec {
   test("simhashPairsBanded: zero-bit bands fail loudly") {
     val fp = Seq((1L, 1L)).toDF("doc_id", "simhash")
     val e = intercept[IllegalArgumentException] {
-      Dedup.simhashPairsBanded(fp, "doc_id", 4, 4) // 5 bands, 4 bits
+      Dedup.simhashPairsBanded(fp, "doc_id", 4, bits = 4) // 5 bands, 4 bits
     }
     assert(e.getMessage.contains("zero bits"))
   }
@@ -96,7 +96,8 @@ class DedupSpec extends SparkSpec {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
     val fp = Dedup.simhash(
-      graft.ops.Text.words(df, "doc_id", "text"), "doc_id", 32)
+      graft.ops.Text.words(df, "doc_id", "text"), "doc_id",
+      bits = 32)
       .orderBy("doc_id").collect().map(_.getLong(1))
     assert(fp(0) === fp(1))
     assert(fp(0) !== fp(2))
