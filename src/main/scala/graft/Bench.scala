@@ -111,12 +111,29 @@ object Bench {
     // asymmetry visible instead of silent; per-query suite-vs-isolated
     // values land in the detail file's RERUN lines.
     var rerunCount = 0
+    // Host-window calibration INSIDE the artifact (r14 verdict item):
+    // the three fixed data-free reference jobs (graft.tools.Calibrate
+    // — ALU-saturating, light, shuffle+hash-agg) run before pass 1
+    // and again after the re-runs, so BENCH_rN.json self-adjudicates
+    // window inflation against SCALE.md's quiet-window reference row
+    // without cross-referencing builder prose. Pre vs post also
+    // exposes mid-run regime drift. min-of-3 (vs the standalone
+    // tool's 5) keeps the overhead ~15 s on a ~200 s suite.
+    def calTriple(): String =
+      try {
+        val (a, b, c) = graft.tools.Calibrate.triple(spark, 3)
+        f"[$a%.2f,$b%.2f,$c%.2f]"
+      } catch { case scala.util.control.NonFatal(e) =>
+        errors ::= s"calibrate failed: ${e.getMessage}"; "null"
+      }
+    val calPre = calTriple()
+    var calPost = "null"
     def jsonLine(res: Seq[(String, Double)], headlineQs: String): String = {
       val total = res.map(_._2).sum
       val avg = if (res.nonEmpty) total / res.size else 0.0
       val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sfName = new java.io.File(sfDir).getName
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"queries":$headlineQs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"calibrate":{"pre":$calPre,"post":$calPost},"queries":$headlineQs,"sf":"$sfName"}"""
     }
     (1 to repeats).foreach { pass =>
       attempted.foreach { case (name, fn) =>
@@ -164,6 +181,7 @@ object Bench {
         }
       }
     }
+    calPost = calTriple()
     val results = attempted.flatMap { case (name, _) =>
       best.get(name).map(name -> _)
     }

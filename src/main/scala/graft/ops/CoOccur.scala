@@ -144,9 +144,13 @@ object CoOccur {
     * One call site therefore survives a 10^9-term vocabulary without
     * a code change (previously the caller had to read the
     * [[Guards.boundedCollect]] diagnosis and switch APIs by hand).
-    * The routing probe costs ONE bounded job
-    * (`distinct.limit(bound+1).count()` — early-stops, never ships
-    * more than bound+1 rows). All three underlying paths are proven
+    * The routing probe is ONE parallel `distinct().count()` job —
+    * deliberately NOT `limit(bound+1).count()`, whose global limit
+    * funnels up to bound+1 rows from EVERY upstream partition into a
+    * single-partition exchange exactly when the vocabulary is huge;
+    * the full count is a map-side-combined aggregate, linear and
+    * parallel, and in the same cost class as the distinct the chosen
+    * route re-runs anyway. All three underlying paths are proven
     * row-for-row equal (CoOccurSpec dense ≡ sparse ≡ join, plus the
     * auto-route boundary spec).
     *
@@ -167,12 +171,10 @@ object CoOccur {
       maxBroadcastVocab: Int = Guards.MaxBroadcastVocab,
       maxDenseSlice: Long = MaxDenseSlice): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    require(maxBroadcastVocab < Int.MaxValue,
-      "pairCountsAuto: maxBroadcastVocab must leave probe headroom")
     val spark = docWords.sparkSession
     val distinctWords = vocab.select(col(wordCol).as("word"))
       .where(col("word").isNotNull).distinct()
-    val probed = distinctWords.limit(maxBroadcastVocab + 1).count()
+    val probed = distinctWords.count()
     if (routesBroadcast(probed, maxBroadcastVocab)) {
       val words = distinctWords.orderBy("word").collect()
         .map(_.getString(0))

@@ -806,6 +806,75 @@ object Extras extends Suite {
              |  MIN(octet_length(CAST(text AS BLOB))) AS n_bytes
              |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
 
+    // Perceptual media near-dup — the fingerprint arm NEXT TO x17's
+    // exact-byte arm (r14 verdict item): every video is DECODED (the
+    // same RIFF walk + per-frame javax.imageio JPEG decode as x11),
+    // its decoded frame stream becomes a token array, and a 60-bit
+    // SimHash over the tokens feeds the d39 banding operator — so
+    // videos whose decoded frame sequences look alike pair up at
+    // hamming <= 6 even when their container bytes differ, which is
+    // exactly what md5-over-bytes dedup cannot see. `is_exact` joins
+    // the byte arm back on: 1 = the pair is also a byte-identical
+    // duplicate (x17's class), 0 = perceptual-only. Same banded
+    // plan shape as d39 (7 bands, exactly-once candidates, no
+    // all-pairs join), so the 100 TB story is the measured d39 one.
+    Q("x29_media_neardup", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "video")
+        .localCheckpoint() // feeds the decode AND the md5 arm
+      val md = media.select(col("doc_id"), md5(col("content")).as("m"))
+      val fp = Multimodal.decodeVideoFrameTokens(media, "doc_id")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.simhash_fp(col("frame_tokens"))
+            .as("simhash")) // default width = 60, the d39 scale form
+        .localCheckpoint() // 200 rows, both sides of the band join
+      graft.ops.Dedup.simhashPairsBanded(fp, "doc_id", 6)
+        .join(md.select(col("doc_id").as("id_1"), col("m").as("m1")),
+          "id_1")
+        .join(md.select(col("doc_id").as("id_2"), col("m").as("m2")),
+          "id_2")
+        .withColumn("is_exact", (col("m1") === col("m2")).cast("int"))
+        .select("id_1", "id_2", "hamming", "is_exact")
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val h = "CAST('0x' || substr(md5(word),1,15) AS BIGINT)"
+        val bitSums = (0 until 60).map(j =>
+          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+          .mkString(",\n    ")
+        val fpSum = (0 until 60).map(j =>
+          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH h AS (
+           |  SELECT doc_id, md5(text) AS m,
+           |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+           |  FROM documents WHERE doc_id < 200),
+           |v AS (
+           |  SELECT doc_id, m,
+           |    CAST((hv // 4) % 8 + 2 AS INT) AS nf,
+           |    CAST(((hv // 32) % 8 + 2) * 8 AS INT) AS w,
+           |    CAST(((hv // 256) % 8 + 2) * 8 AS INT) AS ht
+           |  FROM h),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CAST(w AS VARCHAR) || ':' || CAST(ht AS VARCHAR) || ':' ||
+           |      CAST(f.i AS VARCHAR) AS word
+           |  FROM v, unnest(generate_series(0, nf - 1)) AS f(i)),
+           |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits),
+           |p AS (
+           |  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+           |SELECT id_1, id_2, hamming,
+           |  CAST(ha.m = hb.m AS INT) AS is_exact
+           |FROM p JOIN h ha ON ha.doc_id = id_1
+           |       JOIN h hb ON hb.doc_id = id_2
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
     // Streaming incremental-aggregate maintenance (o55's streaming
     // form): foreachBatch APPENDS each micro-batch's PARTIAL aggregate
     // (count + exact integer checksum) to a warehouse state table; the

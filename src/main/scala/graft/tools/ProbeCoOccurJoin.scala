@@ -77,6 +77,27 @@ object ProbeCoOccurJoin {
         wordsArr, "ws", vocab, minCount, 32)).count()
     println(s"[probe] row diff (must be 0) = $diff")
     require(diff == 0, "join path diverges from sparse path")
+
+    // the round-15 auto-route, both routes at bench scale: the
+    // broadcast arm measures the routing probe's overhead (one
+    // distinct count) on top of the dense kernel; the forced-join arm
+    // measures the full beyond-driver-memory plan including the
+    // distributed decode. Counts must agree (route independence).
+    val autoBroadcastN = minOf("pairCountsAuto (broadcast)") {
+      CoOccur.pairCountsAuto(
+        wordsArr, "doc_id", "ws", vocabDf, "word", minCount, 32).count()
+    }
+    val autoJoinN = minOf("pairCountsAuto (forced join)") {
+      val n = CoOccur.pairCountsAuto(
+        wordsArr, "doc_id", "ws", vocabDf, "word", minCount, 32,
+        maxBroadcastVocab = 16).count()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      n
+    }
+    require(autoBroadcastN == autoJoinN && autoBroadcastN == sparseN,
+      s"auto-route divergence: broadcast=$autoBroadcastN " +
+        s"join=$autoJoinN sparse=$sparseN")
     spark.stop()
   }
 }
