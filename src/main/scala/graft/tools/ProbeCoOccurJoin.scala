@@ -87,13 +87,15 @@ object ProbeCoOccurJoin {
       CoOccur.pairCountsAuto(
         wordsArr, "doc_id", "ws", vocabDf, "word", minCount, 32).count()
     }
+    // NOTE: no blanket getPersistentRDDs unpersist here — wordsArr is
+    // localCheckpointed above (truncated lineage), so unpersisting
+    // everything between repeats kills its blocks unrecoverably
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The per-repeat internal id
+    // tables are vocab-sized and die with the JVM.
     val autoJoinN = minOf("pairCountsAuto (forced join)") {
-      val n = CoOccur.pairCountsAuto(
+      CoOccur.pairCountsAuto(
         wordsArr, "doc_id", "ws", vocabDf, "word", minCount, 32,
         maxBroadcastVocab = 16).count()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      n
     }
     require(autoBroadcastN == autoJoinN && autoBroadcastN == sparseN,
       s"auto-route divergence: broadcast=$autoBroadcastN " +
