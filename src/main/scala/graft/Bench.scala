@@ -133,7 +133,11 @@ object Bench {
       val avg = if (res.nonEmpty) total / res.size else 0.0
       val failedJs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sfName = new java.io.File(sfDir).getName
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"calibrate":{"pre":$calPre,"post":$calPost},"queries":$headlineQs,"sf":"$sfName"}"""
+      // cpus rides along because the calibrate reference shapes are
+      // fixed 32-way jobs: on a non-32-core session they inflate from
+      // core count alone, and a reader normalizing against SCALE.md's
+      // local[32] quiet-window line must be able to see that
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"cpus":"$cpus","calibrate":{"pre":$calPre,"post":$calPost},"queries":$headlineQs,"sf":"$sfName"}"""
     }
     (1 to repeats).foreach { pass =>
       attempted.foreach { case (name, fn) =>

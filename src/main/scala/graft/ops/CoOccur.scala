@@ -144,15 +144,25 @@ object CoOccur {
     * One call site therefore survives a 10^9-term vocabulary without
     * a code change (previously the caller had to read the
     * [[Guards.boundedCollect]] diagnosis and switch APIs by hand).
-    * The routing probe is ONE parallel `distinct().count()` job —
-    * deliberately NOT `limit(bound+1).count()`, whose global limit
-    * funnels up to bound+1 rows from EVERY upstream partition into a
-    * single-partition exchange exactly when the vocabulary is huge;
-    * the full count is a map-side-combined aggregate, linear and
-    * parallel, and in the same cost class as the distinct the chosen
-    * route re-runs anyway. All three underlying paths are proven
-    * row-for-row equal (CoOccurSpec dense ≡ sparse ≡ join, plus the
-    * auto-route boundary spec).
+    * The distinct+sort+id-assignment pass runs ONCE ([[vocabIds]],
+    * persisted and materialized); the routing probe is a count of
+    * that materialized table — deliberately NOT
+    * `limit(bound+1).count()`, whose global limit funnels up to
+    * bound+1 rows from EVERY upstream partition into a
+    * single-partition exchange exactly when the vocabulary is huge.
+    * On the broadcast route the id table is collected (bounded by
+    * the probe) and UNPERSISTED — nothing stays pinned. On the join
+    * route the persisted id table necessarily outlives this call
+    * (the returned frame is lazy and evaluates it in the pair pass
+    * and both decode joins): a long-lived session that loops this
+    * operator past the bound should clear persisted state between
+    * materializations (the graft.Bench hygiene —
+    * `sparkContext.getPersistentRDDs` + unpersist), or manage the
+    * lifecycle explicitly via the component APIs
+    * ([[vocabIds]]/[[pairCountsJoin]], which hand the caller the
+    * table). All three underlying paths are proven row-for-row
+    * equal (CoOccurSpec dense ≡ sparse ≡ join, plus the auto-route
+    * boundary spec).
     *
     * @param docIdCol a REAL per-row key: the join route regroups by
     *                 it ([[pairCountsJoin]]'s contract), so rows
@@ -172,22 +182,24 @@ object CoOccur {
       maxDenseSlice: Long = MaxDenseSlice): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val spark = docWords.sparkSession
-    val distinctWords = vocab.select(col(wordCol).as("word"))
-      .where(col("word").isNotNull).distinct()
-    val probed = distinctWords.count()
+    // one distinct+sort+id pass for probe, collect, AND the join
+    // route — vocabIds materializes it, so the probe count and any
+    // re-evaluation are plain scans, not repeated distincts
+    val ids = vocabIds(vocab, wordCol)
+    val probed = ids.count()
     if (routesBroadcast(probed, maxBroadcastVocab)) {
-      val words = distinctWords.orderBy("word").collect()
-        .map(_.getString(0))
+      // bounded by the probe; id order == lexicographic word order
+      val words = ids.orderBy("id").collect().map(_.getString(0))
+      ids.unpersist() // the broadcast route pins nothing
       val idRows = words.zipWithIndex
         .map { case (w, i) => Row(w, i) }.toSeq
-      val ids = spark.createDataFrame(
+      val bcIds = spark.createDataFrame(
         spark.sparkContext.parallelize(idRows, 1), idSchema)
       decodePairs(
         pairCounts(docWords, wordsCol, words, minCount, parts,
           maxDenseSlice),
-        broadcast(ids))
+        broadcast(bcIds))
     } else {
-      val ids = vocabIds(vocab, wordCol)
       decodePairs(
         pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
           parts),

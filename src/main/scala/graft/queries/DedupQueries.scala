@@ -52,9 +52,9 @@ object DedupQueries extends Suite {
   // ---- shared oracle SQL fragments -------------------------------
 
   /** Portable 60-bit hash of an expression (mirror of
-    * Text.portableHash). */
-  private def hSqlPlain(e: String): String =
-    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+    * Text.portableHash). One definition repo-wide:
+    * [[OracleFragments.hash60]]. */
+  private def hSqlPlain(e: String): String = OracleFragments.hash60(e)
 
   /** Distinct word shingles per doc (mirror of Dedup.wordShingles). */
   private def wordShinglesSql(src: String): String =
@@ -266,12 +266,9 @@ object DedupQueries extends Suite {
         SmallCorpusSimBits)
         .orderBy("doc_id"),
       Some {
-        val h = hSqlPlain("word")
-        val bitSums = (0 until SmallCorpusSimBits).map(j =>
-          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-          .mkString(",\n    ")
-        val fp = (0 until SmallCorpusSimBits).map(j =>
-          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        val bitSums = OracleFragments.simhashBitSums(
+          SmallCorpusSimBits, "word")
+        val fp = OracleFragments.simhashFold(SmallCorpusSimBits)
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
            |bits AS (
@@ -310,12 +307,9 @@ object DedupQueries extends Suite {
         .orderBy("id_1", "id_2")
     },
       Some {
-        val h = hSqlPlain("word")
-        val bitSums = (0 until SmallCorpusSimBits).map(j =>
-          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-          .mkString(",\n    ")
-        val fp = (0 until SmallCorpusSimBits).map(j =>
-          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        val bitSums = OracleFragments.simhashBitSums(
+          SmallCorpusSimBits, "word")
+        val fp = OracleFragments.simhashFold(SmallCorpusSimBits)
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word
            |  FROM documents),
@@ -355,12 +349,9 @@ object DedupQueries extends Suite {
         .orderBy("id_1", "id_2")
     },
       Some {
-        val h = hSqlPlain("word")
-        val bitSums = (0 until 60).map(j =>
-          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-          .mkString(",\n    ")
-        val fp = (0 until 60).map(j =>
-          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        val W = graft.expressions.GraftFunctions.SimhashDefaultBits
+        val bitSums = OracleFragments.simhashBitSums(W, "word")
+        val fp = OracleFragments.simhashFold(W)
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word
            |  FROM documents),

@@ -839,13 +839,9 @@ object Extras extends Suite {
         .orderBy("id_1", "id_2")
     },
       Some {
-        val h = "CAST('0x' || substr(md5(word),1,15) AS BIGINT)"
-        val bitSums = (0 until 60).map(j =>
-          s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-          .mkString(",\n    ")
-        val fpSum = (0 until 60).map(j =>
-          s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END")
-          .mkString(" + ")
+        val W = graft.expressions.GraftFunctions.SimhashDefaultBits
+        val bitSums = OracleFragments.simhashBitSums(W, "word")
+        val fpSum = OracleFragments.simhashFold(W)
         s"""WITH h AS (
            |  SELECT doc_id, md5(text) AS m,
            |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv

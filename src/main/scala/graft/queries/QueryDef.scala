@@ -24,3 +24,34 @@ trait Suite {
   final def oracles: Map[String, String] =
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
+
+/** Shared oracle-SQL fragments (DuckDB dialect) for kernels that
+  * several suites replay — ONE definition per replayed construction,
+  * so an engine-side change has a single oracle-side site to track
+  * (previously the simhash fold was hand-synced across
+  * DedupQueries d06/d07/d39 and Extras x29).
+  */
+private[queries] object OracleFragments {
+
+  /** Portable 60-bit hash of an expression — the replay of
+    * Text.portableHash / Kernels.portableHash60. */
+  def hash60(e: String): String =
+    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** SimHash ±1 bit-sum select list over `wordExpr` (one SUM per
+    * bit) — the replay of Kernels.simhashFp's accumulation. Width
+    * comes from the caller; the repo default is
+    * [[graft.expressions.GraftFunctions.SimhashDefaultBits]]. */
+  def simhashBitSums(bits: Int, wordExpr: String): String = {
+    val h = hash60(wordExpr)
+    (0 until bits).map(j =>
+      s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+      .mkString(",\n    ")
+  }
+
+  /** Fold of the b_j bit-sum columns into the fingerprint long — the
+    * replay of Kernels.simhashFp's `sums(j) > 0` bit set. */
+  def simhashFold(bits: Int): String =
+    (0 until bits).map(j =>
+      s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+}
