@@ -564,6 +564,61 @@ object Multimodal {
       .toDF(id, "frame_tokens")
   }
 
+  /** Audio decode emitting per-analysis-window tokens — the audio
+    * sibling of [[decodeVideoFrameTokens]]: each row's planned WAV is
+    * AudioSystem-decoded (same real codec as [[decodeAudioWav]]) and
+    * one descriptor token per 250 ms analysis window comes back
+    * (`"<sampleRate>:<channels>:<windowIdx>"`; the window count is
+    * the DECODED duration over the 250 ms grid the planner speaks —
+    * durations are multiples of 250 by plan, so the division is
+    * exact). A SimHash over the window tokens fingerprints the
+    * decoded audio stream for the x30 near-dup arm; a real pipeline
+    * would fold a per-window energy/MFCC digest into each token
+    * (PCM bytes aren't SQL-replayable, so the gate pins the
+    * decode-derived part).
+    */
+  def decodeAudioWindowTokens(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val wav = WavCodec.synthesizeWav(StubCodec.hash60(bytes))
+          val (sr, dur, ch) = WavCodec.decode(wav)
+          (i, (0 until dur / 250).map(wi => s"$sr:$ch:$wi"))
+        }
+      }
+      .toDF(id, "window_tokens")
+  }
+
+  /** Image decode emitting per-tile tokens — the image sibling of
+    * [[decodeVideoFrameTokens]]: each row's planned PNG is
+    * ImageIO-decoded (same real codec as [[decodeDimsImageIo]]) and
+    * one descriptor token per 16x16 tile of the DECODED raster comes
+    * back (`"<width>:<height>:<bands>:<tileIdx>"`, the tile grid a
+    * per-tile pHash pipeline walks). A SimHash over the tile tokens
+    * fingerprints the decoded image for the x31 near-dup arm; a real
+    * pipeline would fold each tile's pixel digest into its token
+    * (lossy-codec pixel bytes aren't SQL-replayable, so the gate
+    * pins the decode-derived part).
+    */
+  def decodeImageTileTokens(media: DataFrame, id: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (i, bytes) =>
+          val png = ImageIoCodec.synthesizePng(StubCodec.hash60(bytes))
+          val (w, h, c) = ImageIoCodec.decode(png)
+          val tiles = ((w + 15) / 16) * ((h + 15) / 16)
+          (i, (0 until tiles).map(t => s"$w:$h:$c:$t"))
+        }
+      }
+      .toDF(id, "tile_tokens")
+  }
+
   /** Materialize the sampled-frame WORK LIST: one row per kept frame
     * (every `stride`-th), with its integer-ms timestamp — the fan-out
     * a real pipeline feeds to the frame decoder. Built narrow with

@@ -871,6 +871,130 @@ object Extras extends Suite {
            |ORDER BY id_1, id_2""".stripMargin
       }),
 
+    // x29's AUDIO sibling: the decoded WAV's 250 ms analysis-window
+    // stream (sample rate + channels from the REAL AudioSystem
+    // decode, window count from the decoded duration) is tokenized,
+    // 60-bit SimHashed, and banded — audio near-dup pairs that byte
+    // hashing can't see, with the same is_exact tie-back. One
+    // perceptual construction, three modalities (x29 video, this,
+    // x31 image): the operator surface a media curation pipeline
+    // dedupes with.
+    Q("x30_audio_neardup", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "audio")
+        .localCheckpoint()
+      val md = media.select(col("doc_id"), md5(col("content")).as("m"))
+      val fp = Multimodal.decodeAudioWindowTokens(media, "doc_id")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.simhash_fp(col("window_tokens"))
+            .as("simhash"))
+        .localCheckpoint()
+      graft.ops.Dedup.simhashPairsBanded(fp, "doc_id", 6)
+        .join(md.select(col("doc_id").as("id_1"), col("m").as("m1")),
+          "id_1")
+        .join(md.select(col("doc_id").as("id_2"), col("m").as("m2")),
+          "id_2")
+        .withColumn("is_exact", (col("m1") === col("m2")).cast("int"))
+        .select("id_1", "id_2", "hamming", "is_exact")
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val W = graft.expressions.GraftFunctions.SimhashDefaultBits
+        val bitSums = OracleFragments.simhashBitSums(W, "word")
+        val fpSum = OracleFragments.simhashFold(W)
+        s"""WITH h AS (
+           |  SELECT doc_id, md5(text) AS m,
+           |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+           |  FROM documents WHERE doc_id < 200),
+           |v AS (
+           |  SELECT doc_id, m,
+           |    CAST(8000 * (hv % 6 + 1) AS INT) AS sr,
+           |    CAST(hv % 2 + 1 AS INT) AS ch,
+           |    CAST(hv % 8 + 1 AS INT) AS nw
+           |  FROM h),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CAST(sr AS VARCHAR) || ':' || CAST(ch AS VARCHAR) || ':' ||
+           |      CAST(f.i AS VARCHAR) AS word
+           |  FROM v, unnest(generate_series(0, nw - 1)) AS f(i)),
+           |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits),
+           |p AS (
+           |  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+           |SELECT id_1, id_2, hamming,
+           |  CAST(ha.m = hb.m AS INT) AS is_exact
+           |FROM p JOIN h ha ON ha.doc_id = id_1
+           |       JOIN h hb ON hb.doc_id = id_2
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
+    // x29's IMAGE sibling over the WHOLE corpus: the decoded PNG's
+    // 16x16 tile grid (dims + raster bands from the REAL ImageIO
+    // decode) is tokenized per tile — the walk a per-tile pHash
+    // pipeline does — 60-bit SimHashed, and banded. Corpus-sized
+    // (not capped like the video/audio arms), so this is also the
+    // arm with a data-scaled slope row.
+    Q("x31_image_neardup", (s, d) => {
+      val media = Multimodal.asBinary(
+        Tables.load(s, d, "documents"), "doc_id", "text", "image")
+        .localCheckpoint()
+      val md = media.select(col("doc_id"), md5(col("content")).as("m"))
+      val fp = Multimodal.decodeImageTileTokens(media, "doc_id")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.simhash_fp(col("tile_tokens"))
+            .as("simhash"))
+        .localCheckpoint()
+      graft.ops.Dedup.simhashPairsBanded(fp, "doc_id", 6)
+        .join(md.select(col("doc_id").as("id_1"), col("m").as("m1")),
+          "id_1")
+        .join(md.select(col("doc_id").as("id_2"), col("m").as("m2")),
+          "id_2")
+        .withColumn("is_exact", (col("m1") === col("m2")).cast("int"))
+        .select("id_1", "id_2", "hamming", "is_exact")
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val W = graft.expressions.GraftFunctions.SimhashDefaultBits
+        val bitSums = OracleFragments.simhashBitSums(W, "word")
+        val fpSum = OracleFragments.simhashFold(W)
+        s"""WITH h AS (
+           |  SELECT doc_id, md5(text) AS m,
+           |    CAST('0x' || substr(md5(text),1,15) AS BIGINT) AS hv
+           |  FROM documents),
+           |v AS (
+           |  SELECT doc_id, m,
+           |    CAST(hv % 64 + 16 AS INT) AS w,
+           |    CAST((hv // 64) % 64 + 16 AS INT) AS ht,
+           |    CAST(CASE hv % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+           |      AS INT) AS b
+           |  FROM h),
+           |vt AS (
+           |  SELECT doc_id, m, w, ht, b,
+           |    ((w + 15) // 16) * ((ht + 15) // 16) AS tiles
+           |  FROM v),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CAST(w AS VARCHAR) || ':' || CAST(ht AS VARCHAR) || ':' ||
+           |      CAST(b AS VARCHAR) || ':' || CAST(f.i AS VARCHAR) AS word
+           |  FROM vt, unnest(generate_series(0, tiles - 1)) AS f(i)),
+           |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits),
+           |p AS (
+           |  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)
+           |SELECT id_1, id_2, hamming,
+           |  CAST(ha.m = hb.m AS INT) AS is_exact
+           |FROM p JOIN h ha ON ha.doc_id = id_1
+           |       JOIN h hb ON hb.doc_id = id_2
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
     // Streaming incremental-aggregate maintenance (o55's streaming
     // form): foreachBatch APPENDS each micro-batch's PARTIAL aggregate
     // (count + exact integer checksum) to a warehouse state table; the
