@@ -183,7 +183,11 @@ object BdbDirect extends Suite {
     "CAST(SUM(amount) AS DOUBLE)")
 
   /** q26: category-item CTE + the 15 per-class count aggregates
-    * (aliased with the caller's prefix) over the filtered join. */
+    * (aliased with the caller's prefix) over the filtered join.
+    * `total` is the reference's HAVING quantity — COUNT of ALL the
+    * customer's Books rows (q26_sql.py:99), NOT the sum of the 15
+    * class columns (NULL/out-of-range class ids count toward the
+    * threshold while feeding no feature). */
   private def q26BaseCtes(prefix: String, idAlias: String) = {
     val sums = (1 to 15).map(i =>
       s"CAST(SUM(CASE WHEN i_class_id = $i THEN 1 ELSE 0 END) AS DOUBLE)" +
@@ -192,13 +196,11 @@ object BdbDirect extends Suite {
        |      WHERE i_category = 'Books'),
        |f0 AS (
        |  SELECT ss_customer_sk AS $idAlias,
-       |    $sums
+       |    $sums,
+       |    CAST(COUNT(ss_item_sk) AS DOUBLE) AS total
        |  FROM ${rp("store_sales")} JOIN it ON ss_item_sk = i_item_sk
        |  WHERE ss_customer_sk IS NOT NULL GROUP BY 1)""".stripMargin
   }
-
-  private def q26TotalExpr(prefix: String) =
-    (1 to 15).map(i => s"$prefix$i").mkString(" + ")
 
   val qs: Seq[Q] = Seq(
 
@@ -337,9 +339,11 @@ object BdbDirect extends Suite {
               |    ON ws.ws_warehouse_sk = w.w_warehouse_sk
               |  JOIN ${rp("item")} i ON ws.ws_item_sk = i.i_item_sk)
               |SELECT w_state, i_item_id,
-              |  CAST(SUM(CASE WHEN dd < DATE '2001-03-16' THEN net END)
+              |  -- ELSE 0: the reference's CASE ... ELSE 0.0 END
+              |  -- (q16_dask_sql.py:59-67), mirrored by the engine
+              |  CAST(SUM(CASE WHEN dd < DATE '2001-03-16' THEN net ELSE 0 END)
               |    AS DOUBLE) AS sales_before,
-              |  CAST(SUM(CASE WHEN dd >= DATE '2001-03-16' THEN net END)
+              |  CAST(SUM(CASE WHEN dd >= DATE '2001-03-16' THEN net ELSE 0 END)
               |    AS DOUBLE) AS sales_after
               |FROM j GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin)),
 
@@ -1057,12 +1061,9 @@ object BdbDirect extends Suite {
       BdbQueries2.q26Features(s)
         .orderBy("cid")
     },
-      Some {
-        val tot = q26TotalExpr("id")
-        s"""WITH ${q26BaseCtes("id", "cid")}
-           |SELECT *, ($tot) AS total FROM f0
-           |WHERE ($tot) > 5 ORDER BY cid""".stripMargin
-      }),
+      Some(s"""WITH ${q26BaseCtes("id", "cid")}
+              |SELECT * FROM f0 WHERE total > 5 ORDER BY cid"""
+        .stripMargin)),
 
     // q27's DEFAULT extractor (capitalized-span "NER") re-expressed
     // relationally: maximal runs of capitalized letter-tokens are a
@@ -1279,7 +1280,7 @@ object BdbDirect extends Suite {
          |  FROM a GROUP BY 1)""".stripMargin
     val q26Feat =
       s"""${q26BaseCtes("f", "id")},
-         |f AS (SELECT * FROM f0 WHERE (${q26TotalExpr("f")}) > 5)"""
+         |f AS (SELECT * EXCLUDE (total) FROM f0 WHERE total > 5)"""
         .stripMargin
     Seq(
       Q("b61_bdb_q20_kmeans", (s, _) => {

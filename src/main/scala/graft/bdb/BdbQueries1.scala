@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object BdbQueries1 {
 
-  private def eol = "è" // sentence terminator char (bdb_tools/text.py)
+  private[bdb] def eol = "è" // sentence terminator char (bdb_tools/text.py)
+
+  /** Sentence explode shared by q10/q18/q19/q27 — ONE copy of the
+    * reference's è-sentinel terminator split (bdb_tools/text.py):
+    * every other column rides along, `textCol` is consumed, blank
+    * sentences are dropped. */
+  private[bdb] def sentencesOf(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("sentence",
+        explode(split(regexp_replace(col(textCol), "[.?!]", eol), eol)))
+      .filter(length(trim(col("sentence"))) > 0)
+      .drop(textCol)
 
   /** Default sentiment lexicon — the TPC kit's word lists are not
     * redistributable (reference README), so ship a small default and
@@ -325,17 +335,27 @@ object BdbQueries1 {
       .filter(col("wcs_sales_sk").isNotNull && col("boundary_ts").isNotNull &&
         col("ts") - col("boundary_ts") <= secondsBeforePurchase)
       .select(col("wcs_sales_sk")).distinct()
+    // ONE lazy pass: flag each sale against the distinct review-
+    // session set (left outer on the already-distinct keys — no row
+    // multiplication) and conditionally aggregate, instead of the
+    // former two eager .first() jobs over the same ws-date join.
+    // Stays a plain DataFrame like every other qNN (composable,
+    // explainable); the string casts reproduce the old BigDecimal
+    // toString formatting, including the "0" null normalization.
     val ws = s.table("web_sales")
       .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
-    val total = ws.agg(sum("ws_net_paid").as("t")).first().getDecimal(0)
-    val afterReview = ws.join(reviewSales,
-        col("ws_order_number") === col("wcs_sales_sk"), "left_semi")
-      .agg(sum("ws_net_paid").as("r")).first().getDecimal(0)
-    import s.implicits._
-    val rv = if (afterReview == null) java.math.BigDecimal.ZERO else afterReview
-    val tv = if (total == null) java.math.BigDecimal.ZERO else total
-    Seq((rv.toString, tv.subtract(rv).toString))
-      .toDF("review_revenue", "no_review_revenue")
+    val sums = ws
+      .join(reviewSales.withColumnRenamed("wcs_sales_sk", "_rsk"),
+        col("ws_order_number") === col("_rsk"), "left_outer")
+      .agg(
+        sum(when(col("_rsk").isNotNull, col("ws_net_paid"))).as("r"),
+        sum(col("ws_net_paid")).as("t"))
+    sums.select(
+      when(col("r").isNull, lit("0"))
+        .otherwise(col("r").cast("string")).as("review_revenue"),
+      when(col("t").isNull, lit("0"))
+        .otherwise((col("t") - coalesce(col("r"), lit(0)))
+          .cast("string")).as("no_review_revenue"))
   }
 
   /** q09: total store quantity under a 3-arm OR of
@@ -377,11 +397,7 @@ object BdbQueries1 {
       .select(col("pr_item_sk"), col("pr_review_sk"),
         lower(col("pr_review_content")).as("content"))
     // sentences: terminate on .?!; then words strip punctuation
-    val sentences = reviews
-      .select(col("pr_item_sk"), col("pr_review_sk"),
-        explode(split(regexp_replace(col("content"), "[.?!]", eol), eol))
-          .as("sentence"))
-      .filter(length(trim(col("sentence"))) > 0)
+    val sentences = sentencesOf(reviews, "content")
     val words = sentences
       .select(col("pr_item_sk"), col("sentence"),
         explode(split(trim(regexp_replace(col("sentence"), "[,;\\-\"]", " ")), " +"))

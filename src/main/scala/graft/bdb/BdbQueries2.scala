@@ -13,9 +13,11 @@ object BdbQueries2 {
     * the reference's k=8 assumes SF-scale cardinality).
     */
   private def kmeansSummary(data: org.apache.spark.sql.DataFrame,
-      inputCols: Seq[String], k: Int) = {
+      k: Int) = {
     import org.apache.spark.ml.clustering.KMeans
-    val nDistinct = data.select(inputCols.map(col): _*).distinct().count()
+    // distinct over the assembled vector column — the same points the
+    // fit sees, so the call sites don't repeat their column lists
+    val nDistinct = data.select("features").distinct().count()
     val kk = math.max(1, math.min(k, nDistinct.toInt))
     new KMeans().setK(kk).setMaxIter(20).setSeed(42L).fit(data)
   }
@@ -42,10 +44,19 @@ object BdbQueries2 {
       .withColumn("net",
         col("ws_sales_price") - coalesce(col("wr_refunded_cash"),
           lit(0).cast("decimal(7,2)")))
+    // .otherwise(0): the reference's CASE ... ELSE 0.0 END
+    // (q16_dask_sql.py:59-67) — a group whose sales fall entirely on
+    // one side of the pivot reports 0 on the other side, not NULL
+    // the zero is cast to net's own decimal(8,2) so the when/otherwise
+    // doesn't widen through the int literal (schema-pinned by the
+    // golden spec: sum stays decimal(18,2))
+    val zero = lit(0).cast("decimal(8,2)")
     j.groupBy("w_state", "i_item_id")
       .agg(
-        sum(when(col("dd") < lit(pivotDate), col("net"))).as("sales_before"),
-        sum(when(col("dd") >= lit(pivotDate), col("net"))).as("sales_after"))
+        sum(when(col("dd") < lit(pivotDate), col("net"))
+          .otherwise(zero)).as("sales_before"),
+        sum(when(col("dd") >= lit(pivotDate), col("net"))
+          .otherwise(zero)).as("sales_after"))
       .orderBy("w_state", "i_item_id")
       .limit(limit)
   }
@@ -109,7 +120,12 @@ object BdbQueries2 {
     // search list driver-side the same way). The collected rows also
     // seed the name→store_sk dim locally, so the slope subquery runs
     // exactly once.
-    val storeRows = stores.collect()
+    // NULL/empty names can't feed the automaton (a null NPEs the
+    // driver-side sort; an empty needle is rejected at plan time) —
+    // and a store with no name can't be mentioned in a review anyway
+    val storeRows = stores
+      .filter(col("store_name").isNotNull && length(col("store_name")) > 0)
+      .collect()
     val names = storeRows.map(_.getString(1)).distinct.sorted
     val storeDim = {
       import s.implicits._
@@ -121,19 +137,18 @@ object BdbQueries2 {
       .filter(col("pr_review_content").isNotNull)
       .select(col("pr_review_sk"), col("pr_review_date"),
         lower(col("pr_review_content")).as("content"))
-    val sentences = reviews.select(col("pr_review_sk"), col("pr_review_date"),
-      explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
-        .as("sentence"))
-      .filter(length(trim(col("sentence"))) > 0)
+    val sentences = BdbQueries1.sentencesOf(reviews, "content")
     val hits = sentences
       .withColumn("store_name", explode(
         graft.expressions.GraftFunctions.multi_needle_matches(
           col("sentence"), lit(names))))
       .join(broadcast(storeDim), "store_name")
     // word lists are tiny: compile into a codegen'd OR-of-instr scan
-    // (load from the kit files via Text.wordList(s, path) for parity)
-    val negHit = negWords.map(wd => expr(s"instr(sentence, '$wd') > 0"))
-      .reduce(_ || _)
+    // (load from the kit files via Text.wordList(s, path) for parity).
+    // lit(wd), not SQL-text interpolation: a word containing a quote
+    // ("can't") must stay a literal, never parsed SQL
+    val negHit = negWords
+      .map(wd => instr(col("sentence"), wd) > 0).reduce(_ || _)
     // ETL-sized output: written unsorted (reference verifies
     // order-insensitively, utils.py:449-477) — no global range sort.
     hits.withColumn("sentiment", when(negHit, "NEG").otherwise("POS"))
@@ -173,12 +188,10 @@ object BdbQueries2 {
       .join(balanced, col("pr_item_sk") === col("item_sk"), "left_semi")
       .select(col("pr_item_sk"), col("pr_review_sk"),
         lower(col("pr_review_content")).as("content"))
-    val sentences = reviews.select(col("pr_item_sk"), col("pr_review_sk"),
-      explode(split(regexp_replace(col("content"), "[.?!]", "è"), "è"))
-        .as("sentence"))
-      .filter(length(trim(col("sentence"))) > 0)
+    val sentences = BdbQueries1.sentencesOf(reviews, "content")
+    // same literal-not-SQL-text discipline as q18
     val negHit = negWords
-      .map(wd => expr(s"instr(sentence, '$wd') > 0")).reduce(_ || _)
+      .map(wd => instr(col("sentence"), wd) > 0).reduce(_ || _)
     sentences.filter(negHit)
       .select(col("pr_item_sk").as("item_sk"), col("pr_review_sk"),
         col("sentence"))
@@ -220,7 +233,7 @@ object BdbQueries2 {
     val data = new VectorAssembler()
       .setInputCols(Array("order_ratio", "item_ratio", "amount_ratio"))
       .setOutputCol("features").transform(feats)
-    val model = kmeansSummary(data, Array("order_ratio", "item_ratio", "amount_ratio").toSeq, 8)
+    val model = kmeansSummary(data, 8)
     model.summary.predictions
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"))
@@ -348,32 +361,33 @@ object BdbQueries2 {
           .as("price_change"),
         col("imp_start_date"),
         (col("imp_end_date") - col("imp_start_date")).as("no_days"))
-    def qtyIn(t: String, itemCol: String, dateCol: String, qtyCol: String,
-        after: Boolean) = {
-      val tdf = s.table(t).filter(col(itemCol) === itemSk)
-      val joined = tdf.join(broadcast(priceChanges),
-        col(itemCol) === col("i_item_sk"))
-      val cond = if (after)
-        col(dateCol) >= col("imp_start_date") &&
-          col(dateCol) < col("imp_start_date") + col("no_days")
-      else
-        col(dateCol) >= col("imp_start_date") - col("no_days") &&
-          col(dateCol) < col("imp_start_date")
-      joined.filter(cond)
+    // ONE conditional aggregation per fact table — the reference's
+    // own shape (q24_sql.py:68-83, prev/curr as SUM(CASE ...) in a
+    // single pass) — instead of the former four filter+join+groupBy
+    // pipelines (2x the fact scans/joins). Window-empty sums stay
+    // NULL here and the non-null filter below reproduces the old
+    // inner-join-chain semantics exactly (a group survives iff all
+    // four windows saw >= 1 row), which is what the b51 oracle pins;
+    // the reference's ELSE 0 would additionally keep all-zero groups
+    // whose elasticity then divides by zero.
+    def qtyAgg(t: String, itemCol: String, dateCol: String,
+        qtyCol: String, pfx: String) =
+      s.table(t).filter(col(itemCol) === itemSk)
+        .join(broadcast(priceChanges), col(itemCol) === col("i_item_sk"))
         .groupBy("imp_sk", "price_change")
-        .agg(sum(qtyCol).as(if (after) "curr" else "prev"))
-    }
-    val ssPrev = qtyIn("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_quantity", after = false)
-      .withColumnRenamed("prev", "ss_prev")
-    val ssCurr = qtyIn("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_quantity", after = true)
-      .withColumnRenamed("curr", "ss_curr")
-    val wsPrev = qtyIn("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_quantity", after = false)
-      .withColumnRenamed("prev", "ws_prev")
-    val wsCurr = qtyIn("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_quantity", after = true)
-      .withColumnRenamed("curr", "ws_curr")
-    val j = ssPrev.join(ssCurr, Seq("imp_sk", "price_change"))
-      .join(wsPrev, Seq("imp_sk", "price_change"))
-      .join(wsCurr, Seq("imp_sk", "price_change"))
+        .agg(
+          sum(when(col(dateCol) >= col("imp_start_date") - col("no_days") &&
+            col(dateCol) < col("imp_start_date"), col(qtyCol)))
+            .as(s"${pfx}_prev"),
+          sum(when(col(dateCol) >= col("imp_start_date") &&
+            col(dateCol) < col("imp_start_date") + col("no_days"),
+            col(qtyCol))).as(s"${pfx}_curr"))
+    val j = qtyAgg("store_sales", "ss_item_sk", "ss_sold_date_sk",
+        "ss_quantity", "ss")
+      .join(qtyAgg("web_sales", "ws_item_sk", "ws_sold_date_sk",
+        "ws_quantity", "ws"), Seq("imp_sk", "price_change"))
+      .filter(col("ss_prev").isNotNull && col("ss_curr").isNotNull &&
+        col("ws_prev").isNotNull && col("ws_curr").isNotNull)
       .withColumn("delta",
         (col("ss_curr") + col("ws_curr") - col("ss_prev") - col("ws_prev"))
           .cast("double") /
@@ -412,7 +426,7 @@ object BdbQueries2 {
     val data = new VectorAssembler()
       .setInputCols(Array("recency", "frequency", "totalspend"))
       .setOutputCol("features").transform(feats)
-    val model = kmeansSummary(data, Array("recency", "frequency", "totalspend").toSeq, 8)
+    val model = kmeansSummary(data, 8)
     model.summary.predictions
       .groupBy(col("prediction").as("cluster")).agg(count(lit(1)).as("n"))
       .withColumn("wssse", round(lit(model.summary.trainingCost), 3))
@@ -435,9 +449,14 @@ object BdbQueries2 {
     val classCols = (1 to 15).map(i =>
       sum(when(col("i_class_id") === i, 1).otherwise(0))
         .cast("double").as(s"id$i"))
+    // total = COUNT of ALL the customer's Books rows — the
+    // reference's HAVING count(ss_item_sk) > 5 (q26_sql.py:99), NOT
+    // the sum of the 15 class-id columns: a purchase whose i_class_id
+    // is NULL or outside 1..15 counts toward the threshold while
+    // contributing to no feature column
+    val totalCol = count(col("ss_item_sk")).cast("double").as("total")
     base.groupBy(col("ss_customer_sk").as("cid"))
-      .agg(classCols.head, classCols.tail: _*)
-      .withColumn("total", (1 to 15).map(i => col(s"id$i")).reduce(_ + _))
+      .agg(classCols.head, (classCols.tail :+ totalCol): _*)
       .filter(col("total") > minItems)
   }
 
@@ -448,7 +467,7 @@ object BdbQueries2 {
     val data = new VectorAssembler()
       .setInputCols((1 to 15).map(i => s"id$i").toArray)
       .setOutputCol("features").transform(feats)
-    val model = kmeansSummary(data, (1 to 15).map(i => s"id$i").toArray.toSeq, 8)
+    val model = kmeansSummary(data, 8)
     model.summary.predictions
       .groupBy(col("prediction").as("cluster")).agg(count(lit(1)).as("n"))
       .withColumn("wssse", round(lit(model.summary.trainingCost), 3))
@@ -464,13 +483,13 @@ object BdbQueries2 {
   def q27(s: SparkSession, itemSk: Long = 10002L,
       extractor: String => Seq[String] = Ner.capitalizedSpans): DataFrame = {
     import s.implicits._
-    val sentences = s.table("product_reviews")
-      .filter(col("pr_item_sk") === itemSk &&
-        col("pr_review_content").isNotNull)
-      .select(col("pr_review_sk"), col("pr_item_sk"),
-        explode(split(regexp_replace(col("pr_review_content"), "[.?!]", "è"), "è"))
-          .as("sentence"))
-      .filter(length(trim(col("sentence"))) > 0)
+    val sentences = BdbQueries1.sentencesOf(
+      s.table("product_reviews")
+        .filter(col("pr_item_sk") === itemSk &&
+          col("pr_review_content").isNotNull)
+        .select(col("pr_review_sk"), col("pr_item_sk"),
+          col("pr_review_content")),
+      "pr_review_content")
     val tagged = sentences
       .select(col("pr_review_sk"), col("pr_item_sk"), col("sentence"))
       .as[(Long, Long, String)]

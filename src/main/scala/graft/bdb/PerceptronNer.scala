@@ -133,7 +133,12 @@ object PerceptronNer {
         step += 1
       }
     }
-    w.map { case (f, v) => f -> (v - acc(f) / step) }
+    // divide by COMPLETED steps (step was initialized to 1 and
+    // incremented once per token, so N = step - 1): Collins averaging
+    // is avg = w - acc/N; the former /step was an off-by-one that
+    // slightly over-weighted the final weight vector near the margin
+    val n = math.max(step - 1, 1)
+    w.map { case (f, v) => f -> (v - acc(f) / n) }
       .filter(_._2 != 0.0).toMap
   }
 
