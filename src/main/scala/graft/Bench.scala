@@ -15,8 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,m] → real executor JVMs
+    val master = graft.tools.ClusterConf.master(cpus)
+    val spark = graft.tools.ClusterConf.forMaster(
+      SparkSession.builder().master(master), master)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -92,14 +94,10 @@ object Bench {
         None
       } finally {
         // release blocks pinned by cache()/localCheckpoint() inside
-        // the query just run: leaving them resident starves later
-        // shuffle-heavy queries of execution memory (measured: the
-        // uncapped LSH/simhash checkpoints inflated o4x queries up
-        // to 10x later in the suite); blocking, so unpersist work is
-        // never billed to a neighboring query
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
+        // the query just run (shared helper — safe here because every
+        // query rebuilds from source; see SessionHygiene's contract);
+        // blocking, so unpersist work is never billed to a neighbor
+        graft.tools.SessionHygiene.unpersistAll(spark, blocking = true)
       }
     }
     // One short JSON line in the driver's shape, reusable for the
@@ -119,15 +117,28 @@ object Bench {
     // without cross-referencing builder prose. Pre vs post also
     // exposes mid-run regime drift. min-of-3 (vs the standalone
     // tool's 5) keeps the overhead ~15 s on a ~200 s suite.
-    def calTriple(): String =
-      try {
-        val (a, b, c) = graft.tools.Calibrate.triple(spark, 3)
-        f"[$a%.2f,$b%.2f,$c%.2f]"
-      } catch { case scala.util.control.NonFatal(e) =>
-        errors ::= s"calibrate failed: ${e.getMessage}"; "null"
+    def calTriple(): Option[(Double, Double, Double)] =
+      try Some(graft.tools.Calibrate.triple(spark, 3))
+      catch { case scala.util.control.NonFatal(e) =>
+        errors ::= s"calibrate failed: ${e.getMessage}"; None
       }
+    def calJson(t: Option[(Double, Double, Double)]): String =
+      t.map { case (a, b, c) => f"[$a%.2f,$b%.2f,$c%.2f]" }
+        .getOrElse("null")
     val calPre = calTriple()
-    var calPost = "null"
+    var calPost: Option[(Double, Double, Double)] = None
+    // One-word window verdict IN the artifact (r15 verdict item 7):
+    // readers of BENCH_rN.json shouldn't need SCALE.md to classify
+    // the run. The shuffle shape is the discriminating reading
+    // (quiet-window reference 2.35 s; quiet band <= 2.9 s, degraded
+    // windows measure 2.9-6+ s — SCALE.md host-calibration rows).
+    // Classified on the POST triple (it brackets the timed passes
+    // from the near side); pre is the fallback if post failed.
+    def windowVerdict: String =
+      calPost.orElse(calPre).map(_._3) match {
+        case Some(shuf) => if (shuf <= 2.9) "quiet" else "degraded"
+        case None => "unknown"
+      }
     def jsonLine(res: Seq[(String, Double)], headlineQs: String): String = {
       val total = res.map(_._2).sum
       val avg = if (res.nonEmpty) total / res.size else 0.0
@@ -137,7 +148,7 @@ object Bench {
       // fixed 32-way jobs: on a non-32-core session they inflate from
       // core count alone, and a reader normalizing against SCALE.md's
       // local[32] quiet-window line must be able to see that
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"cpus":"$cpus","calibrate":{"pre":$calPre,"post":$calPost},"queries":$headlineQs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${res.size},"sec_per_query":$avg%.2f,"failed":$failedJs,"reruns":$rerunCount,"cpus":"$cpus","calibrate":{"pre":${calJson(calPre)},"post":${calJson(calPost)}},"window":"$windowVerdict","queries":$headlineQs,"sf":"$sfName"}"""
     }
     (1 to repeats).foreach { pass =>
       attempted.foreach { case (name, fn) =>

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the dump with
+    // REAL multi-JVM executors (task serialization, executor-side
+    // codegen classloading, broadcast transport — see ClusterConf)
+    val master = graft.tools.ClusterConf.master(cpus)
+    val spark = graft.tools.ClusterConf.forMaster(
+      SparkSession.builder().master(master), master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

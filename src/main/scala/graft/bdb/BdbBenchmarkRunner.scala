@@ -119,9 +119,9 @@ object BdbBenchmarkRunner {
         status = "error"
       } finally {
         // drop the checkpoint blocks so query N's result doesn't
-        // occupy execution memory during query N+1
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // occupy execution memory during query N+1 (shared helper;
+        // safe — `mat` is fully consumed by the write above)
+        graft.tools.SessionHygiene.unpersistAll(spark, blocking = true)
       }
       val end = if (tWrite != 0L) tWrite else System.nanoTime()
       val r = RunResult(name, pass,

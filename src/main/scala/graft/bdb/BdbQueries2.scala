@@ -366,10 +366,16 @@ object BdbQueries2 {
     // single pass) — instead of the former four filter+join+groupBy
     // pipelines (2x the fact scans/joins). Window-empty sums stay
     // NULL here and the non-null filter below reproduces the old
-    // inner-join-chain semantics exactly (a group survives iff all
-    // four windows saw >= 1 row), which is what the b51 oracle pins;
-    // the reference's ELSE 0 would additionally keep all-zero groups
-    // whose elasticity then divides by zero.
+    // inner-join-chain semantics (a group survives iff all four
+    // windows saw >= 1 NON-NULL-quantity row), which is what the b51
+    // oracle pins; the reference's ELSE 0 would additionally keep
+    // all-zero groups whose elasticity then divides by zero. One
+    // documented edge the fixtures don't exercise: a window whose
+    // matched rows ALL carry NULL quantity sums to NULL and is
+    // dropped here, where the old chain kept the group with a NULL
+    // prev/curr (a null-elasticity row that count("delta") then
+    // excluded from the mean anyway — so the final elasticity value
+    // agrees; only the intermediate group set differs).
     def qtyAgg(t: String, itemCol: String, dateCol: String,
         qtyCol: String, pfx: String) =
       s.table(t).filter(col(itemCol) === itemSk)

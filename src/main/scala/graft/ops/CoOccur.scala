@@ -152,13 +152,20 @@ object CoOccur {
     * single-partition exchange exactly when the vocabulary is huge.
     * On the broadcast route the id table is collected (bounded by
     * the probe) and UNPERSISTED — nothing stays pinned. On the join
-    * route the persisted id table necessarily outlives this call
-    * (the returned frame is lazy and evaluates it in the pair pass
-    * and both decode joins): a long-lived session that loops this
-    * operator past the bound should clear persisted state between
-    * materializations (the graft.Bench hygiene —
-    * `sparkContext.getPersistentRDDs` + unpersist), or manage the
-    * lifecycle explicitly via the component APIs
+    * route the persisted id table must outlive this call (the
+    * returned frame is lazy and evaluates it in the pair pass and
+    * both decode joins), so its release is wired to the frame's OWN
+    * lifecycle: a QueryExecutionListener unpersists the id table the
+    * first time any action executes a plan containing it — the
+    * returned frame's materialization, wherever the caller triggers
+    * it — then deregisters itself. A long-lived session that loops
+    * this operator past the bound therefore pins nothing between
+    * calls (CoOccurSpec asserts no persistent RDDs survive a drained
+    * join-route query); a result materialized TWICE recomputes the
+    * id table's deterministic lineage on the second pass instead of
+    * pinning it forever — the right trade for the fire-once
+    * analytics shape this serves. Callers needing a different
+    * lifecycle manage it explicitly via the component APIs
     * ([[vocabIds]]/[[pairCountsJoin]], which hand the caller the
     * table). All three underlying paths are proven row-for-row
     * equal (CoOccurSpec dense ≡ sparse ≡ join, plus the auto-route
@@ -200,11 +207,51 @@ object CoOccur {
           maxDenseSlice),
         broadcast(bcIds))
     } else {
-      decodePairs(
+      val out = decodePairs(
         pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
           parts),
         ids)
+      unpersistOnFirstUse(ids)
+      out
     }
+  }
+
+  /** Release a persisted frame the first time ANY action executes a
+    * plan containing it — the [[pairCountsAuto]] join route's
+    * lifecycle hook for its id table: the table must stay persisted
+    * until the (lazy) result materializes, and the only party who
+    * knows when that happens is the execution itself. A
+    * QueryExecutionListener watches query completions (success OR
+    * failure — a failed materialization must not stay pinned either),
+    * matches the analyzed plan against the target's (the cached
+    * subtree survives analysis verbatim; substitution happens later,
+    * at planning), unpersists non-blockingly, and deregisters. The
+    * listener bus is asynchronous, so release lands shortly AFTER the
+    * action returns — callers must not assume synchronous release
+    * (CoOccurSpec polls). If the result is never materialized the
+    * listener idles harmlessly until session close. */
+  private def unpersistOnFirstUse(target: DataFrame): Unit = {
+    val spark = target.sparkSession
+    val targetPlan = target.queryExecution.analyzed
+    val lm = spark.listenerManager
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(
+            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.exists(_.sameResult(targetPlan)) &&
+              done.compareAndSet(false, true)) {
+            target.unpersist(blocking = false)
+            lm.unregister(listener)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = maybeRelease(qe)
+      }
+    lm.register(listener)
   }
 
   private val idSchema = StructType(Seq(

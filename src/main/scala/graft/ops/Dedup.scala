@@ -675,7 +675,10 @@ object Dedup {
     require(nBands <= bits && bits <= 64,
       s"Dedup.simhashPairsBanded: maxHamming + 1 = $nBands bands over " +
         s"$bits fingerprint bits leaves a band with zero bits (need " +
-        "maxHamming < bits <= 64)")
+        "maxHamming < bits <= 64). If you passed (bits, maxHamming) " +
+        "positionally — the pre-r15 parameter order — swap them: the " +
+        "signature is (fp, id, maxHamming, bits), and call sites " +
+        "should name `bits =` explicitly.")
     // Exactly-once emission (the lshCandidatesOnce trick): band j's
     // equi-join also requires that no band i < j matched, so a pair
     // agreeing on several bands is emitted only by its first — the

@@ -35,7 +35,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer layout (flat Array[Long], ExpressionEncoder like
   * [[MinHashAgg]]/[[CmsAgg]]):
   * {{{
-  * [0] = k   [1] = L (#levels)
+  * [0] = header: format version (high 32 bits) | k (low 32 bits)
+  * [1] = L (#levels)
   * [2        .. 2+L)   per-level item count
   * [2+L      .. 2+2L)  per-level next compaction offset (0|1)
   * [2+2L     .. 2+3L)  per-level slab capacity (grown on demand,
@@ -54,7 +55,7 @@ class KllAgg(num: Long, den: Long, k: Int = KllAgg.DefaultK)
   override def zero: Array[Long] = {
     val cap0 = math.min(InitialCap, k)
     val buf = new Array[Long](2 + 3 + cap0) // header + 1 level + slab
-    buf(0) = k
+    buf(0) = KllAgg.header(k)
     buf(1) = 1
     buf(4) = cap0
     buf
@@ -84,7 +85,32 @@ object KllAgg {
   val DefaultK = 4096
   private[ops] val InitialCap = 4096
 
+  /** Serialized-buffer format version, carried in slot 0's high 32
+    * bits (the slot always held k, which fits 32 bits by the k-even
+    * require — the high half was zero in every pre-versioned build).
+    * Version 1 = the current level-0-insert format. Any buffer whose
+    * high half is 0 predates versioning — which includes every build
+    * whose raw items entered at level 1 with silent double weight —
+    * so [[KllMergeAgg]] fails LOUDLY on it instead of double-counting
+    * (the r15 persisted-state compatibility contract, now enforced at
+    * runtime rather than by scaladoc alone). */
+  private[ops] val FormatVersion = 1L
+
   // ---- flat-buffer accessors --------------------------------------
+  private[ops] def header(k: Long): Long = (FormatVersion << 32) | k
+  private[graft] def versionOf(b: Array[Long]): Long = b(0) >>> 32
+  private def kOf(b: Array[Long]): Long = b(0) & 0xffffffffL
+
+  /** Fail loudly on a buffer from an incompatible serialized format —
+    * the [[KllMergeAgg]] entry check for persisted partials. */
+  private[graft] def requireCurrentFormat(b: Array[Long]): Unit =
+    require(versionOf(b) == FormatVersion,
+      s"KLL sketch buffer has format version ${versionOf(b)} (current " +
+        s"$FormatVersion): state persisted by a pre-version build may " +
+        "carry double-weighted items (pre-level-0-fix). Rebuild the " +
+        "state table by replaying its source through the current " +
+        "KllSketchAgg before incremental reads resume.")
+
   private def levels(b: Array[Long]): Int = b(1).toInt
   private def count(b: Array[Long], h: Int): Long = b(2 + h)
   private def parityIdx(b: Array[Long], h: Int): Int = 2 + levels(b) + h
@@ -105,8 +131,10 @@ object KllAgg {
     * the emptied slab. */
   private[graft] def mergeBuffers(a: Array[Long], b: Array[Long])
       : Array[Long] = {
+    requireCurrentFormat(a)
+    requireCurrentFormat(b)
     require(a(0) == b(0), "cannot merge KLL sketches with different k")
-    val k = a(0)
+    val k = kOf(a)
     val lb = levels(b)
     var out = a
     var h = 0
@@ -127,7 +155,7 @@ object KllAgg {
   private def bulkAppend(buf0: Array[Long], src: Array[Long], off: Int,
       n: Int, h: Int): Array[Long] = {
     var buf = buf0
-    val k = buf(0)
+    val k = kOf(buf)
     var i = 0
     while (i < n) {
       while (h >= levels(buf)) buf = addLevel(buf)
@@ -147,7 +175,7 @@ object KllAgg {
   private def insert(buf0: Array[Long], v: Long, h: Int): Array[Long] = {
     var buf = buf0
     while (h >= levels(buf)) buf = addLevel(buf)
-    if (count(buf, h) == buf(0)) buf = compact(buf, h)
+    if (count(buf, h) == kOf(buf)) buf = compact(buf, h)
     else if (count(buf, h) == cap(buf, h)) buf = grow(buf, h)
     val n = count(buf, h).toInt
     buf(slabOff(buf, h) + n) = v
@@ -174,7 +202,7 @@ object KllAgg {
 
   private def addLevel(old: Array[Long]): Array[Long] = {
     val l = levels(old)
-    val cap0 = math.min(InitialCap.toLong, old(0))
+    val cap0 = math.min(InitialCap.toLong, kOf(old))
     var slabs = 0L
     var i = 0
     while (i < l) { slabs += old(2 + 2 * l + i); i += 1 }
@@ -193,7 +221,7 @@ object KllAgg {
   private def grow(old: Array[Long], h: Int): Array[Long] = {
     val l = levels(old)
     val oldCap = old(2 + 2 * l + h).toInt
-    val newCap = math.min(oldCap.toLong * 2, old(0)).toInt
+    val newCap = math.min(oldCap.toLong * 2, kOf(old)).toInt
     var slabs = 0L
     var i = 0
     while (i < l) { slabs += old(2 + 2 * l + i); i += 1 }
@@ -284,11 +312,12 @@ object KllAgg {
   * every retained item carries DOUBLE the weight of a current-build
   * item. Within one build the doubling cancels through the rank
   * walk, but merging a PRE-fix persisted state table with POST-fix
-  * partials via [[KllMergeAgg]] silently double-weights the old rows.
-  * A state table written by a pre-fix build must be rebuilt (replay
-  * the source through the current KllSketchAgg) before incremental
-  * reads resume — the buffer carries no version slot, so this doc is
-  * the compatibility contract.
+  * partials via [[KllMergeAgg]] would silently double-weight the old
+  * rows. ENFORCED at runtime since the format gained a version slot
+  * (slot 0's high 32 bits, [[KllAgg.FormatVersion]]): every pre-
+  * version buffer has a zero high half, so [[KllMergeAgg]] fails
+  * loudly on it with the rebuild remedy (replay the source through
+  * the current KllSketchAgg) instead of merging bad weights.
   */
 class KllSketchAgg(k: Int = KllAgg.DefaultK)
     extends Aggregator[Long, Array[Long], Array[Long]] {
@@ -308,17 +337,25 @@ class KllSketchAgg(k: Int = KllAgg.DefaultK)
 /** Folds serialized [[KllSketchAgg]] partials back into one sketch
   * and reads a quantile off it (merge-on-read half of x22). The empty
   * buffer sentinel is a zero-length array (an Aggregator zero must be
-  * a value, and sketches carry their own k in slot 0).
+  * a value, and sketches carry their own k + format version in
+  * slot 0).
   */
 class KllMergeAgg(num: Long, den: Long)
     extends Aggregator[Array[Long], Array[Long], Long] {
   override def zero: Array[Long] = Array.emptyLongArray
   override def reduce(acc: Array[Long], sketch: Array[Long]): Array[Long] =
     merge(acc, sketch)
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+  // format check on EVERY non-empty input, not just inside
+  // mergeBuffers: a single-sketch group never reaches mergeBuffers
+  // (the a.isEmpty short-circuit), and a stale persisted partial must
+  // fail loudly on that path too
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.nonEmpty) KllAgg.requireCurrentFormat(a)
+    if (b.nonEmpty) KllAgg.requireCurrentFormat(b)
     if (a.isEmpty) b.clone()   // clone: mergeBuffers mutates its left arg
     else if (b.isEmpty) a
     else KllAgg.mergeBuffers(a, b)
+  }
   override def finish(buf: Array[Long]): Long =
     if (buf.isEmpty) 0L else KllAgg.quantile(buf, num, den)
   override def bufferEncoder: Encoder[Array[Long]] =

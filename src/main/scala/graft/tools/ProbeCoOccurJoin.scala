@@ -87,7 +87,7 @@ object ProbeCoOccurJoin {
       CoOccur.pairCountsAuto(
         wordsArr, "doc_id", "ws", vocabDf, "word", minCount, 32).count()
     }
-    // NOTE: no blanket getPersistentRDDs unpersist here — wordsArr is
+    // NOTE: no SessionHygiene.unpersistAll here — wordsArr is
     // localCheckpointed above (truncated lineage), so unpersisting
     // everything between repeats kills its blocks unrecoverably
     // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The per-repeat internal id

@@ -204,6 +204,30 @@ class CoOccurSpec extends SparkSpec {
     assert(justUnder === arrayDecoded)
   }
 
+  test("pairCountsAuto: join route unpersists its id table once the " +
+      "result materializes (lifecycle listener)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => f"v$i%03d").toArray
+    val docs = (0L until 80L).map { d =>
+      d -> Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val df = docs.toDF("doc_id", "ws")
+    val vdf = vocab.toSeq.toDF("w")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // forced join route: persists the vocabIds table internally
+    val res = CoOccur.pairCountsAuto(
+      df, "doc_id", "ws", vdf, "w", 2L, 8, maxBroadcastVocab = 4)
+    assert(res.count() > 0) // drain: the materialization that releases
+    // the release rides the (asynchronous) execution-listener bus —
+    // poll briefly rather than assuming synchronous delivery
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty,
+      s"join-route id table still pinned after drain: $leaked")
+  }
+
   test("OpenLongCount: counts exactly across growth, including key 0") {
     val m = new graft.ops.OpenLongCount(4)
     val rnd = new scala.util.Random(3)

@@ -50,11 +50,11 @@ class ConfSpec extends SparkSpec {
       if (changed.nonEmpty)
         failures += s"$name mutated session confs: " + changed.toSeq.sorted
           .map(k => s"$k: ${snap.get(k)} -> ${now.get(k)}").mkString("; ")
-      // release checkpoint/cache blocks the builder pinned (the Bench
-      // hygiene) so the sweep's footprint stays flat
-      s.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      s.catalog.clearCache()
+      // release checkpoint/cache blocks the builder pinned so the
+      // sweep's footprint stays flat — safe between independent
+      // queries that each rebuild from source (SessionHygiene's
+      // contract); non-blocking is enough for footprint control
+      graft.tools.SessionHygiene.unpersistAll(s, blocking = false)
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

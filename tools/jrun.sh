@@ -7,6 +7,11 @@
 # Compile first (sbt compile); this runs target/scala-2.13/classes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# local-cluster masters (SPARK_GRAFT_MASTER=local-cluster[n,c,m]): the
+# in-process Worker launches executor JVMs through the spark-launcher
+# library, whose classpath builder needs the Scala version pinned when
+# SPARK_HOME isn't a dev tree ("Cannot find any build directories").
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/java.lang.reflect java.base/java.io \
