@@ -926,6 +926,75 @@ object Kernels {
     fp
   }
 
+  // per-thread word -> [lo60, hi60] memo for the two-long fingerprint
+  // kernel (one md5 per distinct word per thread serves BOTH words)
+  private val hash120Memo =
+    new ThreadLocal[java.util.HashMap[UTF8String, Array[Long]]] {
+      override def initialValue() =
+        new java.util.HashMap[UTF8String, Array[Long]](1 << 12)
+    }
+
+  private def hash120Memoized(w: UTF8String): Array[Long] = {
+    val memo = hash120Memo.get()
+    var v = memo.get(w)
+    if (v == null) {
+      if (memo.size() > 65536) memo.clear()
+      val md = md5.get()
+      md.reset()
+      val d = md.digest(w.getBytes)
+      // lo = md5 bits 0-59 (hex chars 1-15) — IDENTICAL to
+      // portableHash60, so fp2's first word equals the 60-bit kernel's
+      // fingerprint bit for bit; hi = bits 60-119 (hex chars 16-30)
+      var a = 0L
+      var i = 0
+      while (i < 8) { a = (a << 8) | (d(i) & 0xffL); i += 1 }
+      var b = d(7) & 0x0fL // hex char 16 = low nibble of byte 8
+      i = 8
+      while (i < 15) { b = (b << 8) | (d(i) & 0xffL); i += 1 }
+      v = Array(a >>> 4, b)
+      memo.put(UTF8String.fromBytes(w.getBytes), v)
+    }
+    v
+  }
+
+  /** Two-long SimHash fingerprint — the width rung above the 60-bit
+    * default ([[simhashFp]]'s construction over 120 hash bits): word
+    * hash bits 0-59 drive the LO word's ±1 bit sums, bits 60-119 (the
+    * md5's next 15 hex chars) the HI word's. Returns [lo, hi], each
+    * using its low 60 bits; the LO word is bit-identical to
+    * `simhashFp(words, 60)` (ExpressionsSpec pins it), so the rung is the
+    * same construction, literally — just more of the hash.
+    */
+  def simhashFp2(words: ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bits = 60
+    val m = words.numElements()
+    val sums = new Array[Int](2 * bits)
+    var i = 0
+    while (i < m) {
+      val h = hash120Memoized(words.getUTF8String(i))
+      val lo = h(0)
+      val hi = h(1)
+      var j = 0
+      while (j < bits) {
+        sums(j) += (((lo >>> j) & 1L).toInt << 1) - 1
+        sums(bits + j) += (((hi >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var fpLo = 0L
+    var fpHi = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) fpLo |= 1L << j
+      if (sums(bits + j) > 0) fpHi |= 1L << j
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(fpLo, fpHi))
+  }
+
   /** Per-doc [sum(chars), sum(lookup)] over a word array against a
     * broadcast word->long map (t26's BPE token counting: the map is
     * the trained vocab's per-word BPE symbol count, vocabulary-sized
@@ -1470,6 +1539,32 @@ case class SimhashFp(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** simhash_fp2(array<string>) -> array<bigint>[lo, hi]: the two-long
+  * 120-bit fingerprint rung. See [[Kernels.simhashFp2]].
+  */
+case class SimhashFp2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"simhash_fp2 needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    Kernels.simhashFp2(w.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.expressions.Kernels.simhashFp2($w)")
+
+  override protected def withNewChildInternal(c: Expression): SimhashFp2 =
+    copy(child = c)
+}
+
 /** word_lookup_sums(array<string>) -> array<bigint>[2]: per-doc
   * [char-sum, map-lookup-sum] against a constructor-time word->long
   * map. See [[Kernels.wordLookupSums]].
@@ -1704,16 +1799,24 @@ object GraftFunctions {
 
   /** Default SimHash fingerprint width: the FULL 60-bit portable word
     * hash (md5 prefix — the widest a single DuckDB-replayable long
-    * carries). Width is THE near-dup scale knob: at hamming <= 6 the
-    * by-chance admit rate is C(bits,<=6)/2^bits — ~2.8e-4 of ALL
-    * pairs at 32 bits (output goes quadratic past ~10^5 docs; the
-    * r14 slope run measured d07 at 14.6x on 3x data for exactly this
-    * reason) vs ~5e-11 at 60 bits (true near-dups only through 10^9
-    * docs, and the 7-band pigeonhole join gets 8-9-bit band keys —
-    * 16x fewer enumerated candidates). Past 10^9 docs raise it again
-    * (two-long 128-bit fingerprints, same construction). Narrower
-    * widths are for SMALL corpora only and must be named explicitly
-    * at the call site (e.g. DedupQueries.SmallCorpusSimBits). */
+    * carries). Width is THE near-dup scale knob — the by-chance admit
+    * rate at hamming <= 6 is C(bits,<=6)/2^bits:
+    * {{{
+    * width | by-chance admit | regime / entry point
+    * ------+-----------------+-------------------------------------
+    *   32  |     ~2.8e-4     | output QUADRATIC past ~10^5 docs (r14
+    *       |                 | slope: d07 14.6x on 3x data); small
+    *       |                 | corpora only, must be NAMED at the
+    *       |                 | call site (SmallCorpusSimBits)
+    *   60  |     ~5e-11      | THE default (simhash_fp, d39): true
+    *       |                 | near-dups only through ~10^9 docs;
+    *       |                 | 7-band join gets 8-9-bit band keys
+    *  120  |     ~2.9e-27    | the two-long rung (simhash_fp2 +
+    *       |                 | Dedup.simhashPairsBanded2, gated by
+    *       |                 | d40): same construction over md5 bits
+    *       |                 | 0-119, LO word bit-identical to the
+    *       |                 | 60-bit fp; for corpora past 10^9 docs
+    * }}} */
   val SimhashDefaultBits: Int = 60
 
   def portable_hash60(c: Column): Column = toCol(PortableHash60(toExpr(c)))
@@ -1756,6 +1859,7 @@ object GraftFunctions {
     toCol(TopNgramRun(toExpr(words), n))
   def simhash_fp(words: Column, bits: Int = SimhashDefaultBits): Column =
     toCol(SimhashFp(toExpr(words), bits))
+  def simhash_fp2(words: Column): Column = toCol(SimhashFp2(toExpr(words)))
   def word_lookup_sums(words: Column,
       map: java.util.HashMap[UTF8String, java.lang.Long]): Column =
     toCol(WordLookupSums(toExpr(words), map))

@@ -714,6 +714,66 @@ object Dedup {
     }.reduce(_ union _)
   }
 
+  /** Two-long fingerprint banding — the width rung ABOVE the 60-bit
+    * default, for corpora past ~10^9 docs where even 60 bits starts
+    * admitting by-chance pairs (see GraftFunctions.SimhashDefaultBits's
+    * width table). Fingerprints arrive as TWO columns (`simhash_lo`,
+    * `simhash_hi`, each carrying `bitsPerWord` meaningful low bits —
+    * the [[graft.expressions.GraftFunctions.simhash_fp2]] layout) and
+    * the pigeonhole argument runs over the CONCATENATED
+    * 2*bitsPerWord-bit string: hamming <= h implies >= 1 of h+1
+    * disjoint bit bands identical, band keys are slices that may span
+    * the word boundary, and exact hamming (the sum of the two words'
+    * xor popcounts) verifies. Same exactly-once emission and
+    * shuffle-parallel plan as [[simhashPairsBanded]]; wider bands
+    * (~17 bits at h=6) mean even fewer by-chance candidates per
+    * bucket than the 60-bit form.
+    */
+  def simhashPairsBanded2(fp: DataFrame, id: String, maxHamming: Int,
+      bitsPerWord: Int = DefaultSimBits): DataFrame = {
+    val total = 2 * bitsPerWord
+    val nBands = maxHamming + 1
+    require(nBands <= total && bitsPerWord >= 1 && bitsPerWord <= 64,
+      s"Dedup.simhashPairsBanded2: maxHamming + 1 = $nBands bands over " +
+        s"$total fingerprint bits leaves a band with zero bits (need " +
+        "maxHamming < 2*bitsPerWord, 1 <= bitsPerWord <= 64)")
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    // bits [from, from+w) of the concatenated (hi:lo) bit string,
+    // lo word = bits 0..bitsPerWord-1
+    def slice(side: String, from: Int, w: Int) = {
+      val lo = col(s"$side.simhash_lo")
+      val hi = col(s"$side.simhash_hi")
+      val b = bitsPerWord
+      if (from + w <= b) shiftright(lo, from).bitwiseAND(lit(mask(w)))
+      else if (from >= b) shiftright(hi, from - b).bitwiseAND(lit(mask(w)))
+      else {
+        val wl = b - from // low-word part width; rest comes from hi
+        shiftright(lo, from).bitwiseAND(lit(mask(wl)))
+          .bitwiseOR(shiftleft(hi.bitwiseAND(lit(mask(w - wl))), wl))
+      }
+    }
+    def key(side: String, j: Int) = {
+      val from = j * total / nBands
+      val w = (j + 1) * total / nBands - from
+      slice(side, from, w)
+    }
+    val hamming =
+      bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
+        bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi")))
+    (0 until nBands).map { j =>
+      val noEarlier = (0 until j)
+        .map(i => key("a", i) =!= key("b", i))
+        .foldLeft(lit(true))(_ && _)
+      fp.as("a")
+        .join(fp.as("b"),
+          key("a", j) === key("b", j) &&
+            col(s"a.$id") < col(s"b.$id") && noEarlier)
+        .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
+          hamming.as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }.reduce(_ union _)
+  }
+
   /** SimHash fingerprint (`bits`-wide) over token occurrences:
     * per bit j, sum +1/-1 by hash bit; fingerprint sets bit j where
     * the sum is positive. Width defaults to [[DefaultSimBits]] (the

@@ -364,6 +364,53 @@ object DedupQueries extends Suite {
            |ORDER BY id_1, id_2""".stripMargin
       }),
 
+    // D40: SimHash near-dup at the BEYOND-10^9-doc width rung — the
+    // two-long 120-bit fingerprint the d39 scaladoc promised in
+    // prose, now in code: word-hash bits 0-59 (the same md5 prefix
+    // d39 uses) drive the LO word, bits 60-119 (the md5's NEXT 15 hex
+    // chars) the HI word, and the 7-band pigeonhole join runs over
+    // the concatenated 120-bit string (bands ~17 bits wide — by-chance
+    // admit rate C(120,<=6)/2^120 ~ 2.9e-27, and band buckets are
+    // 2^17-sparse). Same kernel construction (ExpressionsSpec pins the LO
+    // word bit-identical to the 60-bit fingerprint), same banding
+    // operator shape, same exactness guarantee.
+    Q("d40_simhash120_neardup", (s, d) => {
+      val fp = docs(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "),
+          w => length(w) > 0).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"), graft.expressions.GraftFunctions
+          .simhash_fp2(col("__w")).as("fp2"))
+        .select(col("doc_id"),
+          col("fp2").getItem(0).as("simhash_lo"),
+          col("fp2").getItem(1).as("simhash_hi"))
+        .localCheckpoint()
+      Dedup.simhashPairsBanded2(fp, "doc_id", 6)
+        .orderBy("id_1", "id_2")
+    },
+      Some {
+        val W = graft.expressions.GraftFunctions.SimhashDefaultBits
+        val bitSumsLo = OracleFragments.simhashBitSums(W, "word")
+        val bitSumsHi = OracleFragments.simhashBitSums(W, "word",
+          pfx = "c", hi = true)
+        val fpLo = OracleFragments.simhashFold(W)
+        val fpHi = OracleFragments.simhashFold(W, pfx = "c")
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |  FROM documents),
+           |bits AS (SELECT doc_id, $bitSumsLo,
+           |    $bitSumsHi
+           |  FROM w GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpLo AS BIGINT) AS lo,
+           |    CAST($fpHi AS BIGINT) AS hi FROM bits)
+           |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           |  bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+           |    AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+           |ORDER BY id_1, id_2""".stripMargin
+      }),
+
     // D8: embedding cosine near-dup pairs (brute force within cap).
     // Cap 500 (= the whole corpus at sf0.01, a quarter of the former
     // 1000-cap work at sf0.1): the baseline only exists to calibrate

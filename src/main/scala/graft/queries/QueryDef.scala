@@ -38,20 +38,29 @@ private[queries] object OracleFragments {
   def hash60(e: String): String =
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
 
+  /** md5 bits 60-119 (hex chars 16-30) — the HI word's hash in the
+    * two-long fingerprint rung (Kernels.hash120Memoized). */
+  def hash60Hi(e: String): String =
+    s"CAST('0x' || substr(md5($e),16,15) AS BIGINT)"
+
   /** SimHash ±1 bit-sum select list over `wordExpr` (one SUM per
     * bit) — the replay of Kernels.simhashFp's accumulation. Width
     * comes from the caller; the repo default is
-    * [[graft.expressions.GraftFunctions.SimhashDefaultBits]]. */
-  def simhashBitSums(bits: Int, wordExpr: String): String = {
-    val h = hash60(wordExpr)
+    * [[graft.expressions.GraftFunctions.SimhashDefaultBits]].
+    * `pfx`/`hashExpr` parameterize the column family and word hash so
+    * the two-long rung (d40) replays its HI word with the same
+    * fragment. */
+  def simhashBitSums(bits: Int, wordExpr: String, pfx: String = "b",
+      hi: Boolean = false): String = {
+    val h = if (hi) hash60Hi(wordExpr) else hash60(wordExpr)
     (0 until bits).map(j =>
-      s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+      s"SUM(CASE WHEN ($h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS ${pfx}_$j")
       .mkString(",\n    ")
   }
 
-  /** Fold of the b_j bit-sum columns into the fingerprint long — the
-    * replay of Kernels.simhashFp's `sums(j) > 0` bit set. */
-  def simhashFold(bits: Int): String =
+  /** Fold of the `pfx`_j bit-sum columns into the fingerprint long —
+    * the replay of Kernels.simhashFp's `sums(j) > 0` bit set. */
+  def simhashFold(bits: Int, pfx: String = "b"): String =
     (0 until bits).map(j =>
-      s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN ${pfx}_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 }

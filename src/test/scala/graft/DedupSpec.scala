@@ -92,6 +92,46 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("zero bits"))
   }
 
+  test("simhashPairsBanded2: exact hamming<=h pairs over random " +
+      "two-long fingerprints (boundary-spanning bands included)") {
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    // clustered fingerprints so hamming<=6 pairs actually exist:
+    // 12 seeds, each perturbed by 0-9 random bit flips across the
+    // full 120-bit string (some flips land in the hi word, some lo,
+    // exercising the word boundary)
+    val seeds = Seq.fill(12)((rnd.nextLong() & mask60,
+      rnd.nextLong() & mask60))
+    val fps = (0L until 120L).map { i =>
+      var (lo, hi) = seeds((i % 12).toInt)
+      (0 until rnd.nextInt(10)).foreach { _ =>
+        val b = rnd.nextInt(120)
+        if (b < 60) lo ^= 1L << b else hi ^= 1L << (b - 60)
+      }
+      (i, lo, hi)
+    }
+    val brute = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 6
+    } yield (a._1, b._1, h)).toSet
+    val got = Dedup.simhashPairsBanded2(
+      fps.toDF("doc_id", "simhash_lo", "simhash_hi"), "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // the test tested something
+  }
+
+  test("simhashPairsBanded2: zero-bit bands fail loudly") {
+    val fp = Seq((1L, 1L, 1L)).toDF("doc_id", "simhash_lo", "simhash_hi")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded2(fp, "doc_id", 5, bitsPerWord = 2)
+    }
+    assert(e.getMessage.contains("zero bits"))
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

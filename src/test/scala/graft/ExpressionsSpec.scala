@@ -268,6 +268,31 @@ class ExpressionsSpec extends SparkSpec {
       composed.exceptAll(native).isEmpty)
   }
 
+  test("simhash_fp2: LO word bit-identical to the 60-bit kernel, " +
+      "corpus-wide; HI word a real second dimension") {
+    val base = Tables.load(spark, sf, "documents")
+    val words = base
+      .select(col("doc_id"), filter(split(col("text"), " "),
+        w => length(w) > 0).as("__w"))
+      .filter(size(col("__w")) > 0)
+    val both = words.select(col("doc_id"),
+      GraftFunctions.simhash_fp(col("__w")).as("fp60"),
+      GraftFunctions.simhash_fp2(col("__w")).as("fp2"))
+      .select(col("doc_id"), col("fp60"),
+        col("fp2").getItem(0).as("lo"), col("fp2").getItem(1).as("hi"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Long]("lo") === r.getAs[Long]("fp60"),
+        s"doc ${r.getLong(0)}: fp2 LO word diverged from the 60-bit fp")
+      assert((r.getAs[Long]("hi") >>> 60) === 0L,
+        s"doc ${r.getLong(0)}: HI word has bits above 60 set")
+    }
+    // the hi words are not a copy of lo and not degenerate
+    assert(both.map(_.getAs[Long]("hi")).distinct.length > 1)
+    assert(both.exists(r => r.getAs[Long]("hi") != r.getAs[Long]("lo")))
+  }
+
   test("multimodal image decode is deterministic and joins metadata") {
     val media = graft.ops.Multimodal.asBinary(
       Tables.load(spark, sf, "documents").limit(20), "doc_id", "text", "image")
