@@ -86,21 +86,40 @@ object Multimodal {
     private lazy val pngSpi = spiFor("png")
     private lazy val jpegSpi = spiFor("jpeg")
 
-    private def read(spi: ImageReaderSpi,
+    // ImageReader is not thread-safe but IS reusable: setInput(next)
+    // resets it. One reader per (thread, format) turns the per-frame
+    // cost into pure parse+decode — reader construction dominated
+    // tiny-frame MJPEG decode once x29 went corpus-sized (17 avg
+    // frames/doc of ~44x44: measured 2.7 ms/doc with per-frame
+    // createReaderInstance, ~0.8 ms/doc reusing readers).
+    private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue() = pngSpi.createReaderInstance()
+    }
+    private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue() = jpegSpi.createReaderInstance()
+    }
+
+    private def read(tl: ThreadLocal[javax.imageio.ImageReader],
         bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val reader = spi.createReaderInstance()
+      val reader = tl.get()
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis, true, true)
         reader.read(0)
-      } finally { reader.dispose(); iis.close() }
+      } catch { case e: Throwable =>
+        // a reader that threw mid-parse may hold corrupt state —
+        // replace it rather than reuse it
+        reader.dispose()
+        tl.remove()
+        throw e
+      } finally { iis.close() }
     }
 
     def png(bytes: Array[Byte]): java.awt.image.BufferedImage =
-      read(pngSpi, bytes)
+      read(pngReader, bytes)
     def jpeg(bytes: Array[Byte]): java.awt.image.BufferedImage =
-      read(jpegSpi, bytes)
+      read(jpegReader, bytes)
   }
 
   /** REAL image codec binding (javax.imageio — public, in every JVM).
@@ -186,13 +205,36 @@ object Multimodal {
       ((8000 * ((h % 6) + 1)).toInt, (((h % 8) + 1) * 250).toInt,
         ((h % 2) + 1).toInt)
 
+    /** Per-doc PCM tone offset (hash bits 10-17): added to every data
+      * byte of the rendered WAV, so each document's audio CONTENT is
+      * unique beyond its 24-class (rate, duration, channels) shape —
+      * the way a real corpus's files differ. SQL-replayable: data
+      * byte i decodes to (i*13 + 5 + tone) mod 256 (PCM is lossless),
+      * which is what makes the x30 per-window content digest
+      * oracle-gateable. */
+    def tone(h: Long): Int = ((h >>> 10) % 256).toInt
+
     private val wavCache =
       new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
 
     def synthesizeWav(h: Long): Array[Byte] = {
       val (sr, durMs, ch) = plan(h)
-      memo(wavCache, (sr.toLong << 32) | (durMs.toLong << 8) | ch.toLong)(
+      // the plan-pure base rides the memo (header + ramp PCM); the
+      // per-doc tone is a byte-add over the data chunk per call —
+      // O(bytes), the same order as the decode that follows, and far
+      // cheaper than the per-row ENCODE the x01 lesson bans
+      val base = memo(wavCache,
+        (sr.toLong << 32) | (durMs.toLong << 8) | ch.toLong)(
         renderWav(sr, durMs, ch))
+      val t = tone(h)
+      if (t == 0) base
+      else {
+        val out = base.clone()
+        val pcmLen = (sr.toLong * durMs / 1000).toInt * ch * 2
+        var i = out.length - pcmLen
+        while (i < out.length) { out(i) = (out(i) + t).toByte; i += 1 }
+        out
+      }
     }
 
     private def renderWav(sr: Int, durMs: Int, ch: Int): Array[Byte] = {
@@ -231,37 +273,52 @@ object Multimodal {
     @volatile private var preferred: javax.sound.sampled.spi.AudioFileReader =
       null
 
+    private def openStream(wav: Array[Byte]): AudioInputStream = {
+      val p = preferred
+      val fast =
+        if (p == null) None
+        else {
+          val in = new java.io.ByteArrayInputStream(wav)
+          try Some(p.getAudioInputStream(in))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }
+      fast.getOrElse {
+        readers.view.flatMap { r =>
+          val in = new java.io.ByteArrayInputStream(wav)
+          try {
+            val a = r.getAudioInputStream(in)
+            preferred = r
+            Some(a)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }.headOption.getOrElse(AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav)))
+      }
+    }
+
     /** The real decode: (sampleRateHz, durationMs, channels) off the
       * WAV header + frame length. */
     def decode(wav: Array[Byte]): (Int, Int, Int) = {
-      val ais = {
-        val p = preferred
-        val fast =
-          if (p == null) None
-          else {
-            val in = new java.io.ByteArrayInputStream(wav)
-            try Some(p.getAudioInputStream(in))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            }
-          }
-        fast.getOrElse {
-          readers.view.flatMap { r =>
-            val in = new java.io.ByteArrayInputStream(wav)
-            try {
-              val a = r.getAudioInputStream(in)
-              preferred = r
-              Some(a)
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            }
-          }.headOption.getOrElse(AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wav)))
-        }
-      }
+      val ais = openStream(wav)
       val f = ais.getFormat
       val durMs = ais.getFrameLength * 1000 / f.getSampleRate.toLong
       (f.getSampleRate.toInt, durMs.toInt, f.getChannels)
+    }
+
+    /** The real decode, PCM included: (sampleRateHz, durationMs,
+      * channels, dataBytes). Draining the stream reads every data
+      * byte the codec produced — 16-bit PCM WAV is lossless, so the
+      * bytes are exactly what synthesis wrote (ramp + tone), which is
+      * what makes per-window content digests SQL-replayable (x30). */
+    def decodeWithPcm(wav: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val ais = openStream(wav)
+      val f = ais.getFormat
+      val durMs = ais.getFrameLength * 1000 / f.getSampleRate.toLong
+      val pcm = ais.readAllBytes()
+      (f.getSampleRate.toInt, durMs.toInt, f.getChannels, pcm)
     }
   }
 
@@ -277,12 +334,16 @@ object Multimodal {
     * Plan from the 60-bit content hash (all SQL-replayable integer
     * arithmetic): fps in {5,10,20,25} (every value divides 1000, so
     * the frame period and total duration are exact integer
-    * milliseconds), nFrames in [2,9], sides multiples of 8 in
-    * [16,72]. Synthesis renders ONE deterministic JPEG per (w,h)
-    * (64 distinct frames, memoized) and assembles the AVI per plan
-    * (2048 distinct plans, memoized — the x01 lesson: bytes that are
-    * a pure function of the plan are synthesized once per JVM; only
-    * the DECODE runs per row). Decode re-parses the container, counts
+    * milliseconds), nFrames in [2,33], sides multiples of 8 in
+    * [16,72] — 8192 distinct plans, so a corpus-sized near-dup gate
+    * (x29) sees x31-like fingerprint-class density instead of a
+    * quadratic blow-up of coincidentally-identical streams. Synthesis
+    * renders ONE deterministic JPEG per (w,h) (64 distinct frames,
+    * memoized — the expensive encode) and assembles the AVI container
+    * per call (chunk-header concat of the memoized frames: pure
+    * copies, cheap next to the per-frame JPEG DECODE each row then
+    * pays; memoizing whole AVIs at 8192 plans would pin ~300 MB for
+    * no measurable win). Decode re-parses the container, counts
     * and ImageIO-decodes every '00dc' frame chunk, and emits
     * (fps-from-header, duration from COUNTED frames, DECODED first-
     * frame width/height, counted frame total) — so a gate match
@@ -297,15 +358,13 @@ object Multimodal {
       val fps = (h % 4) match {
         case 0 => 5; case 1 => 10; case 2 => 20; case _ => 25
       }
-      val nf = ((h >>> 2) % 8 + 2).toInt
-      val w = (((h >>> 5) % 8 + 2) * 8).toInt
-      val ht = (((h >>> 8) % 8 + 2) * 8).toInt
+      val nf = ((h >>> 2) % 32 + 2).toInt
+      val w = (((h >>> 7) % 8 + 2) * 8).toInt
+      val ht = (((h >>> 10) % 8 + 2) * 8).toInt
       (fps, nf, w, ht)
     }
 
     private val jpegCache =
-      new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
-    private val aviCache =
       new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
 
     /** One deterministic RGB frame per (w, h), encoded by the REAL
@@ -326,8 +385,8 @@ object Multimodal {
 
     def synthesizeAvi(h: Long): Array[Byte] = {
       val (fps, nf, w, ht) = plan(h)
-      memo(aviCache, (fps.toLong << 32) | (nf.toLong << 24) |
-        (w.toLong << 12) | ht.toLong)(renderAvi(fps, nf, w, ht))
+      renderAvi(fps, nf, w, ht) // container assembly per call; the
+      // JPEG encode inside rides the per-(w,h) memo — see object doc
     }
 
     private def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
@@ -337,10 +396,20 @@ object Multimodal {
       out.array()
     }
 
-    private def list(kind: String, bodies: Array[Byte]*): Array[Byte] = {
-      val inner = kind.getBytes("US-ASCII") ++ bodies.flatten
-      chunk("LIST", inner)
+    // raw arraycopy concat: assembly runs per ROW now (8192 plans made
+    // whole-AVI memoization a ~300 MB pin for no win), and the boxed
+    // Seq[Byte] path of ++/flatten cost ~400 us/doc — 40x the copies
+    private def concat(parts: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new Array[Byte](parts.iterator.map(_.length).sum)
+      var o = 0
+      parts.foreach { p =>
+        System.arraycopy(p, 0, out, o, p.length); o += p.length
+      }
+      out
     }
+
+    private def list(kind: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", concat(kind.getBytes("US-ASCII") +: bodies))
 
     /** Minimal spec-conformant AVI: RIFF('AVI ') { hdrl { avih,
       * strl { strh(vids/MJPG), strf(BITMAPINFOHEADER) } }, movi
@@ -371,10 +440,9 @@ object Multimodal {
         0x47504a4d,         // biCompression = 'MJPG' (LE fourcc)
         w * ht * 3, 0, 0, 0, 0)) // biSizeImage, resolutions, clr
       val hdrl = list("hdrl", avih, list("strl", strh, strf))
-      val movi = list("movi",
-        Array.fill(nf)(chunk("00dc", jpeg)).flatten)
-      val riff = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-      chunk("RIFF", riff)
+      val frame = chunk("00dc", jpeg)
+      val movi = list("movi", Seq.fill(nf)(frame): _*)
+      chunk("RIFF", concat(Seq("AVI ".getBytes("US-ASCII"), hdrl, movi)))
     }
 
     /** The real decode: walk the RIFF tree for the avih header (fps)
@@ -430,6 +498,22 @@ object Multimodal {
       (fps, frames * 1000 / fps, dw, dh, frames)
     }
   }
+
+  /** Spread a media frame across the session's shuffle-partition
+    * count for the CPU-bound per-row decode that follows. The
+    * testdata corpus is ONE parquet file = one scan split, and a
+    * bare `repartition(col)` doesn't help: AQE's small-partition
+    * coalescing is tuned for shuffle BYTES, so a tiny-bytes/
+    * heavy-CPU decode stage gets folded back into one task (measured:
+    * x29 ran its 87k JPEG-frame decode serially, 5.6 s vs 0.9 s
+    * parallel). An EXPLICIT partition count opts the exchange out of
+    * coalescing. A real 100 TB corpus gets its decode parallelism
+    * from its many input files and skips this hint entirely.
+    */
+  def decodeParallel(df: DataFrame, id: String): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(id))
 
   /** Wrap a text column as a fake media payload: (id, modality,
     * content binary, n_bytes). In a real pipeline content comes from
@@ -537,17 +621,23 @@ object Multimodal {
     * row's planned AVI is decoded — the same RIFF walk + per-frame
     * javax.imageio JPEG decode as [[decodeVideoAvi]] — and one
     * descriptor token per DECODED frame comes back
-    * (`"<width>:<height>:<frameIdx>"`, dims from the decoded first
-    * frame, the index range from the COUNTED '00dc' chunks). A
-    * SimHash over this token array is a frame-stream fingerprint:
-    * videos whose decoded frame sequences look alike land within a
-    * small hamming distance even when their container BYTES differ —
-    * the near-dup arm that exact byte hashing (x17's md5) cannot
-    * see. The tokens are deterministic functions of decoded outputs
-    * the planner can replay, so the DuckDB oracle gates that the
-    * decode actually ran (a real pipeline would append a
-    * pixel-digest component per token; JPEG pixel bytes aren't
-    * SQL-replayable, so the gate pins the decode-derived part).
+    * (`"<fps>:<width>:<height>:<nFrames>:<frameIdx>"` — fps from the
+    * parsed avih header, dims from the decoded first frame, the frame
+    * count/index range from the COUNTED '00dc' chunks). A SimHash
+    * over this token array is a frame-stream fingerprint: videos
+    * whose decoded frame sequences look alike land within a small
+    * hamming distance even when their container BYTES differ — the
+    * near-dup arm that exact byte hashing (x17's md5) cannot see.
+    * Every decoded stream feature rides in every token (including
+    * the total frame count, so streams of different lengths are
+    * DIFFERENT content, not near-dups of their shared prefix — the
+    * property that keeps a corpus-sized x29's pair output at
+    * fingerprint-class density). The tokens are deterministic
+    * functions of decoded outputs the planner can replay, so the
+    * DuckDB oracle gates that the decode actually ran (a real
+    * pipeline would append a pixel-digest component per token; JPEG
+    * pixel bytes aren't SQL-replayable, so the gate pins the
+    * decode-derived part).
     */
   def decodeVideoFrameTokens(media: DataFrame, id: String): DataFrame = {
     val spark = media.sparkSession
@@ -557,8 +647,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
           val avi = AviCodec.synthesizeAvi(StubCodec.hash60(bytes))
-          val (_, _, w, h, nf) = AviCodec.decode(avi)
-          (i, (0 until nf).map(fi => s"$w:$h:$fi"))
+          val (fps, _, w, h, nf) = AviCodec.decode(avi)
+          (i, (0 until nf).map(fi => s"$fps:$w:$h:$nf:$fi"))
         }
       }
       .toDF(id, "frame_tokens")
@@ -566,16 +656,23 @@ object Multimodal {
 
   /** Audio decode emitting per-analysis-window tokens — the audio
     * sibling of [[decodeVideoFrameTokens]]: each row's planned WAV is
-    * AudioSystem-decoded (same real codec as [[decodeAudioWav]]) and
-    * one descriptor token per 250 ms analysis window comes back
-    * (`"<sampleRate>:<channels>:<windowIdx>"`; the window count is
-    * the DECODED duration over the 250 ms grid the planner speaks —
+    * AudioSystem-decoded WITH its PCM drained (same real codec as
+    * [[decodeAudioWav]]; see [[WavCodec.decodeWithPcm]]) and one
+    * descriptor token per 250 ms analysis window comes back
+    * (`"<sampleRate>:<channels>:<nWindows>:<windowIdx>:<digest>"`;
+    * the window count is the DECODED duration over the 250 ms grid —
     * durations are multiples of 250 by plan, so the division is
-    * exact). A SimHash over the window tokens fingerprints the
-    * decoded audio stream for the x30 near-dup arm; a real pipeline
-    * would fold a per-window energy/MFCC digest into each token
-    * (PCM bytes aren't SQL-replayable, so the gate pins the
-    * decode-derived part).
+    * exact — and `digest` is a per-window CONTENT digest read off the
+    * decoded PCM: the unsigned byte at the window's start. 16-bit PCM
+    * is lossless, so unlike JPEG pixels the digest IS SQL-replayable
+    * — data byte i decodes to (i*13 + 5 + tone) mod 256 — which lets
+    * the oracle gate actual per-window content, the energy/MFCC slot
+    * of a real pipeline). A SimHash over the window tokens
+    * fingerprints the decoded audio stream for the x30 near-dup arm;
+    * the digest + window count in every token keep different
+    * recordings DIFFERENT (corpus-sized pair output stays at
+    * fingerprint-class density instead of going quadratic over the
+    * 24-class shape space).
     */
   def decodeAudioWindowTokens(media: DataFrame, id: String): DataFrame = {
     val spark = media.sparkSession
@@ -585,8 +682,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (i, bytes) =>
           val wav = WavCodec.synthesizeWav(StubCodec.hash60(bytes))
-          val (sr, dur, ch) = WavCodec.decode(wav)
-          (i, (0 until dur / 250).map(wi => s"$sr:$ch:$wi"))
+          val (sr, dur, ch, pcm) = WavCodec.decodeWithPcm(wav)
+          val nw = dur / 250
+          val winBytes = (sr / 4) * ch * 2
+          (i, (0 until nw).map { wi =>
+            val d = pcm(wi * winBytes) & 0xff
+            s"$sr:$ch:$nw:$wi:$d"
+          })
         }
       }
       .toDF(id, "window_tokens")

@@ -44,6 +44,22 @@ object DedupQueries extends Suite {
     * constant. */
   private val SmallCorpusSimBits = 32
 
+  /** The corpus bound that keeps [[SmallCorpusSimBits]]'s CONTRACT
+    * valid in d07's own data (r15 verdict item 3): a 32-bit/
+    * hamming<=6 near-dup threshold admits ~2.8e-4 of ALL pairs by
+    * chance, so its OUTPUT (and any correct algorithm computing it —
+    * Omega(output)) goes quadratic past ~10^5 docs; 2e4 docs keep
+    * the by-chance pair count at ~56k (2.8e-4 * C(2e4,2)), small
+    * against the banded join's linear corpus passes. d07 filters its
+    * corpus to this bound in ENGINE AND ORACLE alike — the gate's
+    * data now carries the contract instead of relying on test
+    * corpora staying small (all three driver SFs are <= 5000 docs,
+    * so gated results are unchanged; the engine-scale slope corpora
+    * are where the cap binds). Corpora past the bound use d39's
+    * 60-bit default or d40's 120-bit rung, where the threshold
+    * admits true near-dups only. */
+  private val SimBits32CorpusCap = 20000
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
   private def embs(s: SparkSession, d: String): DataFrame =
@@ -280,15 +296,16 @@ object DedupQueries extends Suite {
       }),
 
     // D7: SimHash near-dup pairs — hamming distance <= 6 of 32 bits,
-    // uncapped: 7-band pigeonhole candidates (an equi-join; any pair
-    // within hamming 6 agrees exactly on >= 1 of 7 disjoint bands) +
-    // exact hamming verify. Identical result to the all-pairs form,
-    // without its O(n^2) theta join. The fingerprint table feeds both
-    // sides of the band join — materialize once. NOTE: at 32 bits the
-    // CONTRACT itself stops scaling past ~10^5 docs (the threshold
-    // admits 2.8e-4 of all pairs by chance, so the OUTPUT goes
-    // quadratic) — d39 below is the same operator at the scale
-    // bit-width.
+    // corpus-capped at SimBits32CorpusCap: 7-band pigeonhole
+    // candidates (an equi-join; any pair within hamming 6 agrees
+    // exactly on >= 1 of 7 disjoint bands) + exact hamming verify.
+    // Identical result to the all-pairs form, without its O(n^2)
+    // theta join. The fingerprint table feeds both sides of the band
+    // join — materialize once. The cap is the 32-bit CONTRACT made
+    // explicit in the gate's data (see SimBits32CorpusCap): past
+    // ~10^5 docs the threshold's OUTPUT goes quadratic regardless of
+    // algorithm — d39/d40 below are the same operator at the scale
+    // bit-widths.
     Q("d07_simhash_neardup", (s, d) => {
       // fingerprints come from the simhash_fp kernel — one narrow
       // scan over the word arrays (per-word md5s ride the thread
@@ -297,6 +314,7 @@ object DedupQueries extends Suite {
       // Zero-word docs are filtered to mirror their absence from the
       // exploded groupBy.
       val fp = docs(s, d)
+        .filter(col("doc_id") < SimBits32CorpusCap)
         .select(col("doc_id"), filter(split(col("text"), " "),
           w => length(w) > 0).as("__w"))
         .filter(size(col("__w")) > 0)
@@ -312,7 +330,7 @@ object DedupQueries extends Suite {
         val fp = OracleFragments.simhashFold(SmallCorpusSimBits)
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split(text,' ')) AS word
-           |  FROM documents),
+           |  FROM documents WHERE doc_id < $SimBits32CorpusCap),
            |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
            |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
            |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
