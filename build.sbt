@@ -18,6 +18,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// COUPLED LIST: the same opens live in tools/jrun.sh (plain-java
+// driver) and graft.tools.ClusterConf (local-cluster executor JVMs) —
+// a Spark upgrade needing another open must edit all three.
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",

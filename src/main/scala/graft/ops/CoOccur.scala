@@ -156,9 +156,9 @@ object CoOccur {
     * returned frame is lazy and evaluates it in the pair pass and
     * both decode joins), so its release is wired to the frame's OWN
     * lifecycle: a QueryExecutionListener unpersists the id table the
-    * first time any action executes a plan containing it — the
-    * returned frame's materialization, wherever the caller triggers
-    * it — then deregisters itself. A long-lived session that loops
+    * first time any action executes a plan containing the RETURNED
+    * frame — its materialization, wherever the caller triggers it —
+    * then deregisters itself. A long-lived session that loops
     * this operator past the bound therefore pins nothing between
     * calls (CoOccurSpec asserts no persistent RDDs survive a drained
     * join-route query); a result materialized TWICE recomputes the
@@ -211,37 +211,56 @@ object CoOccur {
         pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
           parts),
         ids)
-      unpersistOnFirstUse(ids)
+      unpersistOnFirstUse(watch = out, release = ids)
       out
     }
   }
 
   /** Release a persisted frame the first time ANY action executes a
-    * plan containing it — the [[pairCountsAuto]] join route's
-    * lifecycle hook for its id table: the table must stay persisted
+    * plan containing `watch` — the [[pairCountsAuto]] join route's
+    * lifecycle hook: the id table (`release`) must stay persisted
     * until the (lazy) result materializes, and the only party who
     * knows when that happens is the execution itself. A
     * QueryExecutionListener watches query completions (success OR
     * failure — a failed materialization must not stay pinned either),
-    * matches the analyzed plan against the target's (the cached
+    * matches the analyzed plan against the RESULT frame's (the cached
     * subtree survives analysis verbatim; substitution happens later,
-    * at planning), unpersists non-blockingly, and deregisters. The
-    * listener bus is asynchronous, so release lands shortly AFTER the
-    * action returns — callers must not assume synchronous release
-    * (CoOccurSpec polls). If the result is never materialized the
-    * listener idles harmlessly until session close. */
-  private def unpersistOnFirstUse(target: DataFrame): Unit = {
-    val spark = target.sparkSession
-    val targetPlan = target.queryExecution.analyzed
+    * at planning), unpersists non-blockingly, and deregisters.
+    *
+    * Watching the RESULT plan, not the id table's, is load-bearing:
+    * the id table was already counted twice before this registration
+    * (vocabIds' eager materialization + the routing probe), and the
+    * listener bus is ASYNCHRONOUS — those completion events can still
+    * be queued when the listener registers, and a listener matching
+    * on the id subtree would consume one of them and release the
+    * table before the result ever ran (recomputing the whole
+    * distinct+sort+zipWithIndex vocab pass per downstream reference —
+    * exactly what the persist exists to prevent). No completed or
+    * in-flight execution contains the freshly-built result plan.
+    *
+    * Asynchrony also means release lands shortly AFTER the action
+    * returns — callers must not assume synchronous release
+    * (CoOccurSpec polls). A result that is NEVER materialized leaves
+    * its listener registered until session close, pinning the two
+    * frames' plans and paying one sameResult tree-compare per later
+    * query completion — the documented cost of the fire-once
+    * convenience API; a workload that builds join-route frames
+    * speculatively and discards them should manage the lifecycle
+    * explicitly via [[vocabIds]]/[[pairCountsJoin]] instead. */
+  private def unpersistOnFirstUse(watch: DataFrame,
+      release: DataFrame): Unit = {
+    val spark = watch.sparkSession
+    val watchPlan = watch.queryExecution.analyzed
     val lm = spark.listenerManager
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         private def maybeRelease(
             qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (qe.analyzed.exists(_.sameResult(targetPlan)) &&
+          if (!done.get() &&
+              qe.analyzed.exists(_.sameResult(watchPlan)) &&
               done.compareAndSet(false, true)) {
-            target.unpersist(blocking = false)
+            release.unpersist(blocking = false)
             lm.unregister(listener)
           }
         override def onSuccess(funcName: String,

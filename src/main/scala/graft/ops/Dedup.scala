@@ -679,17 +679,6 @@ object Dedup {
         "positionally — the pre-r15 parameter order — swap them: the " +
         "signature is (fp, id, maxHamming, bits), and call sites " +
         "should name `bits =` explicitly.")
-    // Exactly-once emission (the lshCandidatesOnce trick): band j's
-    // equi-join also requires that no band i < j matched, so a pair
-    // agreeing on several bands is emitted only by its first — the
-    // union is distinct BY CONSTRUCTION and the global distinct
-    // exchange over the duplicated candidate stream (the dominant
-    // cost when near-dup clusters are large) disappears. Band keys
-    // are bit slices of the fingerprint, so the "no earlier match"
-    // predicate costs j shift-mask compares per joined row — no extra
-    // columns carried. Candidates only form inside a band-key hash
-    // bucket; each of the nBands joins shuffles the O(corpus)
-    // fingerprint table, never the pair stream.
     def key(side: String, j: Int) = {
       val lo = j * bits / nBands
       val w = (j + 1) * bits / nBands - lo
@@ -699,6 +688,26 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftright(col(s"$side.simhash"), lo).bitwiseAND(lit(mask))
     }
+    bandedPairs(fp, id, maxHamming, nBands, key,
+      bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+  }
+
+  /** The banded self-join core shared by [[simhashPairsBanded]] and
+    * [[simhashPairsBanded2]] — exactly-once emission (the
+    * lshCandidatesOnce trick): band j's equi-join also requires that
+    * no band i < j matched, so a pair agreeing on several bands is
+    * emitted only by its first — the union is distinct BY
+    * CONSTRUCTION and the global distinct exchange over the
+    * duplicated candidate stream (the dominant cost when near-dup
+    * clusters are large) disappears. Band keys are bit slices of the
+    * fingerprint, so the "no earlier match" predicate costs j
+    * shift-mask compares per joined row — no extra columns carried.
+    * Candidates only form inside a band-key hash bucket; each of the
+    * nBands joins shuffles the O(corpus) fingerprint table, never
+    * the pair stream. */
+  private def bandedPairs(fp: DataFrame, id: String, maxHamming: Int,
+      nBands: Int, key: (String, Int) => org.apache.spark.sql.Column,
+      hamming: org.apache.spark.sql.Column): DataFrame =
     (0 until nBands).map { j =>
       val noEarlier = (0 until j)
         .map(i => key("a", i) =!= key("b", i))
@@ -708,11 +717,9 @@ object Dedup {
           key("a", j) === key("b", j) &&
             col(s"a.$id") < col(s"b.$id") && noEarlier)
         .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .as("hamming"))
+          hamming.as("hamming"))
         .filter(col("hamming") <= maxHamming)
     }.reduce(_ union _)
-  }
 
   /** Two-long fingerprint banding — the width rung ABOVE the 60-bit
     * default, for corpora past ~10^9 docs where even 60 bits starts
@@ -737,6 +744,20 @@ object Dedup {
       s"Dedup.simhashPairsBanded2: maxHamming + 1 = $nBands bands over " +
         s"$total fingerprint bits leaves a band with zero bits (need " +
         "maxHamming < 2*bitsPerWord, 1 <= bitsPerWord <= 64)")
+    // fail-loud discipline, the two-word edition: a band wider than
+    // one long cannot be packed into a single join key — shiftleft
+    // would silently DROP the hi-word bits past bit 63, making the
+    // key cover only 64 of the band's bits (still exact thanks to
+    // the hamming verify, but admitting by-chance collisions the
+    // caller believes the full band excludes). Only tiny maxHamming
+    // over wide words reaches this (e.g. maxHamming=0 at 120 bits =
+    // one 120-bit band) — there, the single-word operator per word
+    // or a struct key is the right tool.
+    val maxBandW = (total + nBands - 1) / nBands
+    require(maxBandW <= 64,
+      s"Dedup.simhashPairsBanded2: widest band is $maxBandW bits — a " +
+        "band key only holds 64. Raise maxHamming (more, narrower " +
+        "bands) or band each word separately.")
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     // bits [from, from+w) of the concatenated (hi:lo) bit string,
     // lo word = bits 0..bitsPerWord-1
@@ -760,18 +781,7 @@ object Dedup {
     val hamming =
       bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
         bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi")))
-    (0 until nBands).map { j =>
-      val noEarlier = (0 until j)
-        .map(i => key("a", i) =!= key("b", i))
-        .foldLeft(lit(true))(_ && _)
-      fp.as("a")
-        .join(fp.as("b"),
-          key("a", j) === key("b", j) &&
-            col(s"a.$id") < col(s"b.$id") && noEarlier)
-        .select(col(s"a.$id").as("id_1"), col(s"b.$id").as("id_2"),
-          hamming.as("hamming"))
-        .filter(col("hamming") <= maxHamming)
-    }.reduce(_ union _)
+    bandedPairs(fp, id, maxHamming, nBands, key, hamming)
   }
 
   /** SimHash fingerprint (`bits`-wide) over token occurrences:

@@ -286,7 +286,9 @@ object DedupQueries extends Suite {
           SmallCorpusSimBits, "word")
         val fp = OracleFragments.simhashFold(SmallCorpusSimBits)
         s"""WITH w AS (
-           |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |    FROM documents) WHERE len(word) > 0),
            |bits AS (
            |  SELECT doc_id,
            |    $bitSums
@@ -329,8 +331,10 @@ object DedupQueries extends Suite {
           SmallCorpusSimBits, "word")
         val fp = OracleFragments.simhashFold(SmallCorpusSimBits)
         s"""WITH w AS (
-           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
-           |  FROM documents WHERE doc_id < $SimBits32CorpusCap),
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |    FROM documents WHERE doc_id < $SimBits32CorpusCap)
+           |  WHERE len(word) > 0),
            |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
            |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
            |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
@@ -371,8 +375,9 @@ object DedupQueries extends Suite {
         val bitSums = OracleFragments.simhashBitSums(W, "word")
         val fp = OracleFragments.simhashFold(W)
         s"""WITH w AS (
-           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
-           |  FROM documents),
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |    FROM documents) WHERE len(word) > 0),
            |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
            |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)
            |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
@@ -414,8 +419,9 @@ object DedupQueries extends Suite {
         val fpLo = OracleFragments.simhashFold(W)
         val fpHi = OracleFragments.simhashFold(W, pfx = "c")
         s"""WITH w AS (
-           |  SELECT doc_id, unnest(string_split(text,' ')) AS word
-           |  FROM documents),
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text,' ')) AS word
+           |    FROM documents) WHERE len(word) > 0),
            |bits AS (SELECT doc_id, $bitSumsLo,
            |    $bitSumsHi
            |  FROM w GROUP BY doc_id),

@@ -23,7 +23,16 @@ object ClusterConf {
   /** build.sbt's JDK-17 module opens (the set
     * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions
     * covers) — executor JVMs need them for Kryo/Unsafe exactly like
-    * the driver does. */
+    * the driver does.
+    *
+    * COUPLED LIST — maintained in THREE places that different
+    * launchers read (no shared source is possible across .scala/.sh/
+    * .sbt): here (executors), tools/jrun.sh (plain-java driver), and
+    * build.sbt javaOptions (sbt-forked driver/tests). A Spark upgrade
+    * that needs an extra open must edit all three, or local-cluster
+    * executors fail with InaccessibleObjectException while local[N]
+    * passes — exactly the multi-JVM-only failure class CLUSTER.md
+    * exists to catch. */
   private val AddOpens: String = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",

@@ -132,6 +132,16 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("zero bits"))
   }
 
+  test("simhashPairsBanded2: a band wider than one long fails loudly " +
+      "(shiftleft would silently truncate the key)") {
+    val fp = Seq((1L, 1L, 1L)).toDF("doc_id", "simhash_lo", "simhash_hi")
+    val e = intercept[IllegalArgumentException] {
+      // maxHamming=0 at the default 60-bit words = one 120-bit band
+      Dedup.simhashPairsBanded2(fp, "doc_id", 0)
+    }
+    assert(e.getMessage.contains("widest band"))
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

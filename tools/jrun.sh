@@ -12,6 +12,9 @@ cd "$(dirname "$0")/.."
 # library, whose classpath builder needs the Scala version pinned when
 # SPARK_HOME isn't a dev tree ("Cannot find any build directories").
 export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
+# COUPLED LIST: the same opens live in build.sbt (sbt-forked JVMs)
+# and graft.tools.ClusterConf (local-cluster executor JVMs) — a Spark
+# upgrade needing another open must edit all three.
 OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/java.lang.reflect java.base/java.io \
