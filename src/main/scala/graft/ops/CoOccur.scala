@@ -190,10 +190,10 @@ object CoOccur {
     import org.apache.spark.sql.functions.{broadcast, col}
     val spark = docWords.sparkSession
     // one distinct+sort+id pass for probe, collect, AND the join
-    // route — vocabIds materializes it, so the probe count and any
-    // re-evaluation are plain scans, not repeated distincts
-    val ids = vocabIds(vocab, wordCol)
-    val probed = ids.count()
+    // route — vocabIds materializes it (its eager count IS the
+    // routing probe: re-counting the just-materialized table cost a
+    // redundant scan job per call)
+    val (ids, probed) = vocabIdsWithCount(vocab, wordCol)
     if (routesBroadcast(probed, maxBroadcastVocab)) {
       // bounded by the probe; id order == lexicographic word order
       val words = ids.orderBy("id").collect().map(_.getString(0))
@@ -209,7 +209,7 @@ object CoOccur {
     } else {
       val out = decodePairs(
         pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
-          parts),
+          parts, knownV = Some(probed)),
         ids)
       unpersistOnFirstUse(watch = out, release = ids)
       out
@@ -575,7 +575,15 @@ object CoOccur {
     * @return DataFrame(word STRING, id INT), one row per distinct
     *         non-null input word, materialized.
     */
-  def vocabIds(vocab: DataFrame, wordCol: String): DataFrame = {
+  def vocabIds(vocab: DataFrame, wordCol: String): DataFrame =
+    vocabIdsWithCount(vocab, wordCol)._1
+
+  /** [[vocabIds]] plus the vocabulary size its eager materialization
+    * already computed — so callers that need V (the routing probe,
+    * [[pairCountsJoin]]'s id-space bound) don't re-scan the persisted
+    * table with a second count job. */
+  private[graft] def vocabIdsWithCount(vocab: DataFrame,
+      wordCol: String): (DataFrame, Long) = {
     val spark = vocab.sparkSession
     val wc = org.apache.spark.sql.functions.col(wordCol)
     val sorted = vocab.select(wc.as("word"))
@@ -593,8 +601,8 @@ object CoOccur {
       StructField("word", StringType, nullable = false),
       StructField("id", IntegerType, nullable = false))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ids.count() // eager: consumers see a materialized table
-    ids
+    val v = ids.count() // eager: consumers see a materialized table
+    (ids, v)
   }
 
   /** Pair counting with JOIN-assigned vocab ids — the full
@@ -620,18 +628,26 @@ object CoOccur {
     *                 as its own document.
     * @param vocab    (word, id) table from [[vocabIds]] — ids MUST be
     *                 dense 0..V-1 in word order for the triangular
-    *                 indexing to match the other paths. This operator
-    *                 evaluates it twice (the V count, then the join);
-    *                 [[vocabIds]] returns it materialized, so a
-    *                 hand-built substitute should be materialized too
-    *                 or it re-executes its DAG per evaluation.
+    *                 indexing to match the other paths. Without
+    *                 `knownV` this operator evaluates it twice (the V
+    *                 count, then the join); [[vocabIds]] returns it
+    *                 materialized, so a hand-built substitute should
+    *                 be materialized too or it re-executes its DAG
+    *                 per evaluation.
+    * @param knownV   the vocabulary size, when the caller already
+    *                 counted it (MUST equal vocab's row count — the
+    *                 triangular id space is sized by it); None counts.
     */
   def pairCountsJoin(docWords: DataFrame, docIdCol: String,
       wordsCol: String, vocab: DataFrame, minCount: Long,
-      parts: Int): DataFrame = {
+      parts: Int, knownV: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docWords.sparkSession
-    val V = vocab.count() // one scalar job; the id table is distributed
+    // one scalar job over the distributed id table — skipped when the
+    // caller already knows V ([[pairCountsAuto]] passes the count its
+    // vocabIds materialization produced; a wrong knownV would break
+    // the triangular indexing, so it is private-ish by convention)
+    val V = knownV.getOrElse(vocab.count())
     if (V < 2)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], pairSchema)

@@ -38,15 +38,24 @@ object Selection {
     *               duplicates allowed)
     * @return (groupCol, rank, value) — `value` keeps the input type
     */
+  /** @param statsNarrow optional precomputed per-group range —
+    *               (groupCol, _lo DOUBLE, _hi DOUBLE) over the
+    *               group's non-null values (min/max ignore nulls, so
+    *               any aggregate already passing over the data can
+    *               carry them) — saving this operator its own
+    *               full-input min/max pass (step 1). Groups absent
+    *               from it yield no output, like groups with no rows.
+    */
   def orderStatistics(df: DataFrame, groupCol: String, valueCol: String,
-      ranks: DataFrame, buckets: Int = 1024): DataFrame = {
+      ranks: DataFrame, buckets: Int = 1024,
+      statsNarrow: Option[DataFrame] = None): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
     val rows = df.filter(v.isNotNull).select(g, v)
 
     // 1. per-group value range -> equi-width bucket id
-    val stats = rows.groupBy(groupCol)
-      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"))
+    val stats = statsNarrow.getOrElse(rows.groupBy(groupCol)
+      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi")))
     val bucketed = rows.join(broadcast(stats), groupCol)
       .withColumn("_b",
         when(col("_hi") === col("_lo"), lit(0)).otherwise(

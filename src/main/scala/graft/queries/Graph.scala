@@ -38,23 +38,25 @@ object GraphQueries extends Suite {
         .agg(sort_array(collect_set(col("p_brand"))).as("_brands"))
         .select(graft.expressions.ArrayPairs.array_pairs(col("_brands"))
           .as(Seq("src", "dst")))
-      // the edge list feeds all 5 iterations plus the degree table —
-      // materialize once (d12's localCheckpoint discipline) so each
+      // the edge list feeds all 5 iterations plus the node table —
+      // materialize ONCE (d12's localCheckpoint discipline) so each
       // iteration joins a flat in-memory table instead of re-running
       // the lineitem⋈part pair generation; at 100 TB the 5x scan
-      // re-execution is the real cost
-      val edges0 = e0.select("src", "dst")
+      // re-execution is the real cost. The (iteration-invariant)
+      // out-degree is folded onto each edge row by a window COUNT
+      // over the same src key — one exchange, no separate degree
+      // aggregate + join-back, and no second checkpoint (the previous
+      // two-checkpoint form paid a full extra materialization job)
+      val edges = e0.select("src", "dst")
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
-      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
-      // fold the (iteration-invariant) out-degree onto each edge row
-      // once — every hop then needs a SINGLE join (edges⋈rank), not
-      // edges⋈rank⋈deg; deg is derived from the already-checkpointed
-      // edge list, so this adds one tiny aggregate, not a re-scan
-      val edges = edges0.join(deg, "src").localCheckpoint()
+        .distinct()
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .localCheckpoint()
+      val nodes = edges.select("src").distinct()
       // driver-side scalar splice (o29 pattern): node count feeds the
       // integer base constants
-      val nNodes = deg.count()
+      val nNodes = nodes.count()
       if (nNodes == 0) {
         // degenerate empty edge set: empty result, not a /0 crash
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -66,10 +68,17 @@ object GraphQueries extends Suite {
       } else {
         val init = 1000000L / nNodes
         val base = 150000L / nNodes
-        var rank = deg.select(col("src").as("node"), lit(init).as("r"))
+        var rank = nodes.select(col("src").as("node"), lit(init).as("r"))
         for (_ <- 1 to 5) {
+          // broadcast the rank side: its cardinality is the node
+          // count — distinct p_brand values, a dimension-bounded set
+          // strictly smaller than the `part` broadcast feeding the
+          // edge build — so each hop is a map-side join over the
+          // checkpointed edges + ONE dst-keyed exchange, instead of
+          // the SMJ pair (sort + exchange on both sides) per hop the
+          // unhinted form planned
           rank = edges
-            .join(rank, col("src") === col("node"))
+            .join(broadcast(rank), col("src") === col("node"))
             .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
             .groupBy("dst")
             .agg(sum("c").as("cs"))
@@ -138,9 +147,13 @@ object GraphQueries extends Suite {
           col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"),
           col("e2.v").as("c"))
-      tri.select(col("a").as("brand"))
-        .unionByName(tri.select(col("b").as("brand")))
-        .unionByName(tri.select(col("c").as("brand")))
+      // one explode instead of a 3-branch union of corner projections:
+      // the union form re-planned (and, wherever runtime exchange
+      // reuse couldn't cap it, re-ran) the whole 3-way triangle join
+      // once per corner — 36 scans / 58 Exchanges in the initial
+      // plan; the explode emits the same three corner rows per
+      // triangle from ONE execution of the join (guide §2.4)
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
         .groupBy("brand").agg(count(lit(1)).as("n_triangles"))
         .orderBy("brand")
     },

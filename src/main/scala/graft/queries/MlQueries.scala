@@ -210,8 +210,14 @@ object MlQueries extends Suite {
       .filter(length(col("word")) > 0)
     val tew = Text.words(base.filter(isTest), "doc_id", "text")
 
-    val cls = trd.select("lang").distinct()
-    val priors = trd.groupBy("lang").agg(count(lit(1)).as("pc"))
+    // one lang-keyed aggregate serves BOTH the class list and the
+    // priors: the previous separate select(lang).distinct() paid its
+    // own exchange over the train docs for a set the priors' groupBy
+    // already produces (guide §2.4 — two operations keyed the same
+    // way share one exchange)
+    val pcnt = trd.groupBy("lang").agg(count(lit(1)).as("pc"))
+    val cls = pcnt.select("lang")
+    val priors = pcnt
       .crossJoin(broadcast(trd.agg(count(lit(1)).as("dd"))))
       .select(col("lang"), expr("(pc * 1000000) div dd").as("prior_ppm"))
     val cw = trw.groupBy("lang", "word").agg(count(lit(1)).as("c"))

@@ -217,7 +217,13 @@ object Relational2 extends Suite {
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-          count(col("l_extendedprice")).as("n"))
+          count(col("l_extendedprice")).as("n"),
+          // the per-group price range rides this same pass, so the
+          // bucketed selection below skips its own min/max scan of
+          // lineitem (4 full scans -> 3; guide §2.3 "aggregate before
+          // you shuffle" applied to the operator's setup pass)
+          min(col("l_extendedprice")).cast("double").as("_lo"),
+          max(col("l_extendedprice")).cast("double").as("_hi"))
         .localCheckpoint() // feeds stats/ranks/p99 AND the final select
       val stats = qtyP.select(col("l_returnflag"), col("n"))
         .withColumn("pos", lit(0.99) * (col("n") - 1).cast("double"))
@@ -230,7 +236,8 @@ object Relational2 extends Suite {
         explode(array(col("lo"), col("hi"))).as("rank")).distinct()
       val os = graft.ops.Selection.orderStatistics(
         li.select("l_returnflag", "l_extendedprice"),
-        "l_returnflag", "l_extendedprice", ranks)
+        "l_returnflag", "l_extendedprice", ranks,
+        statsNarrow = Some(qtyP.select("l_returnflag", "_lo", "_hi")))
       val p99 = os.join(broadcast(stats), "l_returnflag")
         .groupBy("l_returnflag", "pos", "lo", "hi")
         .agg(min(when(col("rank") === col("lo"), col("value")))
