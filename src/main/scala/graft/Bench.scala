@@ -86,6 +86,9 @@ object Bench {
         : Option[Double] = {
       val t0 = System.nanoTime()
       try {
+        // guide §1.5: label the jobs so a UI/event-log profile of a
+        // bench run maps stages back to queries (no timing effect)
+        spark.sparkContext.setJobDescription(s"bench: $name")
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
@@ -93,6 +96,7 @@ object Bench {
         errors ::= s"$name: ${e.getMessage}"
         None
       } finally {
+        spark.sparkContext.setJobDescription(null)
         // release blocks pinned by cache()/localCheckpoint() inside
         // the query just run (shared helper — safe here because every
         // query rebuilds from source; see SessionHygiene's contract);
