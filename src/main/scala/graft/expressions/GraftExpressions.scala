@@ -279,6 +279,45 @@ object Kernels {
     bestId
   }
 
+  /** [[argminL2Micro]] that also returns the winning squared
+    * distance: [bestId, bestD2] as a 2-element long array. The Lloyd
+    * FINAL assignment needs both (labels + WSSSE contribution); one
+    * kernel pass replaces assignment followed by a k-row join +
+    * zip_with re-computation of the distance to the assigned
+    * centroid — one full pass over the corpus removed. d2 is the
+    * same exact integer the zip_with form produced (identical long
+    * arithmetic over identical inputs).
+    */
+  def argminL2MicroD2(v: ArrayData, cents: ArrayData,
+      ids: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    val nc = ids.numElements()
+    require(nc > 0 && cents.numElements() == nc * dim,
+      s"argmin_l2_micro_d2: ${cents.numElements()} centroid values " +
+        s"for $nc ids at dim $dim")
+    var j0 = 0
+    while (j0 < dim) {
+      if (v.isNullAt(j0))
+        throw new IllegalArgumentException(
+          s"argmin_l2_micro_d2: NULL element at index $j0")
+      j0 += 1
+    }
+    var best = Long.MaxValue; var bestId = Long.MaxValue
+    var c = 0
+    while (c < nc) {
+      var d = 0L; var j = 0
+      while (j < dim) {
+        val t = v.getLong(j) - cents.getLong(c * dim + j)
+        d += t * t; j += 1
+      }
+      val id = ids.getLong(c)
+      if (d < best || (d == best && id < bestId)) { best = d; bestId = id }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(bestId, best))
+  }
+
   /** PQ encode against a RUNTIME codebook (the trained-codebook
     * variant of [[pqEncode]], whose codebook is compile-time): for
     * each subspace s, the argmin codeword among the PRESENT entries
@@ -1316,6 +1355,40 @@ case class ArgminL2Micro(v: Expression, cents: Expression, ids: Expression)
       t: Expression): ArgminL2Micro = copy(v = f, cents = s, ids = t)
 }
 
+/** argmin_l2_micro_d2(array<bigint>, array<bigint>, array<bigint>) ->
+  * array<bigint> [bestId, bestD2]. See [[Kernels.argminL2MicroD2]].
+  */
+case class ArgminL2MicroD2(v: Expression, cents: Expression,
+    ids: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = v
+  override def second: Expression = cents
+  override def third: Expression = ids
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (v.dataType, cents.dataType, ids.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, false),
+          ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("argmin_l2_micro_d2 needs (array<bigint>, " +
+          s"array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, c: Any, i: Any): Any =
+    Kernels.argminL2MicroD2(a.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c, i) =>
+      s"graft.expressions.Kernels.argminL2MicroD2($a, $c, $i)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): ArgminL2MicroD2 = copy(v = f, cents = s, ids = t)
+}
+
 /** Broadcast-side centroid matrix for [[ArgmaxCos]]: the flattened
   * nc*dim float values widened to double (exact) with per-centroid
   * norms precomputed ONCE — norms accumulate left-to-right over the
@@ -1833,6 +1906,8 @@ object GraftFunctions {
     toCol(PqAssignAdc(toExpr(emb), toExpr(codes), toExpr(ids)))
   def argmin_l2_micro(v: Column, cents: Column, ids: Column): Column =
     toCol(ArgminL2Micro(toExpr(v), toExpr(cents), toExpr(ids)))
+  def argmin_l2_micro_d2(v: Column, cents: Column, ids: Column): Column =
+    toCol(ArgminL2MicroD2(toExpr(v), toExpr(cents), toExpr(ids)))
   def pq_encode_cb(emb: Column, cb: Column, present: Column): Column =
     toCol(PqEncodeCb(toExpr(emb), toExpr(cb), toExpr(present)))
   def ivfpq_encode(emb: Column, cents: Column, cb: Column): Column =

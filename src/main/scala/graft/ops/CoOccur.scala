@@ -208,7 +208,7 @@ object CoOccur {
         broadcast(bcIds))
     } else {
       val out = decodePairs(
-        pairCountsJoin(docWords, docIdCol, wordsCol, ids, minCount,
+        pairCountsJoinV(docWords, docIdCol, wordsCol, ids, minCount,
           parts, knownV = Some(probed)),
         ids)
       unpersistOnFirstUse(watch = out, release = ids)
@@ -634,13 +634,27 @@ object CoOccur {
     *                 materialized, so a hand-built substitute should
     *                 be materialized too or it re-executes its DAG
     *                 per evaluation.
+    */
+  def pairCountsJoin(docWords: DataFrame, docIdCol: String,
+      wordsCol: String, vocab: DataFrame, minCount: Long,
+      parts: Int): DataFrame =
+    pairCountsJoinV(docWords, docIdCol, wordsCol, vocab, minCount,
+      parts, knownV = None)
+
+  /** [[pairCountsJoin]] with the vocabulary size pre-counted.
+    * `private[graft]`: a knownV != vocab's true row count mis-sizes
+    * the triangular id space with no runtime check, so only callers
+    * that hand over the count their own materialization produced
+    * ([[pairCountsAuto]] via [[vocabIdsWithCount]]) may use it —
+    * the ADVICE-r16 silent-corruption footgun, fenced off.
+    *
     * @param knownV   the vocabulary size, when the caller already
     *                 counted it (MUST equal vocab's row count — the
     *                 triangular id space is sized by it); None counts.
     */
-  def pairCountsJoin(docWords: DataFrame, docIdCol: String,
+  private[graft] def pairCountsJoinV(docWords: DataFrame, docIdCol: String,
       wordsCol: String, vocab: DataFrame, minCount: Long,
-      parts: Int, knownV: Option[Long] = None): DataFrame = {
+      parts: Int, knownV: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docWords.sparkSession
     // one scalar job over the distributed id table — skipped when the

@@ -145,7 +145,8 @@ object Dedup {
     * [[ngramPortableHashArrays]] (no collect_list exchange, no
     * second md5 pass — the arrays arrive sorted). */
   def jaccardVerifyHashArrays(candidates: DataFrame, harr: DataFrame,
-      id: String, minJaccardPct: Int = 0): DataFrame = {
+      id: String, minJaccardPct: Int = 0,
+      thresholdPct: Int = 0): DataFrame = {
     import graft.expressions.GraftFunctions.intersect_count_sorted
     val pruned =
       if (minJaccardPct <= 0) candidates
@@ -158,16 +159,37 @@ object Dedup {
             greatest(col("pa.n"), col("pb.n")) * minJaccardPct)
           .select(col("id_1"), col("id_2"))
       }
-    pruned
+    val counted = pruned
       .join(harr.as("za"), col("id_1") === col(s"za.$id"))
       .join(harr.as("zb"), col("id_2") === col(s"zb.$id"))
       .select(col("id_1"), col("id_2"),
         intersect_count_sorted(col("za.hs"), col("zb.hs")).as("n_common"),
         size(col("za.hs")).as("na"), size(col("zb.hs")).as("nb"))
+    thresholded(counted, col("na") + col("nb") - col("n_common"),
+      thresholdPct)
       .select(col("id_1"), col("id_2"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
   }
+
+  /** EXACT integer form of the caller-side `jaccard >= pct/100`
+    * filter: `100 * n_common >= pct * union` over the pre-division
+    * integer columns, so the hot per-pair compare stays in
+    * whole-stage-codegen long space and (when the caller then drops
+    * the jaccard column, as dupEdges does) the double division is
+    * never evaluated at all. Row-set equivalence to the double
+    * compare is exact, not approximate: IEEE division is correctly
+    * rounded, so double(n/u) and double(pct/100) can only straddle
+    * the >= boundary differently if the two exact rationals differ
+    * by less than one ulp — which forces u > 2^53/100, far beyond
+    * any document's shingle-set size (DedupSpec proves the boundary
+    * cases). `thresholdPct = 0` keeps the unfiltered contract.
+    */
+  private def thresholded(counted: DataFrame, union: Column,
+      thresholdPct: Int): DataFrame =
+    if (thresholdPct <= 0) counted
+    else counted.filter(
+      col("n_common") * 100 >= union * thresholdPct)
 
   /** Word n-grams WITH multiplicity (one row per occurrence) — the
     * input for repetition analysis, where how often the top n-gram
@@ -452,15 +474,18 @@ object Dedup {
     * direction for dedup.
     */
   def jaccardAllPairs(shingles: DataFrame, id: String,
-      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None): DataFrame = {
+      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None,
+      thresholdPct: Int = 0): DataFrame = {
     // callers that derive shingles from a doc table pass the
     // zero-shuffle [[ngramShingleSizes]] projection; the groupBy
     // fallback keeps the op usable over an arbitrary shingle stream
     val sizes = sizesNarrow.getOrElse(
       shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
-    commonCountsFromBuckets(shingles, id, maxDf)
+    val counted = commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
+    thresholded(counted, col("za.n") + col("zb.n") - col("n_common"),
+      thresholdPct)
       .select(col("id_1"), col("id_2"),
         (col("n_common").cast("double") /
           (col("za.n") + col("zb.n") - col("n_common"))).as("jaccard"))
@@ -473,12 +498,21 @@ object Dedup {
     * container is much larger — the subset-dup case Jaccard misses.
     */
   def containmentAllPairs(shingles: DataFrame, id: String,
-      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None): DataFrame = {
+      maxDf: Int = 10000, sizesNarrow: Option[DataFrame] = None,
+      minMaxContainmentPct: Int = 0): DataFrame = {
     val sizes = sizesNarrow.getOrElse(
       shingles.groupBy(col(id)).agg(count(lit(1)).as("n")))
-    commonCountsFromBuckets(shingles, id, maxDf)
+    val counted = commonCountsFromBuckets(shingles, id, maxDf)
       .join(sizes.as("za"), col("id_1") === col(s"za.$id"))
       .join(sizes.as("zb"), col("id_2") === col(s"zb.$id"))
+    // greatest(c_1in2, c_2in1) >= p/100 over positive denominators is
+    // exactly 100*n_common >= p*least(|A|,|B|) — the [[thresholded]]
+    // integer-space equivalence, applied to the smaller set size
+    val filtered =
+      if (minMaxContainmentPct <= 0) counted
+      else counted.filter(col("n_common") * 100 >=
+        least(col("za.n"), col("zb.n")) * minMaxContainmentPct)
+    filtered
       .select(col("id_1"), col("id_2"), col("n_common"),
         (col("n_common").cast("double") / col("za.n")).as("c_1in2"),
         (col("n_common").cast("double") / col("zb.n")).as("c_2in1"))
@@ -577,6 +611,12 @@ object Dedup {
   def dupEdges(docTable: DataFrame, id: String, text: String, n: Int,
       tPct: Int, maxDf: Int = 10000): DataFrame = {
     require(tPct > 0 && tPct <= 100, s"tPct out of range: $tPct")
+    // threshold applied INSIDE the pair ops in exact integer space
+    // ([[thresholded]]): the hot per-pair compare never leaves
+    // whole-stage-codegen long arithmetic, and because this caller
+    // drops the jaccard column the double division is pruned from the
+    // plan entirely — same row set as `jaccard >= tPct/100.0` by the
+    // correctly-rounded-division argument (DedupSpec boundary cases)
     val pairs =
       if (tPct >= 60) {
         // prefix path on portable-hash arrays: the qualifying edge
@@ -587,13 +627,13 @@ object Dedup {
           .localCheckpoint() // feeds prefix (df + window) and verify
         jaccardVerifyHashArrays(
           prefixFilteredCandidatesHashed(harr, id, tPct), harr, id,
-          minJaccardPct = tPct)
+          minJaccardPct = tPct, thresholdPct = tPct)
       } else
         // bucket path: kernel-hashed shingles (no string allocs)
         jaccardAllPairs(ngramShingleHashes(docTable, id, text, n), id,
-          maxDf, Some(ngramShingleHashSizes(docTable, id, text, n)))
-    pairs.filter(col("jaccard") >= tPct / 100.0)
-      .select(col("id_1").as("u"), col("id_2").as("v"))
+          maxDf, Some(ngramShingleHashSizes(docTable, id, text, n)),
+          thresholdPct = tPct)
+    pairs.select(col("id_1").as("u"), col("id_2").as("v"))
   }
 
   /** Common-shingle counts per doc pair via shingle BUCKETS, with a

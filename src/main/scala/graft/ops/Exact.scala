@@ -56,8 +56,29 @@ object Exact {
     sum(a.cast("decimal(14,2)") * b.cast("decimal(14,2)")).cast("double")
 
   /** Money column -> exact cents as long (unscaled decimal(14,2)). */
-  private def cents(c: Column): Column =
+  private[ops] def cents(c: Column): Column =
     graft.expressions.GraftFunctions.unscaled_long(c.cast("decimal(14,2)"))
+
+  /** [[dsum]] over a PRE-EXTRACTED long-cents column (see [[cents]]/
+    * [[centsOf]]): the aggregate buffer is a plain long add in
+    * whole-stage codegen instead of a checked Decimal add — the win
+    * compounds under grouping-set Expand, where every input row pays
+    * the buffer update once per grouping set. The single /100 +
+    * double cast per GROUP goes through exact decimal division, so
+    * the result is bit-identical to [[dsum]] at any magnitude the
+    * long sum can represent. Overflow bound: Spark 4 runs ANSI mode,
+    * so a cents sum past 2^63 fails LOUDLY rather than wrapping;
+    * with per-row money < $1M (1e8 cents) that needs > 9e10 rows in
+    * ONE group — at the 100 TB orders scale (~1.5e11 rows, avg
+    * ~1.5e7 cents, grand total ~2.3e18 < 2^63/4) the bound holds
+    * with headroom; past it, fall back to [[dsum]].
+    */
+  def dsumOfCents(centsCol: Column): Column =
+    (sum(centsCol).cast("decimal(38,0)") / lit(100)).cast("double")
+
+  /** Public [[cents]]: exact long cents for [[dsumOfCents]] callers
+    * that project the extraction BELOW an Expand/aggregate. */
+  def centsOf(c: Column): Column = cents(c)
 
   /** Exact average -> double (exact decimal sum / exact count).
     *

@@ -123,30 +123,20 @@ object ExactLloyd {
       cents = recenter(assign(cents))
     }
 
-    val finalAsg = assign(cents).localCheckpoint()
-    // WSSSE: distance of each row to its (final) assigned centroid —
-    // k-row broadcast join + exact long zip_with, summed in decimal
-    val cf = {
-      import scala.jdk.CollectionConverters._
-      val rows = cents._2.indices.map { i =>
-        val dim = cents._1.length / cents._2.length
-        org.apache.spark.sql.Row(cents._2(i),
-          cents._1.slice(i * dim, (i + 1) * dim).toSeq)
-      }
-      feats.sparkSession.createDataFrame(rows.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cvec",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType, containsNull = false),
-            nullable = false))))
-    }
-    val d2 = aggregate(
-      zip_with(col("qv"), col("cvec"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    val wssse = finalAsg.join(broadcast(cf), "cid")
-      .select(d2.as("d2"))
+    // FINAL assignment and its WSSSE contribution in ONE kernel pass:
+    // argmin_l2_micro_d2 returns [cid, d2] — the winning squared
+    // distance is computed by the argmin scan anyway, so the old
+    // k-row centroid join + zip_with that RE-derived d2 for the
+    // assigned centroid was a second full pass over the corpus
+    // (identical long arithmetic, so wssse is bit-identical). The
+    // checkpoint still feeds two consumers (scalar total + labels).
+    val finalAsg = qv.select(col("_id"),
+        graft.expressions.GraftFunctions.argmin_l2_micro_d2(col("qv"),
+          typedlit(cents._1.toSeq), typedlit(cents._2.toSeq)).as("_ad"))
+      .select(col("_id"), col("_ad").getItem(0).as("cid"),
+        col("_ad").getItem(1).as("d2"))
+      .localCheckpoint()
+    val wssse = finalAsg
       .agg(sum(col("d2").cast("decimal(38,0)")).cast("bigint").as("wssse"))
     finalAsg.select(col("_id").as(idCol), col("cid").as("cluster"))
       .crossJoin(broadcast(wssse))

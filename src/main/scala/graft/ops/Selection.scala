@@ -36,15 +36,14 @@ object Selection {
     * @param ranks  DataFrame with `groupCol` and a `rank` LONG column
     *               (0-based, one row per requested statistic,
     *               duplicates allowed)
-    * @return (groupCol, rank, value) — `value` keeps the input type
-    */
-  /** @param statsNarrow optional precomputed per-group range —
+    * @param statsNarrow optional precomputed per-group range —
     *               (groupCol, _lo DOUBLE, _hi DOUBLE) over the
     *               group's non-null values (min/max ignore nulls, so
     *               any aggregate already passing over the data can
     *               carry them) — saving this operator its own
     *               full-input min/max pass (step 1). Groups absent
     *               from it yield no output, like groups with no rows.
+    * @return (groupCol, rank, value) — `value` keeps the input type
     */
   def orderStatistics(df: DataFrame, groupCol: String, valueCol: String,
       ranks: DataFrame, buckets: Int = 1024,

@@ -146,17 +146,22 @@ object StarCC {
 
   /** Per-label group sizes for the `coalesce(root, id)` labeling
     * derived from a [[components]] table — SELF-CONSISTENT for ANY
-    * (node, root) table, converged or not: rows labeled r =
-    * (#nodes with root = r) + (1 if r itself is NOT a node — if a
-    * fixed-round star left r pointing elsewhere, r's own row carries
-    * r's root, not r). Returns (group_id, nc); labels absent from the
-    * result are singletons (size 1 — coalesce on the consumer side).
-    * Everything is roots-bounded: at 100 TB this replaces a COUNT
-    * window partitioned by group_id over the full corpus. */
+    * NODE-UNIQUE (node, root) table, converged or not: rows labeled
+    * r = (#nodes with root = r) + (1 if r itself is NOT a node — if
+    * a fixed-round star left r pointing elsewhere, r's own row
+    * carries r's root, not r). Returns (group_id, nc); labels absent
+    * from the result are singletons (size 1 — coalesce on the
+    * consumer side). Everything is roots-bounded: at 100 TB this
+    * replaces a COUNT window partitioned by group_id over the full
+    * corpus. Input contract: `node` must be unique — [[components]]
+    * guarantees it (its output IS a groupBy("node") aggregate), and
+    * that is what lets the node side join WITHOUT its own distinct
+    * exchange (the r16 form paid one full exchange of the roots
+    * table purely to re-prove this invariant). */
   def groupSizes(roots: DataFrame): DataFrame =
     roots.groupBy(col("root").as("group_id"))
       .agg(count(lit(1)).as("_m"))
-      .join(roots.select(col("node").as("group_id")).distinct()
+      .join(roots.select(col("node").as("group_id"))
           .withColumn("_isNode", lit(1L)),
         Seq("group_id"), "left_outer")
       .select(col("group_id"),

@@ -255,8 +255,11 @@ object DedupQueries extends Suite {
       val base = docs(s, d)
       val sh = Dedup.ngramShingleHashes(base, "doc_id", "text", 3)
       val sizes = Dedup.ngramShingleHashSizes(base, "doc_id", "text", 3)
-      Dedup.jaccardAllPairs(sh, "doc_id", sizesNarrow = Some(sizes))
-        .filter(col("jaccard") >= 0.1)   // raw jaccard — see d04 note
+      // thresholdPct: the >= 0.1 gate in exact integer space inside
+      // the op (same row set — see Dedup.thresholded); the output
+      // jaccard doubles are computed only for survivors
+      Dedup.jaccardAllPairs(sh, "doc_id", sizesNarrow = Some(sizes),
+          thresholdPct = 10)
         .orderBy("id_1", "id_2")
     },
       Some(s"""WITH ${ngram3ShinglesSql("documents")},
@@ -723,9 +726,12 @@ object DedupQueries extends Suite {
       // zero-shuffle narrow sizes, same kernel-hashed shingles
       val base20 = docs(s, d)
       val sh = Dedup.ngramShingleHashes(base20, "doc_id", "text", 3)
+      // minMaxContainmentPct: greatest(c_1in2, c_2in1) >= 0.5 as the
+      // exact integer 2*n_common >= least(|A|,|B|) inside the op —
+      // same row set, hot compare stays in codegen long space
       Dedup.containmentAllPairs(sh, "doc_id",
-          sizesNarrow = Some(Dedup.ngramShingleHashSizes(base20, "doc_id", "text", 3)))
-        .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)
+          sizesNarrow = Some(Dedup.ngramShingleHashSizes(base20, "doc_id", "text", 3)),
+          minMaxContainmentPct = 50)
         .orderBy("id_1", "id_2")
     },
       Some(s"""WITH ${ngram3ShinglesSql("documents")},
@@ -1700,8 +1706,16 @@ object DedupQueries extends Suite {
         .withColumn("eff", expr("eff_tokens_ppm div 1000000"))
         .withColumn("w",
           floor(sqrt(col("eff").cast("double"))).cast("long"))
-      val tot = ps.agg(sum("eff").as("tt"), sum("w").as("sw"))
-      ps.crossJoin(broadcast(tot))
+      // suite totals as an unpartitioned window over the SOURCES-
+      // BOUNDED ps table (~|sources| rows at any corpus size): the
+      // agg + crossJoin(broadcast) form planned a second consumer of
+      // ps plus a broadcast-build job; the window is one
+      // SinglePartition exchange of ~20 rows and keeps ps
+      // single-consumer. Exact integer sums either way.
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ps.withColumn("tt", sum("eff").over(wAll))
+        .withColumn("sw", sum("w").over(wAll))
         .select(col("source"), col("n_docs"), col("tokens_raw"),
           col("eff_tokens_ppm"),
           expr("((tt div 2) * w) div sw").as("alloc_tokens"),

@@ -200,7 +200,12 @@ object MlQueries extends Suite {
     val base = docs(s, d)
     val isTest = pmod(col("doc_id"), lit(10)) === 0
     val trd = base.filter(!isTest).select("doc_id", "lang")
-    val ted = base.filter(isTest).select("doc_id", "lang")
+    // ntok rides the ted projection (same tokens() the word explode
+    // uses, so the count is the exploded row count by construction):
+    // the per-(doc, class) score completion below needs it and this
+    // is the scan the docs already come from — no extra pass
+    val ted = base.filter(isTest).select(col("doc_id"), col("lang"),
+      size(Text.tokens(col("text"))).cast("long").as("ntok"))
     // carry lang through the explode: the per-word class label comes
     // straight off the document row, not from a token-stream join
     // back to trd/ted (two exchanges saved)
@@ -235,25 +240,35 @@ object MlQueries extends Suite {
     val defp = den.select(col("lang"),
       expr("1000000 div den").as("def_ppm"))
 
-    // no broadcast hint on pw: the smoothed-probability table is
-    // (classes x vocab)-sized — bigger than the vocab-sized table a19
-    // deliberately leaves unhinted. AQE broadcasts it while it fits
-    // and falls back to a (lang, word)-keyed shuffle join when a
-    // 100 TB crawl's long-tail vocab doesn't (a forced hint would OOM
-    // instead of falling back). cls/defp/priors stay hinted: they are
-    // class-count-bounded, size-invariant in the corpus.
-    val occ = tew.crossJoin(broadcast(cls))
-      .join(broadcast(defp), "lang")
-      .join(pw, Seq("lang", "word"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("p_ppm"), col("def_ppm")).as("ppm"))
-    val wsum = occ.groupBy("doc_id", "lang").agg(sum("ppm").as("wsum"))
+    // The test token stream is joined to pw INNER on word alone — it
+    // is never crossJoin-multiplied by the class list (the old form
+    // shipped every test token C times just so unmatched (token,
+    // class) rows could pick up def_ppm). Per (doc, class) the
+    // matched sum and matched count are aggregated, and the unmatched
+    // remainder is completed arithmetically from the per-doc token
+    // count: wsum = msum + (ntok - mcnt) * def_ppm — the same exact
+    // integer total, since every unmatched token contributes exactly
+    // def_ppm. Classes with NO matched token in a doc get no matched
+    // row; the left join + coalesce completion below yields
+    // ntok * def_ppm for them, identical to the old per-token path.
+    // No broadcast hint on pw (unchanged rationale): the smoothed-
+    // probability table is (classes x vocab)-sized — AQE broadcasts
+    // it while it fits and falls back to a word-keyed shuffle join
+    // when a 100 TB crawl's long-tail vocab doesn't (a forced hint
+    // would OOM instead of falling back). cls/defp/priors stay
+    // hinted: they are class-count-bounded, size-invariant.
+    val matched = tew.join(pw, "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum("p_ppm").as("msum"), count(lit(1)).as("mcnt"))
     val scores = ted.withColumnRenamed("lang", "true_lang")
       .crossJoin(broadcast(cls))
       .join(broadcast(priors), "lang")
-      .join(wsum, Seq("doc_id", "lang"), "left")
+      .join(broadcast(defp), "lang")
+      .join(matched, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("true_lang"), col("lang"),
-        (coalesce(col("wsum"), lit(0L)) + col("prior_ppm")).as("score"))
+        (coalesce(col("msum"), lit(0L)) +
+          (col("ntok") - coalesce(col("mcnt"), lit(0L))) * col("def_ppm") +
+          col("prior_ppm")).as("score"))
     // argmax with lexical tiebreak as ONE aggregate — minimize
     // (-score, lang) — instead of a per-doc sort + row_number filter
     scores

@@ -328,10 +328,18 @@ object Relational2 extends Suite {
     // ordering can't differ between engines within a block (a column
     // is either all-null or never-null there).
     Q("o45_cube_grouping", (s, d) =>
+      // cents are extracted ONCE per input row, BELOW the cube's
+      // Expand: the 4x grouping-set expansion then carries a long and
+      // each buffer update is a codegen long add (Exact.dsumOfCents —
+      // bit-identical to dsum, overflow-loud under ANSI; bound in the
+      // scaladoc). The dsum form re-cast double->decimal per EXPANDED
+      // row and paid a checked Decimal add per grouping set.
       t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          graft.ops.Exact.centsOf(col("o_totalprice")).as("_cents"))
         .cube("o_orderstatus", "o_orderpriority")
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("spend"))
+          graft.ops.Exact.dsumOfCents(col("_cents")).as("spend"))
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "spend")
         .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority")),

@@ -66,8 +66,13 @@ object ExecStats {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         var best = Double.MaxValue
-        var line = ""
+        var line = ""          // best SUCCESSFUL line, never overwritten
+        var failures = List.empty[String]
         (1 to repeats).foreach { _ =>
+          // drain the async listener bus BEFORE resetting, so stray
+          // events from the previous repeat/query never leak into
+          // this repeat's counters (ADVICE r16)
+          Thread.sleep(300)
           jobs.set(0); stages.set(0); tasks.set(0)
           shufR.set(0); shufW.set(0); input.set(0); cpu.set(0)
           val t0 = System.nanoTime()
@@ -78,12 +83,15 @@ object ExecStats {
             if (el < best) best = el
             line = f"EXEC $name%-28s min=$best%7.3f s jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d shufW=${shufW.get / 1024}%8d KiB input=${input.get / 1024}%8d KiB cpu=${cpu.get / 1000000000L}%4d s"
           } catch { case e: Throwable =>
-            line = s"EXEC $name FAILED ${e.getMessage}"
+            failures ::= s"EXEC $name FAILED ${e.getMessage}"
           } finally {
             graft.tools.SessionHygiene.unpersistAll(spark, blocking = true)
           }
         }
-        println(line)
+        // a repeat failure after a success is REPORTED but does not
+        // discard the measured minimum (ADVICE r16)
+        if (line.nonEmpty) println(line)
+        failures.reverse.foreach(println)
       }
     spark.stop()
   }

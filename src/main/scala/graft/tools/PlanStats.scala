@@ -32,8 +32,13 @@ object PlanStats {
     spark.sparkContext.setLogLevel("ERROR")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // tokens are REGEXES by contract (several carry \b anchors);
+    // plain-text tokens with metacharacters must be Regex.quote'd by
+    // the caller (ADVICE r16). Patterns compile once, not per query.
+    val compiled = new scala.collection.mutable.HashMap[String,
+      scala.util.matching.Regex]()
     def count(plan: String, token: String): Int =
-      token.r.findAllMatchIn(plan).size
+      compiled.getOrElseUpdate(token, token.r).findAllMatchIn(plan).size
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -244,6 +244,60 @@ class DedupSpec extends SparkSpec {
     assert(lo === loTruth)
   }
 
+  test("integer threshold (100*n >= p*union) == double jaccard/" +
+    "containment filter, exhaustively through every boundary") {
+    import org.apache.spark.sql.functions._
+    // the r17 thresholded/minMaxContainmentPct filters replace
+    // `n.toDouble/u >= p/100.0` with `100*n >= p*u`; the two can only
+    // disagree when the exact rationals n/u and p/100 differ yet
+    // round to the same double — impossible below u ~ 2^53/100.
+    // Exhaust every (n, u) boundary up to u=2000 for the thresholds
+    // the queries use (10, 50, 60, 80, 90) plus awkward primes.
+    for (p <- Seq(1, 7, 10, 33, 50, 60, 80, 90, 99, 100);
+         u <- 1 to 2000; n <- Seq(0L, 1L,
+           (p.toLong * u) / 100 - 1, (p.toLong * u) / 100,
+           (p.toLong * u) / 100 + 1, u.toLong).filter(x => x >= 0 && x <= u)) {
+      val viaDouble = n.toDouble / u >= p / 100.0
+      val viaInt = n * 100 >= p.toLong * u
+      assert(viaDouble === viaInt, s"divergence at n=$n u=$u p=$p")
+    }
+    // and through the engine ops on docs ENGINEERED to sit exactly ON
+    // the boundary: word-level 1-gram shingles, |A|=11, |B|=11,
+    // |A∩B|=2, union=20 -> jaccard exactly 0.1; containment pair with
+    // n_common/min exactly 0.5
+    val a = (0 until 9).map(i => s"a$i").mkString(" ") + " s0 s1"
+    val b = (0 until 9).map(i => s"b$i").mkString(" ") + " s0 s1"
+    val docsDf = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docsDf, "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // j = 2/20 = 0.1: >= 10 keeps it, >= 11 (via 11pct) drops it —
+    // identical to the double filter on the unthresholded op
+    assert(pairs(Dedup.jaccardAllPairs(sh, "doc_id", thresholdPct = 10))
+      === pairs(Dedup.jaccardAllPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.1)))
+    assert(pairs(Dedup.jaccardAllPairs(sh, "doc_id", thresholdPct = 10))
+      === Set((1L, 2L)))
+    assert(pairs(Dedup.jaccardAllPairs(sh, "doc_id", thresholdPct = 11))
+      === pairs(Dedup.jaccardAllPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.11)))
+    // containment: doc 3 = {s0, s1, c0, c1} (|C|=4), doc 4 = {s0, s1}
+    // (|D|=2) -> c_DinC = 2/2 = 1.0, c_CinD = 2/4 = 0.5 boundary;
+    // also check a pair sitting strictly BELOW 0.5 on both sides
+    val docs2 = Seq((3L, "s0 s1 c0 c1"), (4L, "s0 s1"),
+      (5L, "s0 e0 e1 e2 e3")).toDF("doc_id", "text")
+    val sh2 = Dedup.wordShingles(docs2, "doc_id", "text")
+    assert(pairs(Dedup.containmentAllPairs(sh2, "doc_id",
+        minMaxContainmentPct = 50))
+      === pairs(Dedup.containmentAllPairs(sh2, "doc_id")
+        .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.5)))
+    assert(pairs(Dedup.containmentAllPairs(sh2, "doc_id",
+        minMaxContainmentPct = 51))
+      === pairs(Dedup.containmentAllPairs(sh2, "doc_id")
+        .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.51)))
+  }
+
   test("d12 pipeline: depth-9 near-dup chain resolves to ONE group " +
     "(past min-label propagation's diameter-5 bound)") {
     import org.apache.spark.sql.functions._

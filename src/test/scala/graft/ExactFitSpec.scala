@@ -24,6 +24,38 @@ class ExactFitSpec extends SparkSpec {
     assert(out.forall(_._3 == 2L))
   }
 
+  test("argmin_l2_micro_d2 == (argmin_l2_micro, hand-computed d2), " +
+    "ties to the lowest id in both") {
+    import graft.expressions.GraftFunctions.{argmin_l2_micro, argmin_l2_micro_d2}
+    // centroids: id 5 -> (0,0), id 7 -> (3,4), id 9 -> (3,4) (ids 7/9
+    // EXACTLY tied for every input — the tiebreak edge)
+    val flat = Seq(0L, 0L, 3L, 4L, 3L, 4L)
+    val ids = Seq(5L, 7L, 9L)
+    val rows = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(3L, 4L)), (3L, Seq(2L, 2L)),
+      (4L, Seq(-5L, 10L)), (6L, Seq(1000000L, -1000000L)))
+    def d2(v: Seq[Long], c: (Long, Long)) = {
+      val dx = v(0) - c._1; val dy = v(1) - c._2; dx * dx + dy * dy
+    }
+    val expected = rows.map { case (id, v) =>
+      val ds = Seq(5L -> d2(v, (0L, 0L)), 7L -> d2(v, (3L, 4L)),
+        9L -> d2(v, (3L, 4L)))
+      val best = ds.map(_._2).min
+      id -> ((ds.filter(_._2 == best).map(_._1).min, best))
+    }.toMap
+    val got = rows.toDF("id", "v")
+      .select(col("id"),
+        argmin_l2_micro(col("v"), typedlit(flat), typedlit(ids)).as("cid"),
+        argmin_l2_micro_d2(col("v"), typedlit(flat), typedlit(ids)).as("ad"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList))
+    got.foreach { case (id, cid, ad) =>
+      val (eCid, eD2) = expected(id)
+      assert(cid === eCid, s"argmin for $id")
+      assert(ad === List(eCid, eD2), s"argmin_d2 for $id")
+    }
+  }
+
   test("ExactLloyd: rerun is bit-identical (order independence)") {
     val feats = (1L to 60L).map(i =>
       (i, (i % 7).toDouble * 3, (i % 5).toDouble)).toDF("id", "fx", "fy")
