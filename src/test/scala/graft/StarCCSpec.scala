@@ -106,9 +106,10 @@ class StarCCSpec extends SparkSpec {
   }
 
   /** groupSizes must match a window count over the coalesce labeling
-    * for ANY (node, root) table — including NON-converged stars where
-    * a root value still appears as a node (the case a fixed-round run
-    * can produce and the correctness gates never do; a naive
+    * for any NODE-UNIQUE (node, root) table (the components() output
+    * contract, r17) — including NON-converged stars where a root
+    * value still appears as a node (the case a fixed-round run can
+    * produce and the correctness gates never do; a naive
     * member-count+1 is off by one and misattributed exactly there). */
   test("groupSizes == window count over the coalesce labeling, converged or not") {
     import org.apache.spark.sql.expressions.Window
